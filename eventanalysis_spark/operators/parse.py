@@ -1,0 +1,219 @@
+"""M1 — vectorized field extraction from the html/text payload.
+
+Parity target: the reference's XML dissection layer —
+  - XmlEventDissector.cs:30-95 (typed header extraction: 14 accessors),
+  - XmlDissector.cs:56-108 (XPath eval + EventData map, `$XNN` fallback),
+  - XmlUtilities.FixXml:28-58 (control-char repair),
+  - XmlStringValueConversions.cs:27-59 (hex-or-decimal int parse).
+
+Spark-first design: ONE Arrow-batched pandas UDF returning a StructType
+(no per-row Python UDF in the plan; pandas str ops run compiled regex over
+whole batches). Catalyst treats the UDF as a black box, so callers must
+`select` only (url, html) into it — column pruning for the UDF input is
+explicit, the prune of everything downstream is automatic.
+
+The extracted `text` must be byte-identical to the ground-truth `text`
+column per url (BASELINE.json invariant); `extract_text_series` is that
+contract and is golden-tested against the datagen oracle.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# ---- unescape: exact inverse of the datagen/_escape wire form -------------
+# numeric first, then lt/gt, then amp LAST (so "&amp;lt;" can't double-decode)
+_NUM_ENT = re.compile(r"&#x([0-9A-Fa-f]+);|&#([0-9]+);")
+
+
+def _unescape(s: str) -> str:
+    if "&" not in s:
+        return s
+    s = _NUM_ENT.sub(
+        lambda m: chr(int(m.group(1), 16)) if m.group(1) else chr(int(m.group(2))), s
+    )
+    return s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+
+
+_P_TAG = re.compile(r"<p>(.*?)</p>", re.DOTALL)
+_TITLE = re.compile(r"<title>(.*?)</title>", re.DOTALL)
+_CHARSET = re.compile(r'<meta charset="([^"]*)"')
+_META = r'<meta name="ea:%s" content="([^"]*)"'
+_CLASS = re.compile(_META % "class")
+_VER = re.compile(_META % "ver")
+_LANG_ATTR = re.compile(r'<html lang="([^"]*)"')
+_HOST = re.compile(r"^[a-z]+://([^/]+)")
+_TOKEN = re.compile(r"\S+")
+
+
+def extract_text_series(html: pd.Series) -> pd.Series:
+    """html bytes → extracted text, byte-identical to ground truth.
+
+    Rule (explicit, byte-level — SURVEY.md §7.3 risk item): decode utf-8,
+    find all <p>…</p> bodies in document order, entity-unescape each
+    (numeric → lt → gt → amp), join with '\\n'. No <p> → '' (empty,
+    not null: the empty-vs-null distinction is semantic, reference
+    XmlStringValueConversions.cs:99-106)."""
+    decoded = html.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else None)
+
+    def one(doc: str | None) -> str | None:
+        if doc is None:
+            return None
+        return "\n".join(_unescape(p) for p in _P_TAG.findall(doc))
+
+    return decoded.map(one)
+
+
+def parse_hex_or_dec(s: str | None) -> int | None:
+    """Hex-or-decimal integer parse, '' → None, '0x' prefix → base 16.
+    Reference: XmlStringValueConversions.cs:27-59."""
+    if s is None or s == "":
+        return None
+    t = s.strip()
+    neg = t.startswith("-")
+    if neg:
+        t = t[1:]
+    v = int(t, 16) if t[:2].lower() == "0x" else int(t, 10)
+    return -v if neg else v
+
+
+def parse_batch(url: pd.Series, html: pd.Series) -> pd.DataFrame:
+    """Pure-pandas core of the parse stage (shared with the test oracle)."""
+    doc = html.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else None)
+    doc_s = doc.astype("string")
+
+    host = url.astype("string").str.extract(_HOST, expand=False)
+    # path = after host, before ? or #
+    tail = url.astype("string").str.replace(_HOST, "", n=1, regex=True)
+    path = tail.str.split(r"[?#]", n=1, regex=True).str[0]
+    path_depth = path.str.count("/").fillna(0).astype("int32")
+    tld = host.str.rsplit(".", n=1).str[-1]
+
+    title_raw = doc_s.str.extract(_TITLE, expand=False)
+    title = title_raw.map(lambda s: None if s is None or s is pd.NA else _unescape(s))
+    charset = doc_s.str.extract(_CHARSET, expand=False)
+    event_class = doc_s.str.extract(_CLASS, expand=False)
+    ever_raw = doc_s.str.extract(_VER, expand=False)
+    ever = ever_raw.map(lambda s: parse_hex_or_dec(s) if s is not pd.NA else None)
+    ever_raw_obj = ever_raw.astype(object).where(ever_raw.notna(), None)
+    meta_lang = doc_s.str.extract(_LANG_ATTR, expand=False)
+
+    text_extracted = extract_text_series(html)
+    n_tokens = text_extracted.map(
+        lambda t: 0 if t is None else len(_TOKEN.findall(t))
+    )
+    n_bytes = html.map(lambda b: 0 if b is None else len(b))
+
+    return pd.DataFrame(
+        {
+            "host": host.astype(object).where(host.notna(), None),
+            "tld": tld.astype(object).where(tld.notna(), None),
+            "path_depth": path_depth,
+            "title": title,
+            "charset": charset.astype(object).where(charset.notna(), None),
+            "meta_lang": meta_lang.astype(object).where(meta_lang.notna(), None),
+            "event_class": event_class.astype(object).where(event_class.notna(), None),
+            "ever": pd.array(ever, dtype="Int32"),
+            "ever_raw": ever_raw_obj,
+            "text_extracted": text_extracted,
+            "n_tokens": pd.array(n_tokens, dtype="Int32"),
+            "n_bytes": pd.array(n_bytes, dtype="Int64"),
+        }
+    )
+
+
+PARSED_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("tld", StringType()),
+        StructField("path_depth", IntegerType()),
+        StructField("title", StringType()),
+        StructField("charset", StringType()),
+        StructField("meta_lang", StringType()),
+        StructField("event_class", StringType()),
+        StructField("ever", IntegerType()),
+        StructField("ever_raw", StringType()),
+        StructField("text_extracted", StringType()),
+        StructField("n_tokens", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+@F.pandas_udf(PARSED_SCHEMA)
+def _parse_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
+    return parse_batch(url, html)
+
+
+_META_ANY = re.compile(r'<meta name="([^"]*)" content="([^"]*)">|<meta content="([^"]*)">')
+
+
+def meta_map_batch(html: pd.Series) -> pd.Series:
+    """F2 analog (XmlDissector.MapData:83-108): all <meta> name→content as an
+    ordered dict; unnamed metas get positional fallback names $X01, $X02…"""
+
+    def one(b: bytes | None) -> dict | None:
+        if b is None:
+            return None
+        doc = b.decode("utf-8", errors="replace")
+        out: dict[str, str] = {}
+        anon = 0
+        for m in _META_ANY.finditer(doc):
+            if m.group(1) is not None:
+                out[m.group(1)] = m.group(2)
+            else:
+                anon += 1
+                out[f"$X{anon:02d}"] = m.group(3)
+        return out
+
+    return html.map(one)
+
+
+@F.pandas_udf(MapType(StringType(), StringType()))
+def meta_map_udf(html: pd.Series) -> pd.Series:
+    return meta_map_batch(html)
+
+
+def parse_pages(pages: DataFrame, keep_payload: bool = False) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → parsed header frame.
+
+    Emits the narrow 'EventHeader-analog' projection by default — the
+    reference's V2 header/payload split (Design-v2.md:64-69) falls out of
+    Parquet column pruning + dropping the blob after extraction. Filters on
+    (url, warc_ts, lang) stay pushable below the UDF; parsed-column filters
+    apply after. Validity filter per EventRecordSource.cs:75-78: drop rows
+    missing identity or timestamp."""
+    valid = pages.where(F.col("url").isNotNull() & F.col("warc_ts").isNotNull())
+    parsed = valid.withColumn("p", _parse_udf(F.col("url"), F.col("html")))
+    cols = [
+        "url",
+        "warc_ts",
+        "lang",
+        "p.host",
+        "p.tld",
+        "p.path_depth",
+        "p.title",
+        "p.charset",
+        "p.meta_lang",
+        "p.event_class",
+        "p.ever",
+        "p.ever_raw",
+        "p.text_extracted",
+        "p.n_tokens",
+        "p.n_bytes",
+    ]
+    if keep_payload:
+        cols = ["url", "warc_ts", "lang", "html", "text"] + cols[3:]
+    return parsed.select(*cols)

@@ -1,0 +1,232 @@
+"""Warehouse / table layer with Iceberg-style snapshot semantics.
+
+Production target is Apache Iceberg (`df.writeTo(tbl).append()`, ACID
+commit, row-level delete, rewrite_data_files) — the sandbox image ships no
+Iceberg jars, so this module provides the same contract on plain parquet:
+
+  - every commit writes data files into a NEW immutable directory, then
+    atomically swaps a JSON manifest (os.replace) listing the live
+    directories → readers see whole snapshots only (the reference's
+    transactional batch commit, EventImportJob2.cs:33-62, T4);
+  - appends carry arbitrary commit metadata (watermark, lineage, metrics —
+    the tag-file analog, EventJob.cs:125-159, T3);
+  - delete() drops/rewrites directories (S11 purge,
+    OpenDbV2.DeleteEvents:1053-1079); compact() is rewrite_data_files /
+    VACUUM (S12, OpenDbV2.cs:1086-1097);
+  - time travel: read any previous snapshot id.
+
+If a real Iceberg catalog is configured on the session
+(`spark.sql.catalog.*`), prefer it — `use_iceberg()` gates on that.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def use_iceberg(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is actually configured (import-try
+    analog — the sandbox image has no iceberg-spark-runtime jar)."""
+    try:
+        confs = spark.sparkContext.getConf().getAll()
+    except Exception:
+        return False
+    return any(k.startswith("spark.sql.catalog.") and "iceberg" in v.lower() for k, v in confs)
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    dirs: list[str]
+    meta: dict
+    parent: int | None
+
+
+class Table:
+    """One logical table = <warehouse>/<name>/ with data dirs + manifest."""
+
+    MANIFEST = "_manifest.json"
+
+    def __init__(self, root: str, name: str):
+        self.path = os.path.join(root, name)
+        self.name = name
+        os.makedirs(self.path, exist_ok=True)
+
+    # ---- manifest ----------------------------------------------------
+    def _mpath(self) -> str:
+        return os.path.join(self.path, self.MANIFEST)
+
+    def _load(self) -> dict:
+        if not os.path.exists(self._mpath()):
+            return {"current": None, "snapshots": [], "schema": None, "state": {}}
+        with open(self._mpath()) as f:
+            return json.load(f)
+
+    def _commit(self, m: dict) -> None:
+        tmp = self._mpath() + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._mpath())  # atomic snapshot swap
+
+    # ---- introspection -------------------------------------------------
+    def exists(self) -> bool:
+        return self._load()["current"] is not None
+
+    def current_snapshot(self) -> Snapshot | None:
+        m = self._load()
+        if m["current"] is None:
+            return None
+        s = next(x for x in m["snapshots"] if x["id"] == m["current"])
+        return Snapshot(s["id"], s["dirs"], s.get("meta", {}), s.get("parent"))
+
+    def snapshots(self) -> list[dict]:
+        return self._load()["snapshots"]
+
+    def state(self) -> dict:
+        """Small mutable key-value state riding the manifest (watermarks,
+        batch bookkeeping) — committed atomically with data."""
+        return self._load().get("state", {})
+
+    # ---- read ----------------------------------------------------------
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        m = self._load()
+        sid = snapshot_id if snapshot_id is not None else m["current"]
+        if sid is None:
+            if m["schema"]:
+                return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
+            raise FileNotFoundError(f"table {self.name} is empty and has no schema")
+        snap = next(x for x in m["snapshots"] if x["id"] == sid)
+        dirs = [os.path.join(self.path, d) for d in snap["dirs"]]
+        if not dirs:
+            return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
+        return spark.read.parquet(*dirs)
+
+    # ---- write ---------------------------------------------------------
+    def _write_dir(self, df: DataFrame, partition_by: list[str] | None) -> str:
+        d = f"data-{uuid.uuid4().hex[:12]}"
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(os.path.join(self.path, d))
+        return d
+
+    def append(
+        self,
+        df: DataFrame,
+        meta: dict | None = None,
+        partition_by: list[str] | None = None,
+        state_update: dict | None = None,
+    ) -> int:
+        m = self._load()
+        d = self._write_dir(df, partition_by)
+        prev = m["current"]
+        prev_dirs = (
+            next(x for x in m["snapshots"] if x["id"] == prev)["dirs"] if prev is not None else []
+        )
+        sid = (prev or 0) + 1
+        m["snapshots"].append(
+            {
+                "id": sid,
+                "parent": prev,
+                "dirs": prev_dirs + [d],
+                "meta": {**(meta or {}), "op": "append", "committed_at": time.time()},
+            }
+        )
+        m["current"] = sid
+        m["schema"] = df.schema.json() if m["schema"] is None else m["schema"]
+        if state_update:
+            m.setdefault("state", {}).update(state_update)
+        self._commit(m)
+        return sid
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        meta: dict | None = None,
+        partition_by: list[str] | None = None,
+        state_update: dict | None = None,
+    ) -> int:
+        m = self._load()
+        d = self._write_dir(df, partition_by)
+        sid = (m["current"] or 0) + 1
+        m["snapshots"].append(
+            {
+                "id": sid,
+                "parent": m["current"],
+                "dirs": [d],
+                "meta": {**(meta or {}), "op": "overwrite", "committed_at": time.time()},
+            }
+        )
+        m["current"] = sid
+        m["schema"] = df.schema.json()
+        if state_update:
+            m.setdefault("state", {}).update(state_update)
+        self._commit(m)
+        return sid
+
+    def set_state(self, **kv) -> None:
+        m = self._load()
+        m.setdefault("state", {}).update(kv)
+        self._commit(m)
+
+    def delete_where(self, spark: SparkSession, condition: str, meta: dict | None = None) -> int:
+        """S11: row-level delete = rewrite of live data minus matches
+        (Iceberg copy-on-write semantics)."""
+        cur = self.read(spark)
+        kept = cur.where(f"NOT ({condition})")
+        return self.overwrite(kept, meta={**(meta or {}), "op": "delete", "condition": condition})
+
+    def compact(self, spark: SparkSession, target_partitions: int | None = None) -> int:
+        """S12: rewrite_data_files analog — collapse all live dirs into one
+        freshly-written snapshot (also expires nothing; see expire())."""
+        cur = self.read(spark)
+        if target_partitions:
+            cur = cur.coalesce(target_partitions)
+        return self.overwrite(cur, meta={"op": "compact"})
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Iceberg expire_snapshots analog: physically remove data dirs
+        referenced only by snapshots older than the kept window."""
+        m = self._load()
+        if m["current"] is None:
+            return 0
+        keep_ids = [s["id"] for s in m["snapshots"]][-keep_last:]
+        if m["current"] not in keep_ids:
+            keep_ids.append(m["current"])
+        live: set[str] = set()
+        for s in m["snapshots"]:
+            if s["id"] in keep_ids:
+                live.update(s["dirs"])
+        removed = 0
+        for s in m["snapshots"]:
+            for d in s["dirs"]:
+                p = os.path.join(self.path, d)
+                if d not in live and os.path.exists(p):
+                    shutil.rmtree(p)
+                    removed += 1
+        m["snapshots"] = [s for s in m["snapshots"] if s["id"] in keep_ids]
+        self._commit(m)
+        return removed
+
+
+class Warehouse:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def table(self, name: str) -> Table:
+        return Table(self.root, name)
+
+    def tables(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+        )
