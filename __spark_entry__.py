@@ -1,38 +1,669 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` maps SURVEY.md §2 operator ids to Spark implementations over
+the driver test tables; `oracle_sql()` holds the DuckDB-equivalent SQL.
+Every aggregate/computed column is aliased identically on both sides.
+Non-SQL-expressible ops (minhash LSH, simhash) have no oracle entry →
+driver records rows-only checks (documented in SURVEY.md §5).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# entry: flagship mini-pipeline (parse → enrich → route → aggregate) on the
+# events log table — the engine's §3.1 lifecycle in one plan.
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    events = _t(spark, SF_SMOKE, "events")
+    # parse: grok-style field extraction from the JSON-ish props payload
+    parsed = events.withColumn(
+        "k", F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
+    )
+    # enrich: broadcast dim lookup on event_type
+    dim = spark.createDataFrame(
+        [("click", "ui"), ("view", "ui"), ("purchase", "commerce"),
+         ("signup", "account"), ("error", "ops")],
+        "event_type string, family string",
+    )
+    enriched = parsed.join(F.broadcast(dim), "event_type", "left")
+    # route: rule predicate with default-allow
+    rules = spark.createDataFrame(
+        [("error", False, "quarantine"), ("purchase", True, "money")],
+        "event_type string, enabled boolean, sink string",
+    ).withColumnRenamed("event_type", "rule_type")
+    routed = (
+        enriched.join(
+            F.broadcast(rules), enriched.event_type == rules.rule_type, "left"
+        )
+        .withColumn("allowed", F.coalesce(F.col("enabled"), F.lit(True)))
+        .withColumn("sink", F.coalesce(F.col("sink"), F.lit("default")))
+        .where(F.col("allowed"))
+    )
+    # aggregate: per sink/family/day counts
+    return (
+        routed.groupBy(
+            "sink", "family", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("sink", "family", "day")
+    )
+
+
+# --------------------------------------------------------------------------
+# operator queries — each returns (spark, sf_dir) -> DataFrame
+# --------------------------------------------------------------------------
+
+def q_p1_filter_order_limit(spark, sf):
+    """P1+O1+O2: dynamic conjunctive predicate, order, limit pushdown."""
+    return (
+        _t(spark, sf, "events")
+        .where(
+            (F.col("event_id") >= 100)
+            & (F.col("event_id") <= 5000)
+            & (F.col("ts") >= F.lit("2024-01-02").cast("timestamp_ntz"))
+            & (F.col("event_type") == "click")
+        )
+        .select("event_id", "ts", "user_id", "value")
+        .orderBy("event_id")
+        .limit(100)
+    )
+
+
+def q_s4_id_projection(spark, sf):
+    """S4: id-only scan (column pruning to one column)."""
+    return (
+        _t(spark, sf, "events")
+        .where(F.col("event_type") == "view")
+        .select("event_id")
+        .orderBy("event_id")
+    )
+
+
+def q_a1_type_counts(spark, sf):
+    """A1: GROUP BY type count, ordered."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+def q_a3_group_stats(spark, sf):
+    """A3: per-type count/min/max/sum(length(payload)) stats."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+            F.min("ts").alias("ts_min"),
+            F.max("ts").alias("ts_max"),
+            F.sum(F.length("props")).alias("total_bytes"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_a4_watermark(spark, sf):
+    """A4: scalar watermark probe."""
+    return _t(spark, sf, "events").agg(
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _rollup(spark, sf, key_col):
+    return (
+        _t(spark, sf, "events")
+        .groupBy(key_col.alias("period"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("ts_min"),
+            F.max("ts").alias("ts_max"),
+            F.sum(F.length("props")).alias("total_bytes"),
+            F.max(F.length("props")).alias("max_bytes"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("period")
+    )
+
+
+def q_a5_rollup_day(spark, sf):
+    """A5/F12: daily rollup."""
+    return _rollup(spark, sf, F.date_format("ts", "yyyy-MM-dd"))
+
+
+def q_a5_rollup_week(spark, sf):
+    """A5/F12: ISO-week rollup with ISO week-numbering year."""
+    from eventanalysis_spark.functions.scalars import iso_week_key
+
+    return _rollup(spark, sf, iso_week_key(F.col("ts")))
+
+
+def q_a5_rollup_month(spark, sf):
+    """A5/F12: monthly rollup (the archive window key, W3)."""
+    return _rollup(spark, sf, F.date_format("ts", "yyyy-MM"))
+
+
+def q_a7_last_event(spark, sf):
+    """A7/O3: most-recent probe (reverse order + limit 1)."""
+    return (
+        _t(spark, sf, "events")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(1)
+        .select("event_id", "ts", "event_type")
+    )
+
+
+def q_o5_capped_batch(spark, sf):
+    """T1/T2/O5: watermark-incremental capped batch."""
+    return (
+        _t(spark, sf, "events")
+        .where(F.col("event_id") > 500)
+        .orderBy("event_id")
+        .limit(200)
+        .select("event_id", "ts", "event_type", "value")
+    )
+
+
+def q_w2_spread_sample(spark, sf):
+    """W2: evenly-spread k-sample at indices ⌊(n−1)·i/(k−1)⌋, k=10
+    (AppSamples.fs:131-139)."""
+    k = 10
+    ev = _t(spark, sf, "events")
+    w = Window.orderBy("event_id")
+    numbered = ev.select(
+        "event_id",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    idx = spark.range(k).select(F.col("id").alias("i"))
+    return (
+        numbered.join(
+            F.broadcast(idx),
+            numbered.rn == F.floor((numbered.n - 1) * idx.i / (k - 1)),
+            "inner",
+        )
+        .select("event_id")
+        .distinct()
+        .orderBy("event_id")
+    )
+
+
+def q_u1_first_wins(spark, sf):
+    """U1 Ignore (first-wins) dedup per user: earliest (ts, event_id)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min_by(
+                F.struct("event_id", "ts", "event_type"),
+                F.struct("ts", "event_id"),
+            ).alias("v")
+        )
+        .select(
+            "user_id",
+            F.col("v.event_id").alias("first_event_id"),
+            F.col("v.ts").alias("first_ts"),
+            F.col("v.event_type").alias("first_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_p3_route_rules(spark, sf):
+    """P3: rule-table routing with default-allow + threshold filter."""
+    ev = _t(spark, sf, "events")
+    rules = spark.createDataFrame(
+        [
+            ("click", True, 0.0, "ui"),
+            ("view", True, 50.0, "ui"),
+            ("purchase", True, 0.0, "money"),
+            ("error", False, 0.0, "quarantine"),
+        ],
+        "rule_type string, enabled boolean, min_value double, sink string",
+    )
+    j = ev.join(F.broadcast(rules), ev.event_type == rules.rule_type, "left")
+    return (
+        j.withColumn(
+            "allowed",
+            F.coalesce(F.col("enabled"), F.lit(True))
+            & (F.col("value") >= F.coalesce(F.col("min_value"), F.lit(0.0))),
+        )
+        .withColumn("sink", F.coalesce(F.col("sink"), F.lit("default")))
+        .groupBy("sink")
+        .agg(
+            F.count(F.lit(1)).alias("n_observed"),
+            F.sum(F.col("allowed").cast("long")).alias("n_routed"),
+        )
+        .orderBy("sink")
+    )
+
+
+def q_j5_discovery(spark, sf):
+    """J5: new-key discovery (anti-join) + deterministic sequential ids."""
+    ev = _t(spark, sf, "events")
+    known = spark.createDataFrame(
+        [("click", 1), ("view", 2)], "event_type string, type_id int"
+    )
+    new = (
+        ev.select("event_type")
+        .distinct()
+        .join(F.broadcast(known.select("event_type")), "event_type", "left_anti")
+    )
+    w = Window.orderBy("event_type")
+    return new.select(
+        "event_type", (F.row_number().over(w) + 2).alias("type_id")
+    ).orderBy("event_type")
+
+
+def q_f1_grok_extract(spark, sf):
+    """F1/F4: vectorized field extraction from the props payload + hex-or-
+    decimal-style numeric canonicalization."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.withColumn(
+            "k", F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k") == 0, 1)).alias("n_zero"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_tpch_q1(spark, sf):
+    """A1/A3 composite on lineitem (TPC-H Q1 shape)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_j2_dim_chain(spark, sf):
+    """J2/J3: broadcast dimension-chain join + aggregate-then-join ordering."""
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+    )
+    return (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.round(F.sum("revenue"), 6).alias("revenue"),
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+def q_a6_second_level_rollup(spark, sf):
+    """A6: regroup of a grouped overview + uniqueness audit."""
+    cust = _t(spark, sf, "customer")
+    lvl1 = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    return (
+        lvl1.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("n_cust").alias("n_customers"),
+        )
+        .withColumn("ambiguous", F.col("n_segments") > F.lit(1))
+        .orderBy("c_nationkey")
+    )
+
+
+def q_o3_top1_per_group(spark, sf):
+    """O3 generalized: newest order per customer (top-1 per group)."""
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max_by(
+                F.struct("o_orderkey", "o_orderdate", "o_totalprice"),
+                F.struct("o_orderdate", "o_orderkey"),
+            ).alias("v")
+        )
+        .select(
+            "o_custkey",
+            F.col("v.o_orderkey").alias("last_orderkey"),
+            F.col("v.o_orderdate").alias("last_orderdate"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup by content hash: keep min doc_id per distinct text."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+def q_textstats(spark, sf):
+    """Text analysis: token counts + quality ratio per language."""
+    docs = _t(spark, sf, "documents")
+    toks = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    return (
+        docs.withColumn("n_tokens", toks)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.sum((F.col("n_chars") > 300).cast("long")).alias("n_long"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_ann_cosine_topk(spark, sf):
+    """Similarity search: brute-force cosine top-10 vs the vec_id=0 query
+    vector (double-precision, rounded output)."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    q = emb.where(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    dot = F.aggregate(
+        F.zip_with("e", "qe", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.zip_with(c, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(dot / (norm(F.col("e")) * norm(F.col("qe"))), 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def q_minhash_signature(spark, sf):
+    """MinHash signatures (8 permutations) over word shingles — the
+    LSH-dedup building block. No SQL oracle (rows-only check); full LSH
+    pair generation is exercised in tests/test_dedup.py."""
+    from eventanalysis_spark.operators.dedup import minhash_signatures
+
+    docs = _t(spark, sf, "documents")
+    sigs = minhash_signatures(docs, text_col="text", id_col="doc_id", num_hashes=8)
+    return sigs.select(
+        "doc_id", F.concat_ws(",", F.transform("sig", lambda x: x.cast("string"))).alias("sig_csv")
+    ).orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "p1_filter_order_limit": q_p1_filter_order_limit,
+        "s4_id_projection": q_s4_id_projection,
+        "a1_type_counts": q_a1_type_counts,
+        "a3_group_stats": q_a3_group_stats,
+        "a4_watermark": q_a4_watermark,
+        "a5_rollup_day": q_a5_rollup_day,
+        "a5_rollup_week": q_a5_rollup_week,
+        "a5_rollup_month": q_a5_rollup_month,
+        "a7_last_event": q_a7_last_event,
+        "o5_capped_batch": q_o5_capped_batch,
+        "w2_spread_sample": q_w2_spread_sample,
+        "u1_first_wins": q_u1_first_wins,
+        "p3_route_rules": q_p3_route_rules,
+        "j5_discovery": q_j5_discovery,
+        "f1_grok_extract": q_f1_grok_extract,
+        "tpch_q1": q_tpch_q1,
+        "j2_dim_chain": q_j2_dim_chain,
+        "a6_second_level_rollup": q_a6_second_level_rollup,
+        "o3_top1_per_group": q_o3_top1_per_group,
+        "dedup_exact": q_dedup_exact,
+        "textstats": q_textstats,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "minhash_signature": q_minhash_signature,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "p1_filter_order_limit": """
+            SELECT event_id, ts, user_id, value FROM events
+            WHERE event_id BETWEEN 100 AND 5000
+              AND ts >= TIMESTAMP '2024-01-02'
+              AND event_type = 'click'
+            ORDER BY event_id LIMIT 100
+        """,
+        "s4_id_projection": """
+            SELECT event_id FROM events WHERE event_type = 'view' ORDER BY event_id
+        """,
+        "a1_type_counts": """
+            SELECT event_type, COUNT(*) AS n FROM events
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "a3_group_stats": """
+            SELECT event_type, COUNT(*) AS n,
+                   MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+                   MIN(ts) AS ts_min, MAX(ts) AS ts_max,
+                   CAST(SUM(LENGTH(props)) AS BIGINT) AS total_bytes,
+                   ROUND(AVG(value), 6) AS avg_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "a4_watermark": """
+            SELECT MIN(event_id) AS min_id, MAX(event_id) AS max_id, COUNT(*) AS n
+            FROM events
+        """,
+        "a5_rollup_day": """
+            SELECT strftime(ts, '%Y-%m-%d') AS period, COUNT(*) AS n,
+                   MIN(ts) AS ts_min, MAX(ts) AS ts_max,
+                   CAST(SUM(LENGTH(props)) AS BIGINT) AS total_bytes, MAX(LENGTH(props)) AS max_bytes,
+                   ROUND(AVG(value), 6) AS avg_value
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "a5_rollup_week": """
+            SELECT strftime(ts, '%G-W%V') AS period, COUNT(*) AS n,
+                   MIN(ts) AS ts_min, MAX(ts) AS ts_max,
+                   CAST(SUM(LENGTH(props)) AS BIGINT) AS total_bytes, MAX(LENGTH(props)) AS max_bytes,
+                   ROUND(AVG(value), 6) AS avg_value
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "a5_rollup_month": """
+            SELECT strftime(ts, '%Y-%m') AS period, COUNT(*) AS n,
+                   MIN(ts) AS ts_min, MAX(ts) AS ts_max,
+                   CAST(SUM(LENGTH(props)) AS BIGINT) AS total_bytes, MAX(LENGTH(props)) AS max_bytes,
+                   ROUND(AVG(value), 6) AS avg_value
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "a7_last_event": """
+            SELECT event_id, ts, event_type FROM events
+            ORDER BY ts DESC, event_id DESC LIMIT 1
+        """,
+        "o5_capped_batch": """
+            SELECT event_id, ts, event_type, value FROM events
+            WHERE event_id > 500 ORDER BY event_id LIMIT 200
+        """,
+        "w2_spread_sample": """
+            WITH o AS (
+              SELECT event_id,
+                     ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS rn,
+                     COUNT(*) OVER () AS n
+              FROM events
+            )
+            SELECT DISTINCT o.event_id
+            FROM o JOIN range(10) r ON o.rn = CAST(FLOOR((o.n - 1) * r.range / 9.0) AS BIGINT)
+            ORDER BY o.event_id
+        """,
+        "u1_first_wins": """
+            WITH ranked AS (
+              SELECT user_id, event_id, ts, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+              FROM events
+            )
+            SELECT user_id, event_id AS first_event_id, ts AS first_ts,
+                   event_type AS first_type
+            FROM ranked WHERE rk = 1 ORDER BY user_id
+        """,
+        "p3_route_rules": """
+            WITH rules2 AS (
+              SELECT 'click' AS rule_type, TRUE AS enabled, 0.0 AS min_value, 'ui' AS sink
+              UNION ALL SELECT 'view', TRUE, 50.0, 'ui'
+              UNION ALL SELECT 'purchase', TRUE, 0.0, 'money'
+              UNION ALL SELECT 'error', FALSE, 0.0, 'quarantine'
+            )
+            SELECT COALESCE(r.sink, 'default') AS sink,
+                   COUNT(*) AS n_observed,
+                   CAST(SUM(CASE WHEN COALESCE(r.enabled, TRUE)
+                             AND e.value >= COALESCE(r.min_value, 0.0)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_routed
+            FROM events e LEFT JOIN rules2 r ON e.event_type = r.rule_type
+            GROUP BY 1 ORDER BY 1
+        """,
+        "j5_discovery": """
+            WITH known(event_type) AS (VALUES ('click'), ('view')),
+            new_keys AS (
+              SELECT DISTINCT event_type FROM events
+              WHERE event_type NOT IN (SELECT event_type FROM known)
+            )
+            SELECT event_type,
+                   CAST(ROW_NUMBER() OVER (ORDER BY event_type) + 2 AS INT) AS type_id
+            FROM new_keys ORDER BY event_type
+        """,
+        "f1_grok_extract": """
+            SELECT event_type,
+                   CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+                   MAX(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS max_k,
+                   COUNT(CASE WHEN CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) = 0
+                              THEN 1 END) AS n_zero
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 6) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "j2_dim_chain": """
+            WITH per_cust AS (
+              SELECT o_custkey, COUNT(*) AS n_orders,
+                     ROUND(SUM(o_totalprice), 6) AS revenue
+              FROM orders GROUP BY o_custkey
+            )
+            SELECT r.r_name AS region_name, n.n_name AS nation_name,
+                   CAST(SUM(p.n_orders) AS BIGINT) AS n_orders, ROUND(SUM(p.revenue), 6) AS revenue
+            FROM per_cust p
+            JOIN customer c ON p.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "a6_second_level_rollup": """
+            WITH lvl1 AS (
+              SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_cust
+              FROM customer GROUP BY 1, 2
+            )
+            SELECT c_nationkey, COUNT(*) AS n_segments, CAST(SUM(n_cust) AS BIGINT) AS n_customers,
+                   COUNT(*) > 1 AS ambiguous
+            FROM lvl1 GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        "o3_top1_per_group": """
+            WITH ranked AS (
+              SELECT o_custkey, o_orderkey, o_orderdate,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+                     ) AS rk
+              FROM orders
+            )
+            SELECT o_custkey, o_orderkey AS last_orderkey, o_orderdate AS last_orderdate
+            FROM ranked WHERE rk = 1 ORDER BY o_custkey
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(text) ORDER BY keep_doc_id
+        """,
+        "textstats": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                            ELSE LENGTH(regexp_split_to_array(TRIM(text), '\\s+')) END
+                   )::BIGINT AS total_tokens,
+                   ROUND(AVG(n_chars), 6) AS avg_chars,
+                   CAST(SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+              SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+            )
+            SELECT e.vec_id,
+                   ROUND(
+                     list_dot_product(e.embedding::DOUBLE[], q.qe)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.qe, q.qe))), 4
+                   ) AS cos_sim
+            FROM embeddings e, q
+            WHERE e.vec_id != 0
+            ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
+        """,
+    }

