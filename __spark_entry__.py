@@ -440,6 +440,53 @@ def q_ann_cosine_topk(spark, sf):
     )
 
 
+def q_quality_textmetrics(spark, sf):
+    """Text-quality features (length / punctuation / token ratios) — the
+    quality-scoring building blocks, checked exactly against SQL."""
+    docs = _t(spark, sf, "documents")
+    t = F.col("text")
+    toks = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    )
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[\.,;:!\?]", ""))
+    return (
+        docs.select(
+            "doc_id",
+            F.length(t).cast("long").alias("len_chars"),
+            toks.cast("long").alias("n_tokens"),
+            F.round(
+                F.when(toks > 0, F.length(t).cast("double") / toks).otherwise(0.0), 6
+            ).alias("avg_token_len"),
+            F.round(
+                F.when(F.length(t) > 0, n_punct.cast("double") / F.length(t)).otherwise(0.0),
+                6,
+            ).alias("punct_ratio"),
+        )
+        .where(F.col("doc_id") < 200)
+        .orderBy("doc_id")
+    )
+
+
+def q_fingerprints(spark, sf):
+    """Document fingerprinting: rolling polynomial hash + SimHash64 per
+    doc — deterministic, order/partitioning independent. Not expressible
+    in portable SQL (rows-only driver check); invariance is covered by
+    tests/test_textstats.py and test_dedup_similarity.py."""
+    from eventanalysis_spark.operators.dedup import simhash64
+    from eventanalysis_spark.operators.textstats import fingerprint
+
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            fingerprint(F.col("text")).alias("fp"),
+            simhash64(F.col("text")).alias("simhash"),
+        )
+        .where(F.col("doc_id") < 100)
+        .orderBy("doc_id")
+    )
+
+
 def q_minhash_signature(spark, sf):
     """MinHash signatures (8 permutations) over word shingles — the
     LSH-dedup building block. No SQL oracle (rows-only check); full LSH
@@ -476,6 +523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_top1_per_group": q_o3_top1_per_group,
         "dedup_exact": q_dedup_exact,
         "textstats": q_textstats,
+        "quality_textmetrics": q_quality_textmetrics,
+        "fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
         "minhash_signature": q_minhash_signature,
     }
@@ -651,6 +700,24 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(n_chars), 6) AS avg_chars,
                    CAST(SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "quality_textmetrics": """
+            SELECT doc_id,
+                   LENGTH(text) AS len_chars,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE LENGTH(regexp_split_to_array(TRIM(text), '\\s+')) END
+                     AS n_tokens,
+                   ROUND(CASE WHEN (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                              ELSE LENGTH(regexp_split_to_array(TRIM(text), '\\s+')) END) > 0
+                         THEN CAST(LENGTH(text) AS DOUBLE)
+                              / (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                                 ELSE LENGTH(regexp_split_to_array(TRIM(text), '\\s+')) END)
+                         ELSE 0.0 END, 6) AS avg_token_len,
+                   ROUND(CASE WHEN LENGTH(text) > 0
+                         THEN CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                              / LENGTH(text)
+                         ELSE 0.0 END, 6) AS punct_ratio
+            FROM documents WHERE doc_id < 200 ORDER BY doc_id
         """,
         "ann_cosine_topk": """
             WITH q AS (

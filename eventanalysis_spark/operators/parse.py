@@ -110,7 +110,10 @@ def parse_batch(url: pd.Series, html: pd.Series) -> pd.DataFrame:
     ever_raw_obj = ever_raw.astype(object).where(ever_raw.notna(), None)
     meta_lang = doc_s.str.extract(_LANG_ATTR, expand=False)
 
-    text_extracted = extract_text_series(html)
+    # reuse the already-decoded doc strings (avoid a second utf-8 pass)
+    text_extracted = doc.map(
+        lambda d: None if d is None else "\n".join(_unescape(p) for p in _P_TAG.findall(d))
+    )
     n_tokens = text_extracted.map(
         lambda t: 0 if t is None else len(_TOKEN.findall(t))
     )

@@ -18,9 +18,11 @@ reference's ingest lifecycle (SURVEY.md §3.1):
   -cap 20000 / -repeat loop               bounded batches / run_until_exhausted
 
 Scale design (100 TB / 1000 executors):
-  - one wide pass over the batch: parse runs once, payload is dropped
-    immediately after extraction (V2 header/payload split via column
-    pruning), the routed projection is cached for the N sink writes;
+  - ONE wide pass over the batch: parse runs once and streams directly
+    into a single partitionBy(sink) columnar write (dropped rows →
+    quarantine partition); every downstream stat re-reads the narrow
+    columns of that staged data instead of re-running the UDF or caching
+    the wide frame;
   - all joins in the batch are broadcast (dims and rules are KBs—MBs);
     the fact side never shuffles for enrichment;
   - the batch is repartitioned by xxhash64(url) — uniform by construction
@@ -41,21 +43,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eventanalysis_spark import datagen
-from eventanalysis_spark.metrics import StageTimer, partition_stats, write_metrics_sidecar
-from eventanalysis_spark.operators.aggregate import sink_aggregates
+from eventanalysis_spark.functions.scalars import period_key
+from eventanalysis_spark.metrics import StageTimer, write_metrics_sidecar
 from eventanalysis_spark.operators.enrich import discover_and_grow, enrich_pages
 from eventanalysis_spark.operators.parse import parse_pages
-from eventanalysis_spark.operators.route import apply_rules, observation_counts, routed_only
-from eventanalysis_spark.operators.skew import hot_keys, salted_repartition
+from eventanalysis_spark.operators.route import apply_rules
 from eventanalysis_spark.sources.catalog import Warehouse
-from eventanalysis_spark.sources.incremental import (
-    Watermark,
-    advance,
-    batch_bounds,
-    next_batch,
-)
+from eventanalysis_spark.sources.incremental import Watermark, advance, next_batch
 
 SINK_PREFIX = "sink_"
+QUARANTINE = "__quarantine"
+QUARANTINE_TABLE = "quarantine"
 
 
 @dataclass
@@ -68,6 +66,11 @@ class PipelineConfig:
     salt_threshold: float = 0.05
     salt_n: int = 16
     detect_hot_hosts: bool = True
+    compute_text_features: bool = True  # quality/lang-id/fingerprint per doc
+    discovery: str = "post"  # "post": new dim keys from the staged batch
+    # aggregate (no extra source scan; ids attach from the NEXT batch on) |
+    # "pre": strict reference ordering (ProviderInfoCache semantics — ids
+    # visible to the same batch's facts) at the cost of one extra scan
     repartition: int | None = None  # xxhash64(url) partitions; None = leave as scanned
 
 
@@ -108,6 +111,48 @@ class Pipeline:
             self.lang_tbl.overwrite(lang_info or datagen.lang_info_df(spark))
         if not self.rules_tbl.exists():
             self.rules_tbl.overwrite(rules or datagen.route_rules_df(spark))
+        # driver-side dim caches (the reference's ProviderInfoCache/J4 shape):
+        # dims are tiny; keeping them on the driver avoids re-reading parquet
+        # every batch and makes the enrich joins broadcast-from-local
+        self._host_rows = [r.asDict() for r in self.host_tbl.read(spark).collect()]
+        self._lang_rows = [r.asDict() for r in self.lang_tbl.read(spark).collect()]
+        self._rules_df = self.rules_tbl.read(spark)
+
+    def _host_df(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(r["host_id"], r["host"], r["registrar"]) for r in self._host_rows],
+            "host_id int, host string, registrar string",
+        )
+
+    def _lang_df(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(r["lang"], r["lang_name"]) for r in self._lang_rows],
+            "lang string, lang_name string",
+        )
+
+    def _grow_dims(self, seen_hosts: set, seen_langs: set, batch_id: str) -> tuple[int, int]:
+        """Deterministic sequential id assignment for newly observed keys
+        (driver-side over the tiny new-key set; the reference does exactly
+        this on its single thread, ProviderInfoCache.cs:92-136). The dim
+        caches here assume ≤~10^6 keys; beyond that switch to the
+        table-based anti-join path (operators/enrich.discover_and_grow)."""
+        n_h = n_l = 0
+        new_hosts = sorted(seen_hosts - {r["host"] for r in self._host_rows})
+        if new_hosts and self.host_tbl.state().get("last_batch") != batch_id:
+            next_id = max((r["host_id"] for r in self._host_rows), default=0) + 1
+            for i, h in enumerate(new_hosts):
+                self._host_rows.append({"host_id": next_id + i, "host": h, "registrar": None})
+            n_h = len(new_hosts)
+            self.host_tbl.overwrite(self._host_df(), meta={"batch": batch_id},
+                                    state_update={"last_batch": batch_id})
+        new_langs = sorted(seen_langs - {r["lang"] for r in self._lang_rows})
+        if new_langs and self.lang_tbl.state().get("last_batch") != batch_id:
+            for lg in new_langs:
+                self._lang_rows.append({"lang": lg, "lang_name": None})
+            n_l = len(new_langs)
+            self.lang_tbl.overwrite(self._lang_df(), meta={"batch": batch_id},
+                                    state_update={"last_batch": batch_id})
+        return n_h, n_l
 
     # ---- state ---------------------------------------------------------
     def watermark(self) -> Watermark:
@@ -120,7 +165,16 @@ class Pipeline:
     # ---- one batch -------------------------------------------------------
     def run_batch(self, source: DataFrame) -> BatchResult | None:
         """Process one capped batch above the watermark. Returns None when
-        the source is exhausted (the reference's increment==0 signal)."""
+        the source is exhausted (the reference's increment==0 signal).
+
+        Single-wide-pass design: the expensive parse UDF runs EXACTLY ONCE,
+        streamed straight into one partitionBy(sink) parquet write (dropped
+        rows land in a quarantine partition). Every downstream number —
+        counts, watermark bounds, observation stats, per-sink aggregates,
+        per-partition lineage — is computed from the written columnar
+        staging data (narrow column scans, no UDF re-run, no wide cache)."""
+        import os as _os
+
         timer = StageTimer()
         wm = self.watermark()
         batch_id = self._next_batch_id()
@@ -134,90 +188,153 @@ class Pipeline:
         if self.cfg.repartition:
             batch = batch.repartition(self.cfg.repartition, F.xxhash64("url"))
 
-        # -- parse (single Arrow pass; payload dropped after extraction)
-        parsed = parse_pages(batch).persist()
-        n_input = parsed.count()
-        timer.lap("parse")
-        if n_input == 0:
-            parsed.unpersist()
-            return None
-        bounds = batch_bounds(parsed)
-
-        # -- dimension discovery, committed BEFORE facts (T4 ordering)
-        host_dim = self.host_tbl.read(self.spark)
-        new_hosts, host_dim2 = discover_and_grow(
-            parsed, host_dim, ["host"], id_col="host_id", mode=self.cfg.id_mode
-        )
-        n_new_hosts = new_hosts.count()
-        if n_new_hosts and self.host_tbl.state().get("last_batch") != batch_id:
-            self.host_tbl.overwrite(host_dim2, meta={"batch": batch_id},
-                                    state_update={"last_batch": batch_id})
-        lang_dim = self.lang_tbl.read(self.spark)
-        new_langs, lang_dim2 = discover_and_grow(parsed, lang_dim, ["lang"])
-        n_new_langs = new_langs.count()
-        if n_new_langs and self.lang_tbl.state().get("last_batch") != batch_id:
-            self.lang_tbl.overwrite(lang_dim2, meta={"batch": batch_id},
-                                    state_update={"last_batch": batch_id})
+        # -- dimension discovery (J5). "pre" mode runs an extra pure-JVM
+        # distinct scan BEFORE facts so same-batch facts carry new ids
+        # (strict ProviderInfoCache.cs:126 ordering); "post" mode (default)
+        # discovers from the batch aggregate after the wide pass — zero
+        # extra source scans, ids attach from the next batch on.
+        n_new_hosts = n_new_langs = 0
+        if self.cfg.discovery == "pre":
+            host_expr = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host")
+            pairs = batch.select(host_expr, "lang").distinct().collect()
+            n_new_hosts, n_new_langs = self._grow_dims(
+                {p["host"] for p in pairs if p["host"]},
+                {p["lang"] for p in pairs if p["lang"]},
+                batch_id,
+            )
         timer.lap("discover_dims")
 
-        # -- enrich + route (broadcast joins only — no fact shuffle)
-        enriched = enrich_pages(parsed, self.host_tbl.read(self.spark),
-                                self.lang_tbl.read(self.spark))
-        with_rules = apply_rules(enriched, self.rules_tbl.read(self.spark),
-                                 self.cfg.default_sink)
-        routed = routed_only(with_rules).persist()
-
-        # -- observation stats (includes dropped rows — P3 semantics)
-        obs = observation_counts(with_rules).withColumn("batch_id", F.lit(batch_id))
-        obs_tbl = self.wh.table("observations")
-        if obs_tbl.state().get("last_batch") != batch_id:
-            obs_tbl.append(obs, meta={"batch": batch_id},
-                           state_update={"last_batch": batch_id})
-        timer.lap("enrich_route")
-
-        # -- fan-out to sinks (idempotent per batch)
-        sink_counts: dict[str, int] = {}
-        hot = (
-            hot_keys(routed, "host", self.cfg.salt_threshold)
-            if self.cfg.detect_hot_hosts
-            else []
-        )
-        sinks = sorted(
-            r["sink"] for r in routed.select("sink").distinct().collect()
-        )
-        for s in sinks:
-            part = routed.where(F.col("sink") == s).drop("sink")
-            tbl = self.wh.table(f"{SINK_PREFIX}{s}")
-            if tbl.state().get("last_batch") == batch_id:
-                sink_counts[s] = tbl.state().get("last_batch_rows", 0)
-                continue  # resume: this sink already committed this batch
-            if hot:
-                part = salted_repartition(part, "host", hot, self.cfg.salt_n)
-            lineage = partition_stats(part)
-            n = sum(p["rows"] for p in lineage)
-            tbl.append(
-                part,
-                meta={
-                    "batch": batch_id,
-                    "rows": n,
-                    "watermark_from": wm.to_state(),
-                    "lineage": lineage,
-                },
-                state_update={"last_batch": batch_id, "last_batch_rows": n},
+        # -- THE wide pass: parse → [text features] → enrich → route →
+        # partitioned write
+        parsed = parse_pages(batch)
+        if self.cfg.compute_text_features:
+            from eventanalysis_spark.operators.textstats import (
+                add_fingerprint,
+                detect_language,
+                quality_features,
             )
-            sink_counts[s] = n
+
+            parsed = add_fingerprint(
+                detect_language(
+                    quality_features(parsed, "text_extracted"), "text_extracted"
+                ),
+                "text_extracted",
+            )
+        enriched = enrich_pages(parsed, self._host_df(), self._lang_df())
+        with_rules = apply_rules(enriched, self._rules_df, self.cfg.default_sink)
+        staged = with_rules.withColumn(
+            "sink", F.when(F.col("allowed"), F.col("sink")).otherwise(F.lit(QUARANTINE))
+        ).withColumn("part_id", F.spark_partition_id())
+        stage_dir = _os.path.join(self.wh.root, "_staging", batch_id)
+        if not _os.path.exists(_os.path.join(stage_dir, "_SUCCESS")):
+            staged.drop("allowed").write.mode("overwrite").partitionBy("sink").parquet(stage_dir)
+        timer.lap("parse_route_write")
+
+        # exhausted source → the partitioned write produced no sink dirs
+        if not any(
+            d.startswith("sink=") for d in _os.listdir(stage_dir)
+        ):
+            import shutil as _shutil
+
+            _shutil.rmtree(stage_dir, ignore_errors=True)
+            return None
+
+        # -- all stats from the staged columnar data (cheap pruned scans):
+        # ONE aggregate keyed (sink, input-partition) yields lineage, sink
+        # row counts, and the watermark bound together
+        stg = self.spark.read.parquet(stage_dir)
+        lineage_rows = (
+            stg.groupBy("sink", "part_id")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.min("warc_ts").cast("string").alias("ts_min"),
+                F.max("warc_ts").cast("string").alias("ts_max"),
+                F.sum("n_bytes").alias("bytes"),
+                F.max(F.struct(F.col("warc_ts"), F.col("url"))).alias("mx"),
+            )
+            .collect()
+        )
+        n_input = sum(r["rows"] for r in lineage_rows)
+        if n_input == 0:
+            return None
+        mx = max((r["mx"] for r in lineage_rows), key=lambda s: (s["warc_ts"], s["url"]))
+        bounds = (mx["warc_ts"], mx["url"])
+        lineage: dict[str, list] = {}
+        sink_rows: dict[str, int] = {}
+        for r in lineage_rows:
+            lineage.setdefault(r["sink"], []).append(
+                {"partition": r["part_id"], "rows": r["rows"],
+                 "ts_min": r["ts_min"], "ts_max": r["ts_max"], "bytes": r["bytes"]}
+            )
+            sink_rows[r["sink"]] = sink_rows.get(r["sink"], 0) + r["rows"]
+
+        timer.lap("observe")
+
+        # -- adopt staged partitions into the sink tables (in place, no move)
+        sink_counts: dict[str, int] = {}
+        for s in sorted(sink_rows):
+            n_rows = sink_rows[s]
+            src_dir = _os.path.join(stage_dir, f"sink={s}")
+            name = QUARANTINE_TABLE if s == QUARANTINE else f"{SINK_PREFIX}{s}"
+            tbl = self.wh.table(name)
+            if tbl.state().get("last_batch") == batch_id:
+                if s != QUARANTINE:
+                    sink_counts[s] = tbl.state().get("last_batch_rows", 0)
+                continue  # resume: this sink already committed this batch
+            if _os.path.exists(src_dir):
+                tbl.register_dir(
+                    src_dir,
+                    meta={
+                        "batch": batch_id,
+                        "rows": n_rows,
+                        "watermark_from": wm.to_state(),
+                        "lineage": lineage.get(s, []),
+                    },
+                    state_update={"last_batch": batch_id, "last_batch_rows": n_rows},
+                )
+            if s != QUARANTINE:
+                sink_counts[s] = n_rows
         n_routed = sum(sink_counts.values())
         timer.lap("fan_out")
 
-        # -- per-sink north-rule aggregate for this batch (additive counts)
-        agg = sink_aggregates(
-            routed.select("sink", "host", "lang", "event_class", "warc_ts"),
-            self.cfg.period,
-        ).withColumn("batch_id", F.lit(batch_id))
+        # -- per-sink north-rule aggregate (additive counts), INCLUDING the
+        # quarantine partition so observation stats and post-discovery both
+        # derive from this one small frame (the only other staged scan)
+        agg = (
+            stg.groupBy(
+                "sink", "host", "lang", "event_class",
+                period_key(F.col("warc_ts"), self.cfg.period).alias("bucket"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .persist()
+        )
         agg_tbl = self.wh.table("sink_agg")
         if agg_tbl.state().get("last_batch") != batch_id:
             agg_tbl.append(agg, meta={"batch": batch_id},
                            state_update={"last_batch": batch_id})
+
+        # observation stats re-aggregated from the cached agg ("observe even
+        # ignored events" — quarantine rows included, EventImportJob.cs:93-94)
+        obs = agg.groupBy("event_class").agg(
+            F.sum("n").alias("n_observed"),
+            F.sum(F.when(F.col("sink") != QUARANTINE, F.col("n")).otherwise(0)).alias("n_routed"),
+            F.sum(F.when(F.col("sink") == QUARANTINE, F.col("n")).otherwise(0)).alias("n_dropped"),
+        ).withColumn("batch_id", F.lit(batch_id))
+        obs_tbl = self.wh.table("observations")
+        if obs_tbl.state().get("last_batch") != batch_id:
+            obs_tbl.append(obs, meta={"batch": batch_id},
+                           state_update={"last_batch": batch_id})
+
+        # post-mode dimension discovery from the agg's tiny key space
+        if self.cfg.discovery == "post":
+            keys = agg.select("host", "lang").distinct().collect()
+            n_new_hosts, n_new_langs = self._grow_dims(
+                {k["host"] for k in keys if k["host"]},
+                {k["lang"] for k in keys if k["lang"]},
+                batch_id,
+            )
+        agg.unpersist()
         timer.lap("aggregate")
 
         # -- advance watermark (the overall batch commit point)
@@ -251,12 +368,10 @@ class Pipeline:
                 "docs_per_sec": result.docs_per_sec,
                 "stage_seconds": result.stages,
                 "watermark": result.watermark,
-                "hot_hosts": hot,
+                "stage_dir": stage_dir,
                 "committed_at": time.time(),
             },
         )
-        parsed.unpersist()
-        routed.unpersist()
         return result
 
     def run_until_exhausted(self, source: DataFrame, max_batches: int = 1000) -> list[BatchResult]:
@@ -274,8 +389,11 @@ class Pipeline:
         return self.wh.table(f"{SINK_PREFIX}{sink}").read(self.spark)
 
     def total_sink_aggregates(self) -> DataFrame:
-        """Collapse per-batch additive aggregates to current totals."""
-        agg = self.wh.table("sink_agg").read(self.spark)
+        """Collapse per-batch additive aggregates to current totals
+        (quarantined/dropped rows excluded — they are observation-only)."""
+        agg = self.wh.table("sink_agg").read(self.spark).where(
+            F.col("sink") != QUARANTINE
+        )
         return (
             agg.groupBy("sink", "host", "lang", "event_class", "bucket")
             .agg(F.sum("n").alias("n"))

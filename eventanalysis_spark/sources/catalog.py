@@ -172,6 +172,45 @@ class Table:
         self._commit(m)
         return sid
 
+    def register_dir(
+        self,
+        src_dir: str,
+        meta: dict | None = None,
+        state_update: dict | None = None,
+    ) -> int:
+        """Adopt an already-written parquet directory as an append snapshot
+        WITHOUT moving it (Iceberg model: data files written in place, the
+        manifest commit makes them live). Absolute paths are stored as-is —
+        os.path.join in read() passes absolute dirs through — so a crash
+        between fan-out commits leaves the staging data intact and the
+        re-run fully idempotent."""
+        m = self._load()
+        d = os.path.abspath(src_dir)
+        prev = m["current"]
+        prev_dirs = (
+            next(x for x in m["snapshots"] if x["id"] == prev)["dirs"] if prev is not None else []
+        )
+        sid = (prev or 0) + 1
+        m["snapshots"].append(
+            {
+                "id": sid,
+                "parent": prev,
+                "dirs": prev_dirs + [d],
+                "meta": {**(meta or {}), "op": "append", "committed_at": time.time()},
+            }
+        )
+        m["current"] = sid
+        if state_update:
+            m.setdefault("state", {}).update(state_update)
+        self._commit(m)
+        return sid
+
+    def set_schema_from(self, df: DataFrame) -> None:
+        m = self._load()
+        if m["schema"] is None:
+            m["schema"] = df.schema.json()
+            self._commit(m)
+
     def set_state(self, **kv) -> None:
         m = self._load()
         m.setdefault("state", {}).update(kv)

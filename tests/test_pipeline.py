@@ -99,7 +99,9 @@ def test_lineage_and_metrics_sidecars(spark, pages, wh):
     assert len(files) == 1
     payload = json.load(open(os.path.join(mdir, files[0])))
     assert payload["docs_per_sec"] > 0
-    assert set(payload["stage_seconds"]) >= {"parse", "enrich_route", "fan_out"}
+    assert set(payload["stage_seconds"]) >= {
+        "discover_dims", "parse_route_write", "observe", "fan_out", "aggregate"
+    }
 
 
 def test_dims_grow_once_and_persist(spark, pages, wh):
