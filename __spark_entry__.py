@@ -500,6 +500,28 @@ def q_minhash_signature(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_multimodal_image_features(spark, sf):
+    """Multimodal plumbing: synthetic media table (deterministic, no
+    external data) → Arrow-batched image feature extraction (decode layer
+    stubbed per mission spec; shapes/partitioning real). Rows-only check —
+    determinism across partitionings is covered by tests/test_multimodal.py."""
+    from eventanalysis_spark.operators.multimodal import image_features, media_df
+
+    media = media_df(spark, 600, partitions=8)
+    feats = image_features(media)
+    return (
+        feats.select(
+            "media_id",
+            "width",
+            "height",
+            "oversize",
+            F.round(F.element_at("mean_rgb", 1), 4).alias("mean_r"),
+            F.round(F.element_at("feature", 1), 4).alias("f0"),
+        )
+        .orderBy("media_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -527,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
         "minhash_signature": q_minhash_signature,
+        "multimodal_image_features": q_multimodal_image_features,
     }
 
 

@@ -1,0 +1,313 @@
+"""Multimodal columns: image/audio/video as opaque `binary` columns with
+typed metadata, processed by Arrow-batched pandas UDFs over mapInPandas.
+
+The Spark-side plumbing — schemas, partitioning, UDF signatures, batch
+shapes, size accounting — is real and tested. The codec step itself
+(JPEG decode, audio resample, video frame extraction) is STUBBED: the
+sandbox image ships no imaging/audio libraries, so each `_decode_*_real`
+raises NotImplementedError and the pipeline runs a clearly-marked
+deterministic fake that derives the same-shaped outputs from the bytes.
+Swapping in Pillow/torchaudio/PyAV is a one-function change per modality;
+nothing in the distributed plan changes.
+
+Design notes for 100 TB:
+  - media bytes ride a dedicated `content` column; metadata is a typed
+    struct column → metadata-only queries never touch the blob (the V2
+    header/payload split again, via Parquet column pruning);
+  - processing is mapInPandas with an ITERATOR of batches so a task never
+    materializes more than `spark.sql.execution.arrow.maxRecordsPerBatch`
+    blobs at once;
+  - feature outputs (fixed-size float vectors) are ~10^3 smaller than
+    inputs — emit them and drop the blob as early as the job allows;
+  - oversized payloads route to a quarantine-style overflow bucket rather
+    than killing the task (tlob 999,999-byte cap analog, TlobWriter.cs:88-93).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct as _struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("modality", StringType(), False),  # image|audio|video
+        StructField("mime", StringType(), True),
+        StructField("content", BinaryType(), True),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("width", IntegerType(), True),
+                    StructField("height", IntegerType(), True),
+                    StructField("duration_ms", LongType(), True),
+                    StructField("sample_rate", IntegerType(), True),
+                    StructField("n_bytes", LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+MAX_MEDIA_BYTES = 999_999  # reference tlob record cap (TlobWriter.cs:88-93)
+
+
+# ---- codec layer: real implementations are stubs ---------------------------
+
+def _decode_image_real(content: bytes) -> np.ndarray:
+    """Real JPEG/PNG decode → HxWx3 uint8. Requires Pillow (not in this
+    image)."""
+    raise NotImplementedError(
+        "image decode requires Pillow; sandbox runs the deterministic fake"
+    )
+
+
+def _decode_audio_real(content: bytes) -> np.ndarray:
+    raise NotImplementedError(
+        "audio decode requires soundfile/torchaudio; sandbox runs the fake"
+    )
+
+
+def _decode_video_frames_real(content: bytes, n_frames: int) -> np.ndarray:
+    raise NotImplementedError(
+        "video decode requires PyAV/ffmpeg; sandbox runs the fake"
+    )
+
+
+def _fake_pixels(content: bytes, h: int, w: int) -> np.ndarray:
+    """DETERMINISTIC FAKE decode: pseudo-pixels derived from a sha256
+    keystream of the bytes — stable across partitionings and runs, same
+    output shape as a real decode."""
+    seed = hashlib.sha256(content or b"").digest()
+    n = h * w * 3
+    reps = (n // 32) + 1
+    buf = b"".join(
+        hashlib.sha256(seed + _struct.pack("<I", i)).digest() for i in range(reps)
+    )
+    return np.frombuffer(buf[:n], dtype=np.uint8).reshape(h, w, 3)
+
+
+def _fake_samples(content: bytes, n: int) -> np.ndarray:
+    pix = _fake_pixels(content, 1, (n + 2) // 3).reshape(-1)[:n]
+    return (pix.astype(np.float32) - 127.5) / 127.5
+
+
+# ---- operators --------------------------------------------------------------
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_rgb", ArrayType(FloatType())),
+        StructField("feature", ArrayType(FloatType())),  # 64-dim embedding
+        StructField("oversize", IntegerType()),
+    ]
+)
+
+
+def image_features(media: DataFrame, thumb: int = 8) -> DataFrame:
+    """Decode (fake) → thumb-pool → 64-dim feature + channel means.
+    mapInPandas over (media_id, content, meta) only — Parquet never reads
+    other columns (explicit prune before the UDF)."""
+
+    def op(batches):
+        for pdf in batches:
+            ids, ws, hs, means, feats, oversize = [], [], [], [], [], []
+            for mid, content, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"]
+            ):
+                n_bytes = len(content) if content is not None else 0
+                if n_bytes > MAX_MEDIA_BYTES:
+                    ids.append(mid); ws.append(None); hs.append(None)
+                    means.append(None); feats.append(None); oversize.append(1)
+                    continue
+                w = int(meta["width"] or 16) if meta is not None else 16
+                h = int(meta["height"] or 16) if meta is not None else 16
+                try:
+                    px = _decode_image_real(content)
+                except NotImplementedError:
+                    px = _fake_pixels(content, h, w)
+                # thumb-pool: average over a thumb x thumb grid → feature
+                th = px[: (h // thumb) * thumb, : (w // thumb) * thumb]
+                if th.size == 0:
+                    th = px
+                gh = max(1, th.shape[0] // thumb)
+                gw = max(1, th.shape[1] // thumb)
+                pooled = th[: gh * thumb, : gw * thumb].reshape(
+                    thumb, gh, thumb, gw, 3
+                ).mean(axis=(1, 3))
+                gray = pooled.mean(axis=2).reshape(-1)  # 64 dims
+                ids.append(mid); ws.append(w); hs.append(h)
+                means.append(px.reshape(-1, 3).mean(axis=0).astype(np.float32).tolist())
+                feats.append((gray / 255.0).astype(np.float32).tolist())
+                oversize.append(0)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "mean_rgb": means,
+                    "feature": feats,
+                    "oversize": pd.array(oversize, dtype="Int32"),
+                }
+            )
+
+    pruned = media.where(F.col("modality") == "image").select(
+        "media_id", "content", "meta"
+    )
+    return pruned.mapInPandas(op, IMAGE_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms", FloatType()),
+        StructField("zero_crossings", IntegerType()),
+        StructField("feature", ArrayType(FloatType())),  # 32 coarse bands
+    ]
+)
+
+
+def audio_features(media: DataFrame, n_bands: int = 32) -> DataFrame:
+    """Decode (fake) 1s of samples → RMS, zero-crossing count, coarse
+    band energies."""
+
+    def op(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "duration_ms", "rms", "zero_crossings", "feature")}
+            for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                sr = int(meta["sample_rate"] or 16000) if meta is not None else 16000
+                dur = int(meta["duration_ms"] or 1000) if meta is not None else 1000
+                try:
+                    x = _decode_audio_real(content)
+                except NotImplementedError:
+                    x = _fake_samples(content, sr)
+                bands = x[: (len(x) // n_bands) * n_bands].reshape(n_bands, -1)
+                out["media_id"].append(mid)
+                out["duration_ms"].append(dur)
+                out["rms"].append(float(np.sqrt((x ** 2).mean())))
+                out["zero_crossings"].append(int((np.diff(np.sign(x)) != 0).sum()))
+                out["feature"].append((bands ** 2).mean(axis=1).astype(np.float32).tolist())
+            pdf_out = pd.DataFrame(out)
+            pdf_out["duration_ms"] = pdf_out["duration_ms"].astype("int64")
+            pdf_out["zero_crossings"] = pd.array(out["zero_crossings"], dtype="Int32")
+            yield pdf_out
+
+    pruned = media.where(F.col("modality") == "audio").select(
+        "media_id", "content", "meta"
+    )
+    return pruned.mapInPandas(op, AUDIO_FEATURES_SCHEMA)
+
+
+VIDEO_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_ts_ms", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def video_frame_sample(media: DataFrame, k: int = 4, thumb: int = 4) -> DataFrame:
+    """Evenly-spread k-frame sampling per video (the W2 spread formula
+    applied to frames: idx = ⌊(n−1)·i/(k−1)⌋) → per-frame pooled feature.
+    Output explodes k rows per video."""
+
+    def op(batches):
+        for pdf in batches:
+            ids, idxs, tss, feats = [], [], [], []
+            for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                dur = int(meta["duration_ms"] or 1000) if meta is not None else 1000
+                n_frames = max(1, dur // 40)  # 25 fps
+                picks = sorted({(n_frames - 1) * i // max(1, k - 1) for i in range(k)})
+                try:
+                    frames = _decode_video_frames_real(content, len(picks))
+                except NotImplementedError:
+                    frames = np.stack(
+                        [
+                            _fake_pixels((content or b"") + bytes([j % 256]), thumb, thumb)
+                            for j in picks
+                        ]
+                    )
+                for j, fr in zip(picks, frames):
+                    ids.append(mid)
+                    idxs.append(int(j))
+                    tss.append(int(j * 40))
+                    feats.append(
+                        (fr.mean(axis=2).reshape(-1) / 255.0).astype(np.float32).tolist()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "frame_ts_ms": pd.array(tss, dtype="Int64"),
+                    "feature": feats,
+                }
+            )
+
+    pruned = media.where(F.col("modality") == "video").select(
+        "media_id", "content", "meta"
+    )
+    return pruned.mapInPandas(op, VIDEO_FRAMES_SCHEMA)
+
+
+# ---- synthetic media table (deterministic, for tests/bench) -----------------
+
+def media_batch(ids: np.ndarray, seed: int = 42) -> pd.DataFrame:
+    """Deterministic synthetic media rows (same counter-mode philosophy as
+    datagen.generate_pages_batch)."""
+    rows = {k: [] for k in ("media_id", "modality", "mime", "content", "meta")}
+    mods = ["image", "audio", "video"]
+    mimes = {"image": "image/jpeg", "audio": "audio/wav", "video": "video/mp4"}
+    for i in ids:
+        i = int(i)
+        h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+        mod = mods[h[0] % 3]
+        n = 200 + (int.from_bytes(h[1:3], "little") % 2000)
+        if h[3] % 29 == 0:
+            n = MAX_MEDIA_BYTES + 1000  # oversize exercise
+        content = (h * ((n // 32) + 1))[:n]
+        meta = {
+            "width": 16 + h[4] % 48 if mod == "image" else None,
+            "height": 16 + h[5] % 48 if mod == "image" else None,
+            "duration_ms": 500 + int.from_bytes(h[6:8], "little") % 5000
+            if mod != "image"
+            else None,
+            "sample_rate": 16000 if mod == "audio" else None,
+            "n_bytes": n,
+        }
+        rows["media_id"].append(f"m{i:08d}")
+        rows["modality"].append(mod)
+        rows["mime"].append(mimes[mod])
+        rows["content"].append(content)
+        rows["meta"].append(meta)
+    return pd.DataFrame(rows)
+
+
+def media_df(spark, n_rows: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+
+    def gen(it):
+        for pdf in it:
+            yield media_batch(pdf["id"].to_numpy(), seed)
+
+    return spark.range(0, n_rows, 1, parts).mapInPandas(gen, MEDIA_SCHEMA)

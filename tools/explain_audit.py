@@ -1,0 +1,152 @@
+"""Generate PLANS.md: formatted physical plans of the engine's key paths
+with the properties each plan must exhibit (pushdown, pruning, broadcast,
+single UDF evaluation, no stray shuffles). Run: python tools/explain_audit.py"""
+
+from __future__ import annotations
+
+import io
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from eventanalysis_spark import datagen
+    from eventanalysis_spark.operators.dedup import minhash_signatures
+    from eventanalysis_spark.operators.enrich import enrich_pages
+    from eventanalysis_spark.operators.parse import parse_pages
+    from eventanalysis_spark.operators.query import HeaderQuery
+    from eventanalysis_spark.operators.route import apply_rules
+    from eventanalysis_spark.session import get_spark
+
+    spark = get_spark("explain-audit", master="local[4]", shuffle_partitions=4,
+                      extra_conf={"spark.driver.memory": "6g"})
+    datagen.write_pages(spark, "/tmp/ea-plans/pages", 5000, partitions=4)
+    pages = spark.read.parquet("/tmp/ea-plans/pages")
+
+    sections = []
+
+    def audit(title: str, df, checks: list[tuple[str, bool]], notes: str):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        buf = io.StringIO()
+        buf.write(f"## {title}\n\n{notes}\n\n")
+        for desc, ok in checks:
+            buf.write(f"- {'✅' if ok else '❌'} {desc}\n")
+        buf.write("\n```\n")
+        buf.write("\n".join(plan.splitlines()[:40]))
+        buf.write("\n```\n")
+        sections.append(buf.getvalue())
+        assert all(ok for _, ok in checks), f"plan audit failed: {title}"
+
+    # 1. filtered parse: pushdown below the UDF, pruned UDF input
+    q = parse_pages(pages.where(F.col("lang") == "en"))
+    plan1 = q._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Filtered parse (P1 + F3): source filters push below the Arrow UDF",
+        q,
+        [
+            ("lang filter reaches the parquet scan (PushedFilters)",
+             "PushedFilters" in plan1 and "lang" in plan1.split("PushedFilters:")[1][:250]),
+            ("UDF input pruned to (url, html) + passthrough cols only",
+             "ReadSchema: struct<url:string,warc_ts:timestamp,html:binary,lang:string>" in plan1),
+            ("exactly ONE ArrowEvalPython (struct expansion does not re-run the UDF)",
+             plan1.count("ArrowEvalPython") == 1),
+            ("no shuffle in the parse path", "Exchange" not in plan1),
+        ],
+        "The reference pushes `rid > watermark` into its source "
+        "(EventRecordSource.cs:65-68); here Catalyst pushes all source-column "
+        "predicates into the parquet scan below the black-box UDF.",
+    )
+
+    # 2. enrich + route: broadcast-only joins
+    wr = apply_rules(
+        enrich_pages(parse_pages(pages), datagen.host_info_df(spark),
+                     datagen.lang_info_df(spark)),
+        datagen.route_rules_df(spark),
+    )
+    plan2 = wr._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Enrich + route (J2-J5 + P3): broadcast hash joins only",
+        wr,
+        [
+            ("three BroadcastHashJoins (host, lang, rules)",
+             plan2.count("BroadcastHashJoin") == 3),
+            ("zero SortMergeJoins (fact side never shuffles for enrichment)",
+             "SortMergeJoin" not in plan2),
+            ("single UDF evaluation feeding all joins",
+             plan2.count("ArrowEvalPython") == 1),
+        ],
+        "The reference probes in-memory dim caches per row "
+        "(ProviderInfoCache.cs:23-44); the Spark shape is build-side-broadcast "
+        "hash joins, zero fact shuffles.",
+    )
+
+    # 3. ordered limited header query: TakeOrdered, no global sort
+    hq = HeaderQuery(lang="en", reverse=True, limit=10)
+    out = hq.apply(parse_pages(pages))
+    plan3 = out._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Ordered + limited query (O1-O3): top-k without a global sort",
+        out,
+        [
+            ("TakeOrderedAndProject (limit fused into the sort)",
+             "TakeOrderedAndProject" in plan3),
+            ("no full Exchange-then-Sort materialization",
+             "Sort " not in plan3.replace("TakeOrdered", "")),
+        ],
+        "LIMIT pushdown (OpenDbV2.cs:298-302 analog): Spark fuses "
+        "orderBy+limit into a distributed top-k.",
+    )
+
+    # 4. aggregate: partial aggregation before the exchange
+    agg = parse_pages(pages).groupBy("host").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_bytes").alias("b")
+    )
+    plan4 = agg._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Hash aggregate (A1-A5): map-side partial aggregation",
+        agg,
+        [
+            ("two HashAggregate nodes (partial + final)",
+             plan4.count("HashAggregate") >= 2),
+            ("exchange keyed on the group key only (tiny shuffle)",
+             "Exchange hashpartitioning(host" in plan4),
+        ],
+        "Counts shuffle pre-aggregated per map task — the property that "
+        "defuses most group-by skew before explicit salting is needed.",
+    )
+
+    # 5. minhash: pure JVM expressions, no Python
+    sigs = minhash_signatures(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        text_col="text", id_col="doc_id", num_hashes=16,
+    )
+    plan5 = sigs._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "MinHash signatures (dedup): zero Python in the plan",
+        sigs,
+        [
+            ("no ArrowEvalPython / PythonUDF nodes",
+             "Python" not in plan5),
+            ("no shuffle (signatures are per-row)",
+             "Exchange" not in plan5),
+        ],
+        "Shingling, universal hashing, and array_min all run as Catalyst "
+        "expressions inside codegen.",
+    )
+
+    with open("PLANS.md", "w") as f:
+        f.write(
+            "# PLANS — physical-plan audit of the engine's key paths\n\n"
+            "Generated by `python tools/explain_audit.py` (re-run any time; "
+            "the script ASSERTS every ✅ below, so a regression fails loudly).\n\n"
+        )
+        f.write("\n".join(sections))
+    print("PLANS.md written")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
