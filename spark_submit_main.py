@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""spark-submit entry point (north-rule packaging requirement).
+
+Cluster launch:
+
+    ZIP=$(python -c "from eventanalysis_spark.session import build_pyfiles_zip; print(build_pyfiles_zip())")
+    spark-submit --py-files "$ZIP" spark_submit_main.py run \\
+        --source /data/pages --warehouse /data/wh --cap 20000 --repeat
+
+Local smoke (what the sandbox runs):
+
+    python -m eventanalysis_spark  # not packaged as module main; use:
+    spark-submit --master 'local[8]' --py-files "$ZIP" spark_submit_main.py \\
+        generate --out /tmp/pages --rows 10000
+
+Subcommands:
+  generate  — write the deterministic synthetic pages table
+  run       — run the pipeline (one batch, or --repeat until exhausted)
+  archive   — seal a completed month
+  status    — print watermark + sink counts + last batch metrics
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    # under spark-submit the session is configured by the launcher; this
+    # builder only fills gaps (UTC, AQE) and is a no-op for set confs
+    from eventanalysis_spark.session import get_spark
+
+    return get_spark("eventanalysis-spark", master=args.master)
+
+
+def cmd_generate(args) -> int:
+    from eventanalysis_spark.datagen import write_pages
+
+    spark = _spark(args)
+    write_pages(spark, args.out, args.rows, seed=args.seed)
+    print(json.dumps({"written": args.rows, "path": args.out}))
+    return 0
+
+
+def cmd_run(args) -> int:
+    from eventanalysis_spark.pipeline import Pipeline, PipelineConfig
+
+    spark = _spark(args)
+    pipe = Pipeline(
+        spark,
+        PipelineConfig(warehouse=args.warehouse, cap=args.cap, period=args.period),
+    )
+    src = spark.read.parquet(args.source)
+    results = (
+        pipe.run_until_exhausted(src)
+        if args.repeat
+        else [r for r in [pipe.run_batch(src)] if r is not None]
+    )
+    for r in results:
+        print(json.dumps({
+            "batch": r.batch_id, "n_input": r.n_input, "n_routed": r.n_routed,
+            "sinks": r.sink_counts, "docs_per_sec": round(r.docs_per_sec, 1),
+        }))
+    if not results:
+        print(json.dumps({"increment": 0}))
+    return 0
+
+
+def cmd_archive(args) -> int:
+    from eventanalysis_spark.pipeline import Pipeline, PipelineConfig
+    from eventanalysis_spark.sources.archive import build_archive
+
+    spark = _spark(args)
+    pipe = Pipeline(spark, PipelineConfig(warehouse=args.warehouse))
+    df = pipe.sink_table(args.sink)
+    wm = pipe.watermark()
+    info = build_archive(
+        df, args.out, args.month, job=args.sink,
+        watermark_ts=wm.ts, allow_current=args.allow_current,
+    )
+    print(json.dumps(info.__dict__ if info else {"empty_month": args.month}))
+    return 0
+
+
+def cmd_status(args) -> int:
+    from eventanalysis_spark.pipeline import SINK_PREFIX, Pipeline, PipelineConfig
+
+    spark = _spark(args)
+    pipe = Pipeline(spark, PipelineConfig(warehouse=args.warehouse))
+    out = {"watermark": pipe.watermark().to_state(),
+           "state": pipe.state_tbl.state(), "sinks": {}}
+    for t in pipe.wh.tables():
+        if t.startswith(SINK_PREFIX) and t != "sink_agg":
+            out["sinks"][t[len(SINK_PREFIX):]] = pipe.wh.table(t).read(spark).count()
+    print(json.dumps(out, indent=1))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="eventanalysis-spark")
+    p.add_argument("--master", default=None, help="override master (tests only)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate")
+    g.add_argument("--out", required=True)
+    g.add_argument("--rows", type=int, default=10000)
+    g.add_argument("--seed", type=int, default=42)
+    g.set_defaults(fn=cmd_generate)
+
+    r = sub.add_parser("run")
+    r.add_argument("--source", required=True)
+    r.add_argument("--warehouse", required=True)
+    r.add_argument("--cap", type=int, default=20000)
+    r.add_argument("--period", default="day")
+    r.add_argument("--repeat", action="store_true")
+    r.set_defaults(fn=cmd_run)
+
+    a = sub.add_parser("archive")
+    a.add_argument("--warehouse", required=True)
+    a.add_argument("--sink", required=True)
+    a.add_argument("--out", required=True)
+    a.add_argument("--month", required=True)
+    a.add_argument("--allow-current", action="store_true")
+    a.set_defaults(fn=cmd_archive)
+
+    s = sub.add_parser("status")
+    s.add_argument("--warehouse", required=True)
+    s.set_defaults(fn=cmd_status)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
