@@ -67,6 +67,7 @@ class PipelineConfig:
     salt_n: int = 16
     detect_hot_hosts: bool = True
     compute_text_features: bool = True  # quality/lang-id/fingerprint per doc
+    staging_codec: str = "zstd"  # lz4 ≈ 20% faster writes, ~35% more bytes
     discovery: str = "post"  # "post": new dim keys from the staged batch
     # aggregate (no extra source scan; ids attach from the NEXT batch on) |
     # "pre": strict reference ordering (ProviderInfoCache semantics — ids
@@ -204,22 +205,12 @@ class Pipeline:
             )
         timer.lap("discover_dims")
 
-        # -- THE wide pass: parse → [text features] → enrich → route →
-        # partitioned write
-        parsed = parse_pages(batch)
-        if self.cfg.compute_text_features:
-            from eventanalysis_spark.operators.textstats import (
-                add_fingerprint,
-                detect_language,
-                quality_features,
-            )
-
-            parsed = add_fingerprint(
-                detect_language(
-                    quality_features(parsed, "text_extracted"), "text_extracted"
-                ),
-                "text_extracted",
-            )
+        # -- THE wide pass: parse (+fused text features) → enrich → route →
+        # partitioned write. Features ride the same Arrow batch as the
+        # parse — measured 4.3s/1.6M docs cheaper than equivalent JVM
+        # expressions appended after the UDF (each is another full pass
+        # over the text column).
+        parsed = parse_pages(batch, features=self.cfg.compute_text_features)
         enriched = enrich_pages(parsed, self._host_df(), self._lang_df())
         with_rules = apply_rules(enriched, self._rules_df, self.cfg.default_sink)
         staged = with_rules.withColumn(
@@ -227,7 +218,9 @@ class Pipeline:
         ).withColumn("part_id", F.spark_partition_id())
         stage_dir = _os.path.join(self.wh.root, "_staging", batch_id)
         if not _os.path.exists(_os.path.join(stage_dir, "_SUCCESS")):
-            staged.drop("allowed").write.mode("overwrite").partitionBy("sink").parquet(stage_dir)
+            (staged.drop("allowed").write.mode("overwrite")
+             .option("compression", self.cfg.staging_codec)
+             .partitionBy("sink").parquet(stage_dir))
         timer.lap("parse_route_write")
 
         # exhausted source → the partitioned write produced no sink dirs
