@@ -12,15 +12,25 @@ EPOCH_DOTNET_TICKS = 621355968000000000
 
 def hex_or_dec(col: Column) -> Column:
     """F4: '' → null; '0x' prefix → hex; else decimal. Signed passthrough.
-    Reference XmlStringValueConversions.cs:27-59."""
+    Reference XmlStringValueConversions.cs:27-59.
+
+    Malformed or out-of-int64-range inputs yield NULL (try_cast), never a
+    runtime error — required under Spark 4 ANSI mode so invalid rows can be
+    routed to quarantine with an error column instead of killing the task."""
     t = F.trim(col)
+    is_hex = F.lower(t).startswith("0x")
+    hexpart = F.substring(t, 3, 32)
     return (
         F.when(t.isNull() | (t == ""), F.lit(None).cast("long"))
         .when(
-            F.lower(t).startswith("0x"),
-            F.conv(F.substring(t, 3, 32), 16, 10).cast("long"),
+            # conv() itself throws ARITHMETIC_OVERFLOW under ANSI for >64-bit
+            # inputs — gate it on ≤16 valid hex digits; 2^63..2^64-1 results
+            # then null out via try_cast
+            is_hex & hexpart.rlike(r"^[0-9a-fA-F]{1,16}$"),
+            F.conv(hexpart, 16, 10).try_cast("long"),
         )
-        .otherwise(t.cast("long"))
+        .when(is_hex, F.lit(None).cast("long"))
+        .otherwise(t.try_cast("long"))
     )
 
 
@@ -36,8 +46,24 @@ def missing_string(col: Column, default: str = "?") -> Column:
 
 def ticks_to_ts(col: Column) -> Column:
     """F11: epoch-ticks (100 ns since Unix epoch) → timestamp (µs precision;
-    the sub-µs digit is a documented precision reduction, SURVEY.md §1.3)."""
-    return F.timestamp_micros((col / 10).cast("long"))
+    the sub-µs digit is a documented precision reduction, SURVEY.md §1.3).
+
+    Exact integer division: ticks for current dates (~1.77e16) exceed 2^53,
+    so double `/` would be off by up to ~1 µs and break ticks↔ts round
+    trips. Decimal division + long cast truncates toward zero, matching
+    .NET integer division (TimeUtil.cs:36-64)."""
+    return F.timestamp_micros((col.cast("decimal(38,0)") / 10).cast("long"))
+
+
+def dotnet_ticks_to_epoch_ticks(col: Column) -> Column:
+    """F11: .NET UTC DateTime ticks → Unix-epoch ticks
+    (`ticks = utcTicks − 621355968000000000`, TimeUtil.cs:36-64)."""
+    return col - F.lit(EPOCH_DOTNET_TICKS)
+
+
+def epoch_ticks_to_dotnet_ticks(col: Column) -> Column:
+    """F11 inverse of :func:`dotnet_ticks_to_epoch_ticks`."""
+    return col + F.lit(EPOCH_DOTNET_TICKS)
 
 
 def ts_to_ticks(col: Column) -> Column:

@@ -70,12 +70,23 @@ def _unsigned_val(c: Column) -> Column:
 
 
 def _unsigned_err(c: Column) -> Column:
-    # explicit validity regex: F.conv would silently coerce bad hex to 0
+    # explicit validity regex: F.conv would silently coerce bad hex to 0.
+    # hex_or_dec uses try_cast, so out-of-int64-range values (e.g. a
+    # 25-digit decimal) come back NULL rather than throwing under ANSI
+    # mode — the second branch turns that NULL into an error row.
     valid = F.trim(c).rlike(r"^(0[xX][0-9a-fA-F]+|[0-9]+)$")
-    return F.when(
-        c.isNotNull() & (c != "") & ~valid,
-        F.concat(F.lit("unsigned: invalid number '"), c, F.lit("'")),
-    ).when(hex_or_dec(c) < 0, F.lit("unsigned: negative"))
+    nonempty = c.isNotNull() & (c != "")
+    return (
+        F.when(
+            nonempty & ~valid,
+            F.concat(F.lit("unsigned: invalid number '"), c, F.lit("'")),
+        )
+        .when(
+            nonempty & hex_or_dec(c).isNull(),
+            F.concat(F.lit("unsigned: out of range '"), c, F.lit("'")),
+        )
+        .when(hex_or_dec(c) < 0, F.lit("unsigned: negative"))
+    )
 
 
 register("unsigned", _unsigned_val, _unsigned_err)

@@ -36,6 +36,7 @@ Scale design (100 TB / 1000 executors):
 
 from __future__ import annotations
 
+import re
 import time
 from dataclasses import dataclass, field
 
@@ -54,6 +55,31 @@ from eventanalysis_spark.sources.incremental import Watermark, advance, next_bat
 SINK_PREFIX = "sink_"
 QUARANTINE = "__quarantine"
 QUARANTINE_TABLE = "quarantine"
+
+# Internal warehouse tables a user-supplied sink must never shadow: a rule
+# with sink='agg' would otherwise resolve to the internal 'sink_agg'
+# aggregates table, adopt page rows into it, and mark its batch state as
+# committed — silently skipping the real aggregate append.
+RESERVED_TABLES = frozenset(
+    {"_pipeline", "dim_host", "dim_lang", "route_rules",
+     "sink_agg", "observations", QUARANTINE_TABLE}
+)
+# sink names follow the reference's job-name grammar (EventJobConfig.cs:58)
+_SINK_NAME_RE = re.compile(r"^[a-z][a-z0-9]*([-_][a-z0-9]+)*$")
+
+
+def validate_sink_name(sink: str) -> None:
+    """Reject sinks that are malformed or would shadow an internal table."""
+    if not isinstance(sink, str) or not _SINK_NAME_RE.match(sink):
+        raise ValueError(
+            f"invalid sink name {sink!r}: must match "
+            "^[a-z][a-z0-9]*([-_][a-z0-9]+)*$ (EventJobConfig.cs:58)"
+        )
+    if f"{SINK_PREFIX}{sink}" in RESERVED_TABLES or sink in RESERVED_TABLES:
+        raise ValueError(
+            f"sink name {sink!r} is reserved: table "
+            f"'{SINK_PREFIX}{sink}' would shadow an internal pipeline table"
+        )
 
 
 @dataclass
@@ -118,6 +144,11 @@ class Pipeline:
         self._host_rows = [r.asDict() for r in self.host_tbl.read(spark).collect()]
         self._lang_rows = [r.asDict() for r in self.lang_tbl.read(spark).collect()]
         self._rules_df = self.rules_tbl.read(spark)
+        # validate every routable sink name up front (rules are user input)
+        for s in {r["sink"] for r in self._rules_df.select("sink").collect()} | {
+            config.default_sink
+        }:
+            validate_sink_name(s)
 
     def _host_df(self) -> DataFrame:
         return self.spark.createDataFrame(

@@ -73,9 +73,12 @@ def build_archive(
     allow_current (T5 late-window semantics)."""
     import pandas as pd  # driver-side month arithmetic only
 
-    month_end = (pd.Timestamp(f"{month}-01") + pd.DateOffset(months=1)).isoformat()
+    # compare as timestamps, not strings: str(datetime) uses ' ' while
+    # isoformat uses 'T', and ' ' < 'T' would wrongly fail first-of-month
+    # watermarks under lexicographic comparison
+    month_end = pd.Timestamp(f"{month}-01") + pd.DateOffset(months=1)
     if not allow_current:
-        if watermark_ts is None or str(watermark_ts) < month_end:
+        if watermark_ts is None or pd.Timestamp(str(watermark_ts)) < month_end:
             raise CurrentMonthError(
                 f"month {month} not complete at watermark {watermark_ts!r}; "
                 "pass allow_current=True to force (reference: -allowCurrentMonth)"

@@ -49,7 +49,7 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _session_fn(gap_seconds: int):
+def _session_fn(gap_seconds: int, use_timeout: bool = True):
     gap_us = gap_seconds * 1_000_000
 
     def fn(key, pdfs, state: GroupState):
@@ -93,7 +93,8 @@ def _session_fn(gap_seconds: int):
                 total += int(b)
 
         state.update((start_us, end_us, n, total))
-        state.setTimeoutDuration(gap_seconds * 1000)
+        if use_timeout:
+            state.setTimeoutDuration(gap_seconds * 1000)
 
         if out:
             yield pd.DataFrame(
@@ -111,21 +112,31 @@ def _session_fn(gap_seconds: int):
 
 
 def host_sessions_stream(
-    pages_stream: DataFrame, gap_seconds: int = 3600
+    pages_stream: DataFrame, gap_seconds: int = 3600, use_timeout: bool = True
 ) -> DataFrame:
     """Streaming per-host sessionization. Input: a streaming pages frame;
-    host derived JVM-side (no UDF), state keyed by host."""
+    host derived JVM-side (no UDF), state keyed by host.
+
+    use_timeout=True (continuous deployments): idle sessions are flushed by
+    a wall-clock ProcessingTimeTimeout. use_timeout=False (bounded drains,
+    e.g. availableNow): no timeouts — a query holding registered
+    processing-time timeouts keeps scheduling empty micro-batches waiting
+    for them to fire, so an availableNow drain would never terminate."""
     withhost = pages_stream.select(
         F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host"),
         "warc_ts",
         F.length("html").cast("long").alias("n_bytes"),
     ).where(F.col("warc_ts").isNotNull())
     return withhost.groupBy("host").applyInPandasWithState(
-        _session_fn(gap_seconds),
+        _session_fn(gap_seconds, use_timeout),
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -139,7 +150,7 @@ def run_sessions_available_now(
     from eventanalysis_spark.streaming.stream_pipeline import read_pages_stream
 
     stream = read_pages_stream(spark, source_path)
-    sessions = host_sessions_stream(stream, gap_seconds)
+    sessions = host_sessions_stream(stream, gap_seconds, use_timeout=False)
     q = (
         sessions.writeStream.outputMode("append")
         .format("memory")
@@ -147,5 +158,14 @@ def run_sessions_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    # bounded wait: availableNow should drain and stop; if it wedges (state
+    # timeouts re-arming batches, source churn), fail loudly instead of
+    # hanging the caller forever
+    if not q.awaitTermination(timeout=300):
+        progress = q.lastProgress
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {query_name!r} did not drain in 300s; "
+            f"last progress: {progress}"
+        )
     return spark.sql(f"SELECT * FROM {query_name}")

@@ -127,6 +127,15 @@ def test_archive_lifecycle(spark, pages, tmp_path):
     # completeness gate: watermark inside the month → refused
     with pytest.raises(CurrentMonthError):
         build_archive(pages, root, "2024-12", watermark_ts="2024-12-15 00:00:00")
+    # ADVICE r1: a watermark exactly at the month boundary, in str(datetime)
+    # format (space separator), means the month IS complete — must not raise
+    info = build_archive(
+        pages, root + "_b", "2024-12", watermark_ts="2025-01-01 00:00:00"
+    )
+    assert info is not None
+    import shutil
+
+    shutil.rmtree(root + "_b")
     info = build_archive(pages, root, "2024-12", watermark_ts="2025-02-20 00:00:00")
     assert info is not None
     assert info.n_rows == month_slice(pages, "2024-12").count()

@@ -51,8 +51,11 @@ def test_watermark_resume_across_instances(spark, pages, wh):
     total = sum(
         p2.sink_table(s).count() for s in ["content", "commerce", "security", "misc"]
     )
-    # equals the routed count of a fresh single run
-    assert total == sum(r2.sink_counts.values()) + 0 or total > 0
+    # equals the routed count of a fresh uncapped single run
+    fresh = _mk(spark, wh + "_fresh", cap=None)
+    rf = fresh.run_batch(pages)
+    assert rf is not None
+    assert total == rf.n_routed
 
 
 def test_partial_failure_is_idempotent(spark, pages, wh):
@@ -102,6 +105,26 @@ def test_lineage_and_metrics_sidecars(spark, pages, wh):
     assert set(payload["stage_seconds"]) >= {
         "discover_dims", "parse_route_write", "observe", "fan_out", "aggregate"
     }
+
+
+def test_reserved_sink_names_rejected(spark, wh):
+    """A rule routing to sink='agg' would shadow the internal 'sink_agg'
+    aggregates table (ADVICE r1, medium): must be rejected at init."""
+    from eventanalysis_spark import datagen
+
+    bad_rules = datagen.route_rules_df(spark).withColumn(
+        "sink",
+        F.when(F.col("sink") == "commerce", F.lit("agg")).otherwise(F.col("sink")),
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        Pipeline(spark, PipelineConfig(warehouse=wh), rules=bad_rules)
+    # malformed names (reference job-name grammar) also rejected
+    bad2 = datagen.route_rules_df(spark).withColumn(
+        "sink",
+        F.when(F.col("sink") == "commerce", F.lit("Bad Name!")).otherwise(F.col("sink")),
+    )
+    with pytest.raises(ValueError, match="invalid sink name"):
+        Pipeline(spark, PipelineConfig(warehouse=wh + "_2"), rules=bad2)
 
 
 def test_dims_grow_once_and_persist(spark, pages, wh):

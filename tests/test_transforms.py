@@ -51,6 +51,57 @@ def test_hex_or_dec_column(spark):
     assert got == [255, 10, None, None]
 
 
+def test_unsigned_overflow_is_error_not_crash(spark):
+    """ADVICE r1: a 25-digit decimal (out of int64 range) must produce an
+    error row, not an ANSI-mode runtime exception."""
+    rows = _eval(
+        spark, "unsigned",
+        ["1234567890123456789012345", "0xffffffffffffffffff", "12"],
+    )
+    assert rows[0].val is None and "out of range" in rows[0].err
+    assert rows[1].val is None and "out of range" in rows[1].err
+    assert rows[2].val == "12" and rows[2].err is None
+
+
+def test_hex_or_dec_malformed_yields_null_under_ansi(spark):
+    df = spark.createDataFrame(
+        [("abc",), ("99999999999999999999999999",), ("-7",)], "v string"
+    )
+    got = [r.x for r in df.select(hex_or_dec(F.col("v")).alias("x")).collect()]
+    assert got == [None, None, -7]
+
+
+def test_ticks_ts_roundtrip_exact(spark):
+    """ADVICE r1: ticks↔ts must round-trip exactly for current-epoch ticks
+    (~1.77e16, beyond double's 2^53 exact-integer range)."""
+    from eventanalysis_spark.functions.scalars import (
+        dotnet_ticks_to_epoch_ticks,
+        epoch_ticks_to_dotnet_ticks,
+        ticks_to_ts,
+        ts_to_ticks,
+    )
+
+    ticks = [17700000000000010, 17700000000000090, 9999999999999990, 10]
+    df = spark.createDataFrame([(t,) for t in ticks], "t long")
+    back = [
+        r.b
+        for r in df.select(
+            ts_to_ticks(ticks_to_ts(F.col("t"))).alias("b")
+        ).collect()
+    ]
+    # µs precision: the sub-µs digit truncates to 0 (documented reduction)
+    assert back == [t - (t % 10) for t in ticks]
+    rt = [
+        r.b
+        for r in df.select(
+            dotnet_ticks_to_epoch_ticks(
+                epoch_ticks_to_dotnet_ticks(F.col("t"))
+            ).alias("b")
+        ).collect()
+    ]
+    assert rt == ticks
+
+
 def test_iso_week_key(spark):
     """ISO year ≠ calendar year at year boundaries: 2024-12-30 and
     2025-01-01 are both 2025-W01; 2027-01-01 is 2026-W53."""
