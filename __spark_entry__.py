@@ -522,6 +522,182 @@ def q_multimodal_image_features(spark, sf):
     )
 
 
+def q_u2_merge_upsert(spark, sf):
+    """U2: MERGE-style upsert (last-wins) — per-user state where update
+    rows (event_id > 1000) replace base rows (event_id <= 1000); users
+    present only in one side pass through (RawEventDbV1.cs:336-379
+    ON CONFLICT DO UPDATE semantics as a full-outer coalesce)."""
+    ev = _t(spark, sf, "events")
+    base = (
+        ev.where(F.col("event_id") <= 1000)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("v"))
+    )
+    upd = (
+        ev.where(F.col("event_id") > 1000)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("v"))
+    )
+    b, u = base.alias("b"), upd.alias("u")
+    return (
+        b.join(u, F.col("b.user_id") == F.col("u.user_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("b.user_id"), F.col("u.user_id")).alias("user_id"),
+            F.coalesce(F.col("u.n"), F.col("b.n")).alias("n"),
+            F.coalesce(F.col("u.v"), F.col("b.v")).alias("v"),
+            F.when(F.col("u.user_id").isNull(), F.lit("unchanged"))
+            .when(F.col("b.user_id").isNull(), F.lit("inserted"))
+            .otherwise(F.lit("updated"))
+            .alias("merge_action"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_a2_overview(spark, sf):
+    """A2: the overview aggregate — fact counts grouped THEN joined to the
+    dimension (aggregate-then-join, avoiding the reference's 'heavy
+    performance cost' fan-out, OpenDbV2.cs:728-758); missing dim rows keep
+    the '?' placeholder (P8 missingString)."""
+    ev = _t(spark, sf, "events")
+    dim = spark.createDataFrame(
+        [("click", "ui"), ("view", "ui"), ("purchase", "commerce")],
+        "event_type string, family string",
+    )
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    return (
+        counts.join(F.broadcast(dim), "event_type", "left")
+        .select(
+            F.coalesce("family", F.lit("?")).alias("family"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("family", "event_type")
+    )
+
+
+def q_rollup_counts(spark, sf):
+    """Beyond-parity A-ext: GROUP BY ROLLUP (event_type, day) with grand
+    totals — Spark `.rollup` vs SQL ROLLUP; NULL grouping markers ordered
+    first on both sides."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.rollup("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy(
+            F.col("event_type").asc_nulls_first(), F.col("day").asc_nulls_first()
+        )
+    )
+
+
+def _word_shingles(text, k=3):
+    """Word k-shingles as distinct STRINGS (SQL-replicable, unlike the
+    xxhash64 form in operators.dedup.shingles)."""
+    t = F.lower(F.trim(text))
+    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    n = F.size(toks)
+    return F.array_distinct(
+        F.when(n == 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            )
+        )
+    )
+
+
+def q_dedup_jaccard_pairs(spark, sf):
+    """n-gram Jaccard near-dup: all doc pairs (doc_id < 200) with word-
+    3-shingle Jaccard ≥ 0.5 — the exact-verify stage of the LSH pipeline,
+    oracle-checked end to end on string shingles."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    sh = docs.select("doc_id", _word_shingles(F.col("text")).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.when(union == 0, F.lit(1.0)).otherwise(inter / union), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_embed_neardup_pairs(spark, sf):
+    """Embedding-cosine near-dup: top-20 most-similar vector pairs among
+    vec_id < 150 (brute-force pairwise cosine, double precision)."""
+    emb = (
+        _t(spark, sf, "embeddings")
+        .where(F.col("vec_id") < 150)
+        .select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+        )
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    dot = lambda x, y: F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("ea"), F.col("eb"))
+                / (F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))),
+                4,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+def q_langid(spark, sf):
+    """Language-ID: stopword-vote heuristic per doc (doc_id < 300) —
+    argmax over (hits, lang) with 0-hit → 'und'."""
+    from eventanalysis_spark.operators.textstats import detect_language
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    return detect_language(docs).select("doc_id", "lang_detected").orderBy("doc_id")
+
+
+def q_tokencount_bpe(spark, sf):
+    """Token counting per lang: whitespace tokens + BPE-ish regex word
+    pieces (letter runs ≤8, digit runs ≤4, single punctuation)."""
+    from eventanalysis_spark.operators.textstats import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.sum(token_count(F.col("text"))).alias("ws_tokens"),
+            F.sum(bpe_ish_token_count(F.col("text"))).alias("bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -550,6 +726,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "minhash_signature": q_minhash_signature,
         "multimodal_image_features": q_multimodal_image_features,
+        "u2_merge_upsert": q_u2_merge_upsert,
+        "a2_overview": q_a2_overview,
+        "rollup_counts": q_rollup_counts,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "embed_neardup_pairs": q_embed_neardup_pairs,
+        "langid": q_langid,
+        "tokencount_bpe": q_tokencount_bpe,
     }
 
 
@@ -755,5 +938,134 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q
             WHERE e.vec_id != 0
             ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
+        """,
+        "u2_merge_upsert": """
+            WITH base AS (
+              SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 6) AS v
+              FROM events WHERE event_id <= 1000 GROUP BY user_id
+            ),
+            upd AS (
+              SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 6) AS v
+              FROM events WHERE event_id > 1000 GROUP BY user_id
+            )
+            SELECT COALESCE(b.user_id, u.user_id) AS user_id,
+                   COALESCE(u.n, b.n) AS n,
+                   COALESCE(u.v, b.v) AS v,
+                   CASE WHEN u.user_id IS NULL THEN 'unchanged'
+                        WHEN b.user_id IS NULL THEN 'inserted'
+                        ELSE 'updated' END AS merge_action
+            FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id
+            ORDER BY user_id
+        """,
+        "a2_overview": """
+            WITH dim AS (
+              SELECT 'click' AS event_type, 'ui' AS family
+              UNION ALL SELECT 'view', 'ui'
+              UNION ALL SELECT 'purchase', 'commerce'
+            ),
+            counts AS (
+              SELECT event_type, COUNT(*) AS n_events,
+                     ROUND(SUM(value), 6) AS total_value
+              FROM events GROUP BY event_type
+            )
+            SELECT COALESCE(d.family, '?') AS family, c.event_type,
+                   c.n_events, c.total_value
+            FROM counts c LEFT JOIN dim d USING (event_type)
+            ORDER BY family, event_type
+        """,
+        "rollup_counts": """
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   COUNT(*) AS n, ROUND(SUM(value), 6) AS total_value
+            FROM events
+            GROUP BY ROLLUP (event_type, day)
+            ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST
+        """,
+        "dedup_jaccard_pairs": """
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                          ELSE list_distinct([
+                            array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(toks) - 2, 1))
+                          ])
+                     END AS s
+              FROM (
+                SELECT doc_id,
+                       CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                       END AS toks
+                FROM documents WHERE doc_id < 200
+              )
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0
+                              THEN 1.0
+                              ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                                   / len(list_distinct(list_concat(a.s, b.s)))
+                         END, 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE ROUND(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0
+                             THEN 1.0
+                             ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                                  / len(list_distinct(list_concat(a.s, b.s)))
+                        END, 6) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        "embed_neardup_pairs": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE vec_id < 150
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            ORDER BY cos_sim DESC, id_a, id_b LIMIT 20
+        """,
+        "langid": """
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                          ELSE list_distinct(
+                            regexp_split_to_array(trim(lower(text)), '\\s+'))
+                     END AS words
+              FROM documents WHERE doc_id < 300
+            ),
+            votes AS (
+              SELECT doc_id,
+                len(list_intersect(words,
+                  ['the','and','of','to','in','is','that','for','with','was'])) AS h_en,
+                len(list_intersect(words,
+                  ['der','die','das','und','ist','nicht','mit','ein','von','zu'])) AS h_de,
+                len(list_intersect(words,
+                  ['le','la','les','et','est','pas','pour','que','une','dans'])) AS h_fr,
+                len(list_intersect(words,
+                  ['el','la','los','las','que','es','por','con','una','para'])) AS h_es
+              FROM w
+            ),
+            best AS (
+              -- argmax over (hits, lang): max hits, tie-broken by max lang
+              SELECT doc_id, greatest(h_en, h_de, h_fr, h_es) AS mh,
+                     greatest(CASE WHEN h_en = greatest(h_en,h_de,h_fr,h_es) THEN 'en' ELSE '' END,
+                              CASE WHEN h_de = greatest(h_en,h_de,h_fr,h_es) THEN 'de' ELSE '' END,
+                              CASE WHEN h_fr = greatest(h_en,h_de,h_fr,h_es) THEN 'fr' ELSE '' END,
+                              CASE WHEN h_es = greatest(h_en,h_de,h_fr,h_es) THEN 'es' ELSE '' END
+                     ) AS lang
+              FROM votes
+            )
+            SELECT doc_id,
+                   CASE WHEN mh > 0 THEN lang ELSE 'und' END AS lang_detected
+            FROM best ORDER BY doc_id
+        """,
+        "tokencount_bpe": """
+            SELECT lang,
+                   CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                        END) AS BIGINT) AS ws_tokens,
+                   CAST(SUM(len(regexp_extract_all(text,
+                        '([A-Za-z]{1,8}|[0-9]{1,4}|[^\\sA-Za-z0-9])', 1)))
+                     AS BIGINT) AS bpe_tokens
+            FROM documents GROUP BY lang ORDER BY lang
         """,
     }
