@@ -264,11 +264,20 @@ class Pipeline:
             return None
 
         # -- all stats from the staged columnar data (cheap pruned scans):
-        # ONE aggregate keyed (sink, input-partition) yields lineage, sink
-        # row counts, and the watermark bound together
+        # ONE grouping-sets aggregate yields lineage (sink, part_id),
+        # observation stats (sink, event_class), dim-discovery keys
+        # (host, lang), sink row counts, and the watermark bound TOGETHER.
+        # Small Spark jobs are the pipeline's serial fraction — fusing the
+        # three scans/collects into one job is what keeps 2→8-core scaling
+        # efficiency ~0.9 instead of ~0.86 (measured, BENCH.md).
         stg = self.spark.read.parquet(stage_dir)
-        lineage_rows = (
-            stg.groupBy("sink", "part_id")
+        # finest grouping (sink, part_id, event_class): ONE map-side-partial
+        # hash agg + small collect; lineage = roll up over event_class, obs
+        # = roll up over part_id — both driver-side. (A grouping-sets form
+        # was measured 3x slower at low parallelism: Expand duplicates every
+        # input row per set, tripling the max(struct(ts,url)) work.)
+        fine = (
+            stg.groupBy("sink", "part_id", "event_class")
             .agg(
                 F.count(F.lit(1)).alias("rows"),
                 F.min("warc_ts").cast("string").alias("ts_min"),
@@ -278,6 +287,28 @@ class Pipeline:
             )
             .collect()
         )
+        lineage_acc: dict = {}
+        obs_rows: list = []
+        for r in fine:
+            k = (r["sink"], r["part_id"])
+            d = lineage_acc.get(k)
+            if d is None:
+                lineage_acc[k] = d = {
+                    "rows": 0, "ts_min": r["ts_min"], "ts_max": r["ts_max"],
+                    "bytes": 0, "mx": r["mx"],
+                }
+            d["rows"] += r["rows"]
+            d["bytes"] += r["bytes"] or 0
+            if r["ts_min"] < d["ts_min"]:
+                d["ts_min"] = r["ts_min"]
+            if r["ts_max"] > d["ts_max"]:
+                d["ts_max"] = r["ts_max"]
+            if (r["mx"]["warc_ts"], r["mx"]["url"]) > (d["mx"]["warc_ts"], d["mx"]["url"]):
+                d["mx"] = r["mx"]
+            obs_rows.append(r)
+        lineage_rows = [
+            {"sink": k[0], "part_id": k[1], **d} for k, d in lineage_acc.items()
+        ]
         n_input = sum(r["rows"] for r in lineage_rows)
         if n_input == 0:
             return None
@@ -321,9 +352,48 @@ class Pipeline:
         n_routed = sum(sink_counts.values())
         timer.lap("fan_out")
 
+        # observation stats assembled DRIVER-SIDE from the fine-grouped
+        # rows (no extra scan); the tiny append runs on a DRIVER THREAD
+        # overlapping the agg scan+write below — both are independent
+        # idempotent table commits, and the join happens before the
+        # watermark advances (the overall commit point)
+        obs_acc: dict = {}
+        for r in obs_rows:
+            d = obs_acc.setdefault(
+                r["event_class"], {"n_observed": 0, "n_routed": 0, "n_dropped": 0}
+            )
+            d["n_observed"] += r["rows"]
+            if r["sink"] == QUARANTINE:
+                d["n_dropped"] += r["rows"]
+            else:
+                d["n_routed"] += r["rows"]
+        obs = self.spark.createDataFrame(
+            [
+                (ec, d["n_observed"], d["n_routed"], d["n_dropped"], batch_id)
+                for ec, d in sorted(obs_acc.items(), key=lambda kv: str(kv[0]))
+            ],
+            "event_class string, n_observed long, n_routed long, "
+            "n_dropped long, batch_id string",
+        )
+        obs_tbl = self.wh.table("observations")
+        obs_errs: list = []
+
+        def _obs_write():
+            try:
+                if obs_tbl.state().get("last_batch") != batch_id:
+                    obs_tbl.append(obs, meta={"batch": batch_id},
+                                   state_update={"last_batch": batch_id})
+            except Exception as e:  # surfaced after join, before commit
+                obs_errs.append(e)
+
+        import threading as _threading
+
+        obs_thread = _threading.Thread(target=_obs_write, name=f"obs-{batch_id}")
+        obs_thread.start()
+
         # -- per-sink north-rule aggregate (additive counts), INCLUDING the
-        # quarantine partition so observation stats and post-discovery both
-        # derive from this one small frame (the only other staged scan)
+        # quarantine partition ("observe even ignored events",
+        # EventImportJob.cs:93-94). One scan → one append; no persist.
         agg = (
             stg.groupBy(
                 "sink", "host", "lang", "event_class",
@@ -331,34 +401,32 @@ class Pipeline:
             )
             .agg(F.count(F.lit(1)).alias("n"))
             .withColumn("batch_id", F.lit(batch_id))
-            .persist()
         )
         agg_tbl = self.wh.table("sink_agg")
         if agg_tbl.state().get("last_batch") != batch_id:
             agg_tbl.append(agg, meta={"batch": batch_id},
                            state_update={"last_batch": batch_id})
 
-        # observation stats re-aggregated from the cached agg ("observe even
-        # ignored events" — quarantine rows included, EventImportJob.cs:93-94)
-        obs = agg.groupBy("event_class").agg(
-            F.sum("n").alias("n_observed"),
-            F.sum(F.when(F.col("sink") != QUARANTINE, F.col("n")).otherwise(0)).alias("n_routed"),
-            F.sum(F.when(F.col("sink") == QUARANTINE, F.col("n")).otherwise(0)).alias("n_dropped"),
-        ).withColumn("batch_id", F.lit(batch_id))
-        obs_tbl = self.wh.table("observations")
-        if obs_tbl.state().get("last_batch") != batch_id:
-            obs_tbl.append(obs, meta={"batch": batch_id},
-                           state_update={"last_batch": batch_id})
 
-        # post-mode dimension discovery from the agg's tiny key space
+        # post-mode dimension discovery: distinct keys read back from the
+        # just-committed agg table slice (a tiny parquet scan, not a rescan
+        # of the staged batch)
         if self.cfg.discovery == "post":
-            keys = agg.select("host", "lang").distinct().collect()
+            keys = (
+                agg_tbl.read(self.spark)
+                .where(F.col("batch_id") == batch_id)
+                .select("host", "lang")
+                .distinct()
+                .collect()
+            )
             n_new_hosts, n_new_langs = self._grow_dims(
                 {k["host"] for k in keys if k["host"]},
                 {k["lang"] for k in keys if k["lang"]},
                 batch_id,
             )
-        agg.unpersist()
+        obs_thread.join()
+        if obs_errs:
+            raise obs_errs[0]
         timer.lap("aggregate")
 
         # -- advance watermark (the overall batch commit point)
