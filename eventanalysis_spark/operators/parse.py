@@ -89,8 +89,10 @@ def parse_hex_or_dec(s: str | None) -> int | None:
     return -v if neg else v
 
 
-def parse_batch(url: pd.Series, html: pd.Series) -> pd.DataFrame:
-    """Pure-pandas core of the parse stage (shared with the test oracle)."""
+def parse_batch(url: pd.Series, html: pd.Series, _with_tokens: bool = False):
+    """Pure-pandas core of the parse stage (shared with the test oracle).
+    _with_tokens=True additionally returns the per-doc token lists so the
+    fused feature pass can reuse them instead of re-tokenizing."""
     doc = html.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else None)
     doc_s = doc.astype("string")
 
@@ -114,12 +116,13 @@ def parse_batch(url: pd.Series, html: pd.Series) -> pd.DataFrame:
     text_extracted = doc.map(
         lambda d: None if d is None else "\n".join(_unescape(p) for p in _P_TAG.findall(d))
     )
-    n_tokens = text_extracted.map(
-        lambda t: 0 if t is None else len(_TOKEN.findall(t))
+    tok_lists = text_extracted.map(
+        lambda t: [] if t is None else _TOKEN.findall(t)
     )
+    n_tokens = tok_lists.map(len)
     n_bytes = html.map(lambda b: 0 if b is None else len(b))
 
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
             "host": host.astype(object).where(host.notna(), None),
             "tld": tld.astype(object).where(tld.notna(), None),
@@ -135,6 +138,9 @@ def parse_batch(url: pd.Series, html: pd.Series) -> pd.DataFrame:
             "n_bytes": pd.array(n_bytes, dtype="Int64"),
         }
     )
+    if _with_tokens:
+        return out, tok_lists
+    return out
 
 
 # ---- fused text features (UDF-side twins of operators/textstats.py) -------
@@ -149,28 +155,33 @@ _STOPSETS = {
     "fr": frozenset("le la les et est pas pour que une dans".split()),
     "es": frozenset("el la los las que es por con una para".split()),
 }
-_PUNCT = re.compile(r"[\.,;:!\?]")
-_UPPER = re.compile(r"[A-Z]")
 _FP_MOD = (1 << 31) - 1
+# deletion tables: len(t) - len(t.translate(tbl)) counts the class members
+# at C speed (≈3x faster than regex findall on these hot paths)
+_PUNCT_DEL = str.maketrans("", "", ".,;:!?")
+_UPPER_DEL = str.maketrans("", "", "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
 
 
-def text_feature_batch(text: pd.Series) -> pd.DataFrame:
+def text_feature_batch(text: pd.Series, tokens=None) -> pd.DataFrame:
     """quality score / lang-id / rolling fingerprint per doc, one pandas
-    pass (formulas mirror operators/textstats.py)."""
+    pass (formulas mirror operators/textstats.py). `tokens` (parallel
+    iterable of token lists) skips re-tokenizing when the caller already
+    tokenized — the fused parse path reuses parse_batch's lists."""
     import zlib
 
     rows = {k: [] for k in (
         "q_avg_word_len", "q_punct_ratio", "q_upper_ratio", "q_score",
         "lang_detected", "doc_fingerprint",
     )}
+    tok_iter = iter(tokens) if tokens is not None else None
     for t in text:
         if t is None:
             t = ""
-        toks = _TOKEN.findall(t)
+        toks = next(tok_iter) if tok_iter is not None else _TOKEN.findall(t)
         n_tok = len(toks)
         n_chars = len(t)
-        n_punct = len(_PUNCT.findall(t))
-        n_upper = len(_UPPER.findall(t))
+        n_punct = n_chars - len(t.translate(_PUNCT_DEL))
+        n_upper = n_chars - len(t.translate(_UPPER_DEL))
         avg_wl = (n_chars / n_tok) if n_tok else 0.0
         punct_r = (n_punct / n_chars) if n_chars else 0.0
         upper_r = (n_upper / n_chars) if n_chars else 0.0
@@ -244,8 +255,8 @@ FEATURED_SCHEMA = StructType(
 
 @F.pandas_udf(FEATURED_SCHEMA)
 def _parse_featured_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
-    base = parse_batch(url, html)
-    feats = text_feature_batch(base["text_extracted"])
+    base, toks = parse_batch(url, html, _with_tokens=True)
+    feats = text_feature_batch(base["text_extracted"], tokens=toks)
     return pd.concat([base, feats], axis=1)
 
 
