@@ -41,6 +41,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # default 10k-record Arrow batches starve the pandas UDF on small
+        # rows (~30% of wide-pass wall time in py4j/Arrow round-trips,
+        # measured at 1.6M docs / 32c). 64Ki records ≈ 16 MB for ~250 B
+        # synthetic docs; real ~100 KB pages are bounded first by
+        # spark.sql.execution.arrow.maxBytesPerBatch (64 MB default), so
+        # raising the record cap is safe at both extremes.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
