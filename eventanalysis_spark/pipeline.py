@@ -270,7 +270,42 @@ class Pipeline:
         # Small Spark jobs are the pipeline's serial fraction — fusing the
         # three scans/collects into one job is what keeps 2→8-core scaling
         # efficiency ~0.9 instead of ~0.86 (measured, BENCH.md).
+        import threading as _threading
+
         stg = self.spark.read.parquet(stage_dir)
+
+        # -- per-sink north-rule aggregate (additive counts), INCLUDING the
+        # quarantine partition ("observe even ignored events",
+        # EventImportJob.cs:93-94). Launched on a DRIVER THREAD so its
+        # staged scan+append overlaps the fine-stats collect below — the
+        # two jobs are independent, and on a multi-executor cluster (or
+        # local[N] with idle slots) they interleave instead of serializing.
+        agg = (
+            stg.groupBy(
+                "sink", "host", "lang", "event_class",
+                period_key(F.col("warc_ts"), self.cfg.period).alias("bucket"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        agg_tbl = self.wh.table("sink_agg")
+        agg_res: dict = {}
+
+        def _agg_write():
+            try:
+                if agg_tbl.state().get("last_batch") != batch_id:
+                    agg_res["sid"] = agg_tbl.append(
+                        agg, meta={"batch": batch_id},
+                        state_update={"last_batch": batch_id},
+                    )
+                else:  # resume: locate the already-committed snapshot
+                    agg_res["sid"] = agg_tbl.snapshot_for_meta("batch", batch_id)
+            except Exception as e:
+                agg_res["err"] = e
+
+        agg_thread = _threading.Thread(target=_agg_write, name=f"agg-{batch_id}")
+        agg_thread.start()
+
         # finest grouping (sink, part_id, event_class): ONE map-side-partial
         # hash agg + small collect; lineage = roll up over event_class, obs
         # = roll up over part_id — both driver-side. (A grouping-sets form
@@ -311,6 +346,7 @@ class Pipeline:
         ]
         n_input = sum(r["rows"] for r in lineage_rows)
         if n_input == 0:
+            agg_thread.join()
             return None
         mx = max((r["mx"] for r in lineage_rows), key=lambda s: (s["warc_ts"], s["url"]))
         bounds = (mx["warc_ts"], mx["url"])
@@ -353,10 +389,10 @@ class Pipeline:
         timer.lap("fan_out")
 
         # observation stats assembled DRIVER-SIDE from the fine-grouped
-        # rows (no extra scan); the tiny append runs on a DRIVER THREAD
-        # overlapping the agg scan+write below — both are independent
-        # idempotent table commits, and the join happens before the
-        # watermark advances (the overall commit point)
+        # rows (no extra scan); the tiny append runs on a second driver
+        # thread — all table commits are independent and idempotent, and
+        # every thread joins before the watermark advances (the overall
+        # commit point)
         obs_acc: dict = {}
         for r in obs_rows:
             d = obs_acc.setdefault(
@@ -386,39 +422,23 @@ class Pipeline:
             except Exception as e:  # surfaced after join, before commit
                 obs_errs.append(e)
 
-        import threading as _threading
-
         obs_thread = _threading.Thread(target=_obs_write, name=f"obs-{batch_id}")
         obs_thread.start()
 
-        # -- per-sink north-rule aggregate (additive counts), INCLUDING the
-        # quarantine partition ("observe even ignored events",
-        # EventImportJob.cs:93-94). One scan → one append; no persist.
-        agg = (
-            stg.groupBy(
-                "sink", "host", "lang", "event_class",
-                period_key(F.col("warc_ts"), self.cfg.period).alias("bucket"),
-            )
-            .agg(F.count(F.lit(1)).alias("n"))
-            .withColumn("batch_id", F.lit(batch_id))
-        )
-        agg_tbl = self.wh.table("sink_agg")
-        if agg_tbl.state().get("last_batch") != batch_id:
-            agg_tbl.append(agg, meta={"batch": batch_id},
-                           state_update={"last_batch": batch_id})
+        agg_thread.join()
+        if "err" in agg_res:
+            raise agg_res["err"]
 
-
-        # post-mode dimension discovery: distinct keys read back from the
-        # just-committed agg table slice (a tiny parquet scan, not a rescan
-        # of the staged batch)
+        # post-mode dimension discovery: distinct keys read back from ONLY
+        # the files this batch's agg commit added (incremental snapshot
+        # read — skips the agg table's whole history)
         if self.cfg.discovery == "post":
-            keys = (
-                agg_tbl.read(self.spark)
-                .where(F.col("batch_id") == batch_id)
-                .select("host", "lang")
-                .distinct()
-                .collect()
+            keys_src = (
+                agg_tbl.read_incremental(self.spark, agg_res["sid"])
+                if agg_res.get("sid") is not None
+                else agg_tbl.read(self.spark).where(F.col("batch_id") == batch_id)
             )
+            keys = keys_src.select("host", "lang").distinct().collect()
             n_new_hosts, n_new_langs = self._grow_dims(
                 {k["host"] for k in keys if k["host"]},
                 {k["lang"] for k in keys if k["lang"]},

@@ -109,6 +109,29 @@ class Table:
             return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
         return spark.read.parquet(*dirs)
 
+    def read_incremental(self, spark: SparkSession, snapshot_id: int) -> DataFrame:
+        """Read ONLY the files added by `snapshot_id` (Iceberg incremental-
+        scan analog) — lets per-batch readers skip the table's history."""
+        m = self._load()
+        snap = next(x for x in m["snapshots"] if x["id"] == snapshot_id)
+        parent = snap.get("parent")
+        parent_dirs = set(
+            next((x["dirs"] for x in m["snapshots"] if x["id"] == parent), [])
+        )
+        dirs = [
+            os.path.join(self.path, d) for d in snap["dirs"] if d not in parent_dirs
+        ]
+        if not dirs:
+            return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
+        return spark.read.parquet(*dirs)
+
+    def snapshot_for_meta(self, key: str, value) -> int | None:
+        """Newest snapshot id whose commit metadata has meta[key] == value."""
+        for s in reversed(self._load()["snapshots"]):
+            if s.get("meta", {}).get(key) == value:
+                return s["id"]
+        return None
+
     # ---- write ---------------------------------------------------------
     def _write_dir(self, df: DataFrame, partition_by: list[str] | None) -> str:
         d = f"data-{uuid.uuid4().hex[:12]}"

@@ -169,6 +169,29 @@ def test_merge_upsert(spark, dup_rows):
 
 # ---- warehouse snapshots (S10-S12, T4) ---------------------------------------
 
+def test_warehouse_incremental_read(spark, tmp_path):
+    """read_incremental returns ONLY the files a snapshot added (Iceberg
+    incremental-scan analog); snapshot_for_meta resolves commits by batch."""
+    wh = Warehouse(str(tmp_path / "whinc"))
+    t = wh.table("t")
+    s1 = t.append(
+        spark.range(5).select(F.col("id"), F.lit("x").alias("v")),
+        meta={"batch": "b1"},
+    )
+    s2 = t.append(
+        spark.range(5, 8).select(F.col("id"), F.lit("y").alias("v")),
+        meta={"batch": "b2"},
+    )
+    assert t.read(spark).count() == 8
+    inc1 = t.read_incremental(spark, s1)
+    inc2 = t.read_incremental(spark, s2)
+    assert sorted(r.id for r in inc1.collect()) == [0, 1, 2, 3, 4]
+    assert sorted(r.id for r in inc2.collect()) == [5, 6, 7]
+    assert t.snapshot_for_meta("batch", "b1") == s1
+    assert t.snapshot_for_meta("batch", "b2") == s2
+    assert t.snapshot_for_meta("batch", "nope") is None
+
+
 def test_warehouse_snapshot_lifecycle(spark, tmp_path):
     wh = Warehouse(str(tmp_path / "wh"))
     t = wh.table("t")
