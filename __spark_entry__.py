@@ -670,6 +670,45 @@ def q_embed_neardup_pairs(spark, sf):
     )
 
 
+def q_dedup_minhash_lsh_pairs(spark, sf):
+    """Full MinHash+LSH near-dup pipeline END TO END (shingle → 64-hash
+    minhash signature → 32 bands → bucket-join candidates → exact-Jaccard
+    verify, operators/dedup.py::near_duplicate_pairs). Oracle = brute-force
+    O(n²) string-shingle Jaccard: with r=2 band width the LSH catch
+    probability at j≥0.5 is 1-(1-j²)³² ≥ 0.9998, and the seeded hashes are
+    deterministic, so at this scale LSH recall is exactly 1.0 and the
+    approximate pipeline's output EQUALS the exact pairs (verified)."""
+    from eventanalysis_spark.operators.dedup import near_duplicate_pairs
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    pairs = near_duplicate_pairs(
+        docs, text_col="text", id_col="doc_id",
+        num_hashes=64, bands=32, shingle_k=3, threshold=0.5,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def q_ann_lsh_topk(spark, sf):
+    """LSH-bucketed ANN (the 10^12-row scale path: 24 independent 3-bit
+    hyperplane signatures → bucket-join candidates → exact cosine re-rank,
+    operators/similarity.py::lsh_bucket_ann) for the vec_id=0 query.
+    Oracle = brute-force top-10: the deterministic seeded hyperplanes give
+    recall 1.0 at this scale (verified), so approximate == exact."""
+    from eventanalysis_spark.operators.similarity import lsh_bucket_ann
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    base = emb.where(F.col("vec_id") != 0)
+    ann = lsh_bucket_ann(base, q, dim=64, k=10, bits=3, tables=24)
+    return ann.select(
+        "vec_id", F.round("cos_sim", 4).alias("cos_sim")
+    ).orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+
+
 def q_langid(spark, sf):
     """Language-ID: stopword-vote heuristic per doc (doc_id < 300) —
     argmax over (hits, lang) with 0-hit → 'und'."""
@@ -730,6 +769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_overview": q_a2_overview,
         "rollup_counts": q_rollup_counts,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "embed_neardup_pairs": q_embed_neardup_pairs,
         "langid": q_langid,
         "tokencount_bpe": q_tokencount_bpe,
@@ -1010,6 +1051,55 @@ def oracle_sql() -> dict[str, str]:
                                   / len(list_distinct(list_concat(a.s, b.s)))
                         END, 6) >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "dedup_minhash_lsh_pairs": """
+            -- oracle for the MinHash+LSH pipeline: brute-force exact
+            -- jaccard pairs (LSH recall is exactly 1.0 at this scale)
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                          ELSE list_distinct([
+                            array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(toks) - 2, 1))
+                          ])
+                     END AS s
+              FROM (
+                SELECT doc_id,
+                       CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                       END AS toks
+                FROM documents WHERE doc_id < 200
+              )
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0
+                              THEN 1.0
+                              ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                                   / len(list_distinct(list_concat(a.s, b.s)))
+                         END, 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE ROUND(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0
+                             THEN 1.0
+                             ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                                  / len(list_distinct(list_concat(a.s, b.s)))
+                        END, 6) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        "ann_lsh_topk": """
+            -- oracle for LSH-bucketed ANN: exact brute-force top-10
+            -- (deterministic hyperplanes give recall 1.0 at this scale)
+            WITH q AS (
+              SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+            )
+            SELECT e.vec_id,
+                   ROUND(
+                     list_dot_product(e.embedding::DOUBLE[], q.qe)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.qe, q.qe))), 4
+                   ) AS cos_sim
+            FROM embeddings e, q
+            WHERE e.vec_id != 0
+            ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
         """,
         "embed_neardup_pairs": """
             WITH e AS (
