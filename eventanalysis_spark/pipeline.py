@@ -93,7 +93,12 @@ class PipelineConfig:
     salt_n: int = 16
     detect_hot_hosts: bool = True
     compute_text_features: bool = True  # quality/lang-id/fingerprint per doc
-    staging_codec: str = "zstd"  # lz4 ≈ 20% faster writes, ~35% more bytes
+    # Hot-path codec: lz4 writes ~15% faster than zstd AND decompresses
+    # 2-3x faster for the two staged re-reads (stats + lineage); costs
+    # ~30% more bytes. Sink tables adopt the staged files in place, so
+    # cold data is recompressed to zstd by Table.compact (the Iceberg
+    # rewrite_data_files / reference-vacuum maintenance step, S12).
+    staging_codec: str = "lz4"
     discovery: str = "post"  # "post": new dim keys from the staged batch
     # aggregate (no extra source scan; ids attach from the NEXT batch on) |
     # "pre": strict reference ordering (ProviderInfoCache semantics — ids
@@ -290,18 +295,34 @@ class Pipeline:
         )
         agg_tbl = self.wh.table("sink_agg")
         agg_res: dict = {}
+        post_discovery = self.cfg.discovery == "post"
 
         def _agg_write():
+            # post-mode dim discovery rides this thread: persist the (small,
+            # bounded-by-group-cardinality) aggregate so the distinct-keys
+            # collect reuses the computed agg instead of a second staged
+            # scan or a read-back of the files just written — the keys
+            # arrive concurrently with the fine-stats collect below,
+            # removing a serial tail job from every batch.
             try:
                 if agg_tbl.state().get("last_batch") != batch_id:
+                    if post_discovery:
+                        agg.persist()
                     agg_res["sid"] = agg_tbl.append(
                         agg, meta={"batch": batch_id},
                         state_update={"last_batch": batch_id},
                     )
+                    if post_discovery:
+                        agg_res["keys"] = (
+                            agg.select("host", "lang").distinct().collect()
+                        )
                 else:  # resume: locate the already-committed snapshot
                     agg_res["sid"] = agg_tbl.snapshot_for_meta("batch", batch_id)
             except Exception as e:
                 agg_res["err"] = e
+            finally:
+                if post_discovery:
+                    agg.unpersist()
 
         agg_thread = _threading.Thread(target=_agg_write, name=f"agg-{batch_id}")
         agg_thread.start()
@@ -429,16 +450,19 @@ class Pipeline:
         if "err" in agg_res:
             raise agg_res["err"]
 
-        # post-mode dimension discovery: distinct keys read back from ONLY
-        # the files this batch's agg commit added (incremental snapshot
-        # read — skips the agg table's whole history)
-        if self.cfg.discovery == "post":
-            keys_src = (
-                agg_tbl.read_incremental(self.spark, agg_res["sid"])
-                if agg_res.get("sid") is not None
-                else agg_tbl.read(self.spark).where(F.col("batch_id") == batch_id)
-            )
-            keys = keys_src.select("host", "lang").distinct().collect()
+        # post-mode dimension discovery: keys were collected on the agg
+        # thread from the persisted aggregate (no extra scan). Resume case
+        # (agg already committed): read back ONLY the files that batch's
+        # commit added (incremental snapshot read).
+        if post_discovery:
+            keys = agg_res.get("keys")
+            if keys is None:
+                keys_src = (
+                    agg_tbl.read_incremental(self.spark, agg_res["sid"])
+                    if agg_res.get("sid") is not None
+                    else agg_tbl.read(self.spark).where(F.col("batch_id") == batch_id)
+                )
+                keys = keys_src.select("host", "lang").distinct().collect()
             n_new_hosts, n_new_langs = self._grow_dims(
                 {k["host"] for k in keys if k["host"]},
                 {k["lang"] for k in keys if k["lang"]},
