@@ -99,6 +99,13 @@ class PipelineConfig:
     # cold data is recompressed to zstd by Table.compact (the Iceberg
     # rewrite_data_files / reference-vacuum maintenance step, S12).
     staging_codec: str = "lz4"
+    # Files per sink_agg commit. The per-batch aggregate is bounded by
+    # group cardinality (hosts x langs x classes x buckets actually seen),
+    # ~10^3-10^4 rows at bench scale -> 1 file. On a cluster where a batch
+    # can surface millions of hosts, raise to ~rows/5M so single-task
+    # writes don't serialize. (Explicit because the persisted agg pins its
+    # shuffle partitioning before AQE coalescing can apply.)
+    agg_write_files: int = 1
     discovery: str = "post"  # "post": new dim keys from the staged batch
     # aggregate (no extra source scan; ids attach from the NEXT batch on) |
     # "pre": strict reference ordering (ProviderInfoCache semantics — ids
@@ -181,14 +188,16 @@ class Pipeline:
                 self._host_rows.append({"host_id": next_id + i, "host": h, "registrar": None})
             n_h = len(new_hosts)
             self.host_tbl.overwrite(self._host_df(), meta={"batch": batch_id},
-                                    state_update={"last_batch": batch_id})
+                                    state_update={"last_batch": batch_id},
+                                    coalesce=1)
         new_langs = sorted(seen_langs - {r["lang"] for r in self._lang_rows})
         if new_langs and self.lang_tbl.state().get("last_batch") != batch_id:
             for lg in new_langs:
                 self._lang_rows.append({"lang": lg, "lang_name": None})
             n_l = len(new_langs)
             self.lang_tbl.overwrite(self._lang_df(), meta={"batch": batch_id},
-                                    state_update={"last_batch": batch_id})
+                                    state_update={"last_batch": batch_id},
+                                    coalesce=1)
         return n_h, n_l
 
     # ---- state ---------------------------------------------------------
@@ -307,15 +316,21 @@ class Pipeline:
             try:
                 if agg_tbl.state().get("last_batch") != batch_id:
                     if post_discovery:
+                        # keys FIRST: the distinct materializes the cache
+                        # with full shuffle parallelism; the coalesced
+                        # append below then writes few files from the tiny
+                        # cached result. (Order matters — a coalesce(1)
+                        # write against a cold cache would make one task
+                        # compute all partitions serially.)
                         agg.persist()
-                    agg_res["sid"] = agg_tbl.append(
-                        agg, meta={"batch": batch_id},
-                        state_update={"last_batch": batch_id},
-                    )
-                    if post_discovery:
                         agg_res["keys"] = (
                             agg.select("host", "lang").distinct().collect()
                         )
+                    agg_res["sid"] = agg_tbl.append(
+                        agg, meta={"batch": batch_id},
+                        state_update={"last_batch": batch_id},
+                        coalesce=self.cfg.agg_write_files,
+                    )
                 else:  # resume: locate the already-committed snapshot
                     agg_res["sid"] = agg_tbl.snapshot_for_meta("batch", batch_id)
             except Exception as e:
@@ -439,7 +454,8 @@ class Pipeline:
             try:
                 if obs_tbl.state().get("last_batch") != batch_id:
                     obs_tbl.append(obs, meta={"batch": batch_id},
-                                   state_update={"last_batch": batch_id})
+                                   state_update={"last_batch": batch_id},
+                                   coalesce=1)
             except Exception as e:  # surfaced after join, before commit
                 obs_errs.append(e)
 
