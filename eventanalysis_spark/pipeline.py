@@ -40,7 +40,7 @@ import re
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from eventanalysis_spark import datagen
@@ -180,24 +180,44 @@ class Pipeline:
         this on its single thread, ProviderInfoCache.cs:92-136). The dim
         caches here assume ≤~10^6 keys; beyond that switch to the
         table-based anti-join path (operators/enrich.discover_and_grow)."""
+        import threading as _threading
+
         n_h = n_l = 0
+        writes = []
         new_hosts = sorted(seen_hosts - {r["host"] for r in self._host_rows})
         if new_hosts and self.host_tbl.state().get("last_batch") != batch_id:
             next_id = max((r["host_id"] for r in self._host_rows), default=0) + 1
             for i, h in enumerate(new_hosts):
                 self._host_rows.append({"host_id": next_id + i, "host": h, "registrar": None})
             n_h = len(new_hosts)
-            self.host_tbl.overwrite(self._host_df(), meta={"batch": batch_id},
-                                    state_update={"last_batch": batch_id},
-                                    coalesce=1)
+            writes.append(lambda: self.host_tbl.overwrite(
+                self._host_df(), meta={"batch": batch_id},
+                state_update={"last_batch": batch_id}, coalesce=1))
         new_langs = sorted(seen_langs - {r["lang"] for r in self._lang_rows})
         if new_langs and self.lang_tbl.state().get("last_batch") != batch_id:
             for lg in new_langs:
                 self._lang_rows.append({"lang": lg, "lang_name": None})
             n_l = len(new_langs)
-            self.lang_tbl.overwrite(self._lang_df(), meta={"batch": batch_id},
-                                    state_update={"last_batch": batch_id},
-                                    coalesce=1)
+            writes.append(lambda: self.lang_tbl.overwrite(
+                self._lang_df(), meta={"batch": batch_id},
+                state_update={"last_batch": batch_id}, coalesce=1))
+        # both dim snapshots are independent tables — commit them
+        # concurrently (each is a tiny single-file write; errors re-raised)
+        errs: list = []
+
+        def _run(fn):
+            try:
+                fn()
+            except Exception as e:  # pragma: no cover - surfaced below
+                errs.append(e)
+
+        threads = [_threading.Thread(target=_run, args=(w,)) for w in writes]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errs:
+            raise errs[0]
         return n_h, n_l
 
     # ---- state ---------------------------------------------------------
@@ -262,10 +282,18 @@ class Pipeline:
             "sink", F.when(F.col("allowed"), F.col("sink")).otherwise(F.lit(QUARANTINE))
         ).withColumn("part_id", F.spark_partition_id())
         stage_dir = _os.path.join(self.wh.root, "_staging", batch_id)
+        wm_bound_row = None
         if not _os.path.exists(_os.path.join(stage_dir, "_SUCCESS")):
-            (staged.drop("allowed").write.mode("overwrite")
+            # the watermark bound max(ts,url) rides the write job as an
+            # Observation — zero extra scan, and the fine-stats job below
+            # then never touches the wide url column
+            wm_obs = Observation(f"wm-{batch_id}")
+            (staged.drop("allowed")
+             .observe(wm_obs, F.max(F.struct(F.col("warc_ts"), F.col("url"))).alias("mx"))
+             .write.mode("overwrite")
              .option("compression", self.cfg.staging_codec)
              .partitionBy("sink").parquet(stage_dir))
+            wm_bound_row = wm_obs.get["mx"]
         timer.lap("parse_route_write")
 
         # exhausted source → the partitioned write produced no sink dirs
@@ -354,10 +382,14 @@ class Pipeline:
                 F.min("warc_ts").cast("string").alias("ts_min"),
                 F.max("warc_ts").cast("string").alias("ts_max"),
                 F.sum("n_bytes").alias("bytes"),
-                F.max(F.struct(F.col("warc_ts"), F.col("url"))).alias("mx"),
             )
             .collect()
         )
+        # resume (write skipped, no Observation): one narrow 2-column scan
+        if wm_bound_row is None:
+            wm_bound_row = stg.select(
+                F.max(F.struct(F.col("warc_ts"), F.col("url"))).alias("mx")
+            ).collect()[0]["mx"]
         lineage_acc: dict = {}
         obs_rows: list = []
         for r in fine:
@@ -366,7 +398,7 @@ class Pipeline:
             if d is None:
                 lineage_acc[k] = d = {
                     "rows": 0, "ts_min": r["ts_min"], "ts_max": r["ts_max"],
-                    "bytes": 0, "mx": r["mx"],
+                    "bytes": 0,
                 }
             d["rows"] += r["rows"]
             d["bytes"] += r["bytes"] or 0
@@ -374,8 +406,6 @@ class Pipeline:
                 d["ts_min"] = r["ts_min"]
             if r["ts_max"] > d["ts_max"]:
                 d["ts_max"] = r["ts_max"]
-            if (r["mx"]["warc_ts"], r["mx"]["url"]) > (d["mx"]["warc_ts"], d["mx"]["url"]):
-                d["mx"] = r["mx"]
             obs_rows.append(r)
         lineage_rows = [
             {"sink": k[0], "part_id": k[1], **d} for k, d in lineage_acc.items()
@@ -384,8 +414,7 @@ class Pipeline:
         if n_input == 0:
             agg_thread.join()
             return None
-        mx = max((r["mx"] for r in lineage_rows), key=lambda s: (s["warc_ts"], s["url"]))
-        bounds = (mx["warc_ts"], mx["url"])
+        bounds = (wm_bound_row["warc_ts"], wm_bound_row["url"])
         lineage: dict[str, list] = {}
         sink_rows: dict[str, int] = {}
         for r in lineage_rows:
