@@ -156,6 +156,9 @@ class Pipeline:
         self._host_rows = [r.asDict() for r in self.host_tbl.read(spark).collect()]
         self._lang_rows = [r.asDict() for r in self.lang_tbl.read(spark).collect()]
         self._rules_df = self.rules_tbl.read(spark)
+        # hot hosts learned from the previous batch's aggregate (committed
+        # with the watermark, so resume keeps the salting decision)
+        self._hot_hosts: list[str] = list(self.state_tbl.state().get("hot_hosts", []))
         # validate every routable sink name up front (rules are user input)
         for s in {r["sink"] for r in self._rules_df.select("sink").collect()} | {
             config.default_sink
@@ -252,7 +255,22 @@ class Pipeline:
         )
         batch = next_batch(valid_source, wm, self.cfg.cap)
         if self.cfg.repartition:
-            batch = batch.repartition(self.cfg.repartition, F.xxhash64("url"))
+            # Explicit batch partitioning (the north rule's hashed-url +
+            # hot-host salting). Host-keyed partitioning co-locates each
+            # host's pages; hosts the PREVIOUS batch's aggregate showed
+            # above salt_threshold of batch volume get a url-hash salt in
+            # [0, salt_n) so no single reducer owns a hot host. First
+            # batch (no learned hot set yet) partitions by pure url hash —
+            # uniform by construction.
+            host_e = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+            if self.cfg.detect_hot_hosts and self._hot_hosts:
+                salt = F.when(
+                    host_e.isin(self._hot_hosts),
+                    F.pmod(F.xxhash64("url"), F.lit(self.cfg.salt_n)),
+                ).otherwise(F.lit(0))
+                batch = batch.repartition(self.cfg.repartition, host_e, salt)
+            else:
+                batch = batch.repartition(self.cfg.repartition, F.xxhash64("url"))
 
         # -- dimension discovery (J5). "pre" mode runs an extra pure-JVM
         # distinct scan BEFORE facts so same-batch facts carry new ids
@@ -351,9 +369,19 @@ class Pipeline:
                         # write against a cold cache would make one task
                         # compute all partitions serially.)
                         agg.persist()
-                        agg_res["keys"] = (
-                            agg.select("host", "lang").distinct().collect()
+                        # per-host volume (for hot-host detection) doubles
+                        # as the host half of dim discovery; both collects
+                        # are tiny rollups of the cached aggregate
+                        agg_res["host_counts"] = (
+                            agg.groupBy("host").agg(F.sum("n").alias("n")).collect()
                         )
+                        agg_res["keys"] = [
+                            {"host": None, "lang": r["lang"]}
+                            for r in agg.select("lang").distinct().collect()
+                        ] + [
+                            {"host": r["host"], "lang": None}
+                            for r in agg_res["host_counts"]
+                        ]
                     agg_res["sid"] = agg_tbl.append(
                         agg, meta={"batch": batch_id},
                         state_update={"last_batch": batch_id},
@@ -513,6 +541,13 @@ class Pipeline:
                 {k["lang"] for k in keys if k["lang"]},
                 batch_id,
             )
+            if self.cfg.detect_hot_hosts and agg_res.get("host_counts") is not None:
+                thr = self.cfg.salt_threshold * max(n_input, 1)
+                self._hot_hosts = sorted(
+                    r["host"]
+                    for r in agg_res["host_counts"]
+                    if r["host"] and r["n"] >= thr
+                )
         obs_thread.join()
         if obs_errs:
             raise obs_errs[0]
@@ -522,7 +557,8 @@ class Pipeline:
         new_wm = advance(bounds, wm)
         n_batches = self.state_tbl.state().get("n_batches", 0) + 1
         self.state_tbl.set_state(
-            **new_wm.to_state(), n_batches=n_batches, last_batch=batch_id
+            **new_wm.to_state(), n_batches=n_batches, last_batch=batch_id,
+            hot_hosts=self._hot_hosts,
         )
 
         total = timer.total()

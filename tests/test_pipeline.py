@@ -136,3 +136,52 @@ def test_dims_grow_once_and_persist(spark, pages, wh):
     assert len(set(ids)) == 20  # no collisions across discovery batches
     langs = p.wh.table("dim_lang").read(spark)
     assert langs.count() == 10
+
+
+def test_hot_host_salting_learns_and_spreads(spark, pages, wh):
+    """North-rule skew handling: a host above salt_threshold of batch
+    volume is learned from batch N's aggregate and its rows are salted
+    over several partitions in batch N+1, while cold hosts stay
+    co-located in a single partition. The hot set survives resume."""
+    # rewrite ~60% of urls onto one hot host (urls stay unique via hash)
+    hot_src = pages.withColumn(
+        "url",
+        F.when(
+            F.pmod(F.xxhash64("url"), F.lit(10)) < 6,
+            F.concat(
+                F.lit("https://hot.example.com/p"),
+                F.abs(F.xxhash64("url")).cast("string"),
+            ),
+        ).otherwise(F.col("url")),
+    )
+    cfg = PipelineConfig(
+        warehouse=wh, cap=1500, repartition=4,
+        salt_threshold=0.3, salt_n=8,
+    )
+    pipe = Pipeline(spark, cfg)
+    r1 = pipe.run_batch(hot_src)
+    assert r1 is not None
+    assert "hot.example.com" in pipe._hot_hosts
+
+    r2 = pipe.run_batch(hot_src)
+    assert r2 is not None
+    stg = spark.read.parquet(os.path.join(wh, "_staging", r2.batch_id))
+    hot_parts = (
+        stg.where(F.col("url").contains("hot.example.com"))
+        .select("part_id").distinct().count()
+    )
+    assert hot_parts > 1, "hot host should be salted across partitions"
+    # a cold host stays co-located (salt 0 → one partition)
+    cold_host = (
+        stg.where(~F.col("url").contains("hot.example.com"))
+        .select(F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("h"))
+        .groupBy("h").count().orderBy(F.desc("count")).first()["h"]
+    )
+    cold_parts = (
+        stg.where(F.col("url").contains(cold_host))
+        .select("part_id").distinct().count()
+    )
+    assert cold_parts == 1, f"cold host {cold_host} should stay in one partition"
+    # learned hot set is committed with the watermark and survives resume
+    p2 = Pipeline(spark, cfg)
+    assert p2._hot_hosts == pipe._hot_hosts
