@@ -274,7 +274,8 @@ def write_bench_md(payload: dict) -> None:
             "|---|---|---|---|",
         ] + [
             f"| local[{c}] | {v['seconds']} | {v['docs_per_sec']:,} | "
-            f"{ctl_levels.get(c, {}).get('iters_per_sec', '—'):,} |"
+            + (f"{_ips:,}" if (_ips := ctl_levels.get(c, {}).get("iters_per_sec"))
+               is not None else "—") + " |"
             for c, v in s["levels"].items()
         ] + [
             "",
