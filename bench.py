@@ -34,7 +34,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "400000"))
 BENCH_ROOT = os.environ.get("SPARK_GRAFT_BENCH_ROOT", "/tmp/ea-bench")
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 # scaling runs use more docs so parallelizable work dominates fixed
 # per-batch driver latency (manifest IO, collect round-trips): at 3.2M docs
 # the measured serial floor (~3 s: plan analysis, job scheduling, commit FS
