@@ -386,6 +386,42 @@ def meta_map_udf(html: pd.Series) -> pd.Series:
     return meta_map_batch(html)
 
 
+def parse_pages_fused(pages: DataFrame, features: bool = True) -> DataFrame:
+    """Pipeline wide-pass variant of parse_pages: mapInPandas instead of a
+    pandas_udf struct column. The passthrough columns (url, warc_ts, lang)
+    ride the Arrow batch through Python and the output rows come back
+    fully assembled — no JVM-side struct expand / input-batch zip.
+    Measured ~5-8% faster end-to-end than the struct form, and steadier
+    under CPU contention (tools/ab_parse_udf.py).
+
+    Trade-off: mapInPandas is a pushdown BARRIER — downstream filters on
+    (url, warc_ts, lang) cannot reach the scan through it. The pipeline's
+    batch is already fully filtered when parsed, so nothing is lost there;
+    composable query paths keep the filter-transparent parse_pages."""
+    from pyspark.sql.types import StructField, TimestampType
+
+    schema = FEATURED_SCHEMA if features else PARSED_SCHEMA
+    out_schema = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("warc_ts", TimestampType()),
+            StructField("lang", StringType()),
+        ]
+        + schema.fields
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            base, toks = parse_batch(pdf["url"], pdf["html"], _with_tokens=True)
+            parts = [pdf[["url", "warc_ts", "lang"]].reset_index(drop=True), base]
+            if features:
+                parts.append(text_feature_batch(base["text_extracted"], tokens=toks))
+            yield pd.concat(parts, axis=1)
+
+    valid = pages.where(F.col("url").isNotNull() & F.col("warc_ts").isNotNull())
+    return valid.select("url", "warc_ts", "lang", "html").mapInPandas(gen, out_schema)
+
+
 def parse_pages(
     pages: DataFrame, keep_payload: bool = False, features: bool = False
 ) -> DataFrame:

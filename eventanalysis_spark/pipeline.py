@@ -47,7 +47,7 @@ from eventanalysis_spark import datagen
 from eventanalysis_spark.functions.scalars import period_key
 from eventanalysis_spark.metrics import StageTimer, write_metrics_sidecar
 from eventanalysis_spark.operators.enrich import discover_and_grow, enrich_pages
-from eventanalysis_spark.operators.parse import parse_pages
+from eventanalysis_spark.operators.parse import parse_pages_fused
 from eventanalysis_spark.operators.route import apply_rules
 from eventanalysis_spark.sources.catalog import Warehouse
 from eventanalysis_spark.sources.incremental import Watermark, advance, next_batch
@@ -293,7 +293,7 @@ class Pipeline:
         # parse — measured 4.3s/1.6M docs cheaper than equivalent JVM
         # expressions appended after the UDF (each is another full pass
         # over the text column).
-        parsed = parse_pages(batch, features=self.cfg.compute_text_features)
+        parsed = parse_pages_fused(batch, features=self.cfg.compute_text_features)
         enriched = enrich_pages(parsed, self._host_df(), self._lang_df())
         with_rules = apply_rules(enriched, self._rules_df, self.cfg.default_sink)
         staged = with_rules.withColumn(

@@ -65,6 +65,70 @@ def variant_b(spark, src):
     return valid.select("url", "warc_ts", "lang", "html").mapInPandas(gen, out_schema)
 
 
+def variant_c(spark, src):
+    """mapInArrow: no pandas at all — lists in, pyarrow arrays out."""
+    import pyarrow as pa
+
+    from eventanalysis_spark.operators.parse import (
+        parse_batch,
+        text_feature_batch,
+    )
+
+    out_type = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("lang", pa.string()),
+            ("host", pa.string()),
+            ("tld", pa.string()),
+            ("path_depth", pa.int32()),
+            ("title", pa.string()),
+            ("charset", pa.string()),
+            ("meta_lang", pa.string()),
+            ("event_class", pa.string()),
+            ("ever", pa.int32()),
+            ("ever_raw", pa.string()),
+            ("text_extracted", pa.string()),
+            ("n_tokens", pa.int32()),
+            ("n_bytes", pa.int64()),
+            ("q_avg_word_len", pa.float64()),
+            ("q_punct_ratio", pa.float64()),
+            ("q_upper_ratio", pa.float64()),
+            ("q_score", pa.float64()),
+            ("lang_detected", pa.string()),
+            ("doc_fingerprint", pa.int64()),
+        ]
+    )
+
+    def gen(batches):
+        for rb in batches:
+            url = pd.Series(rb.column(0).to_pylist())
+            html = pd.Series(rb.column(3).to_pylist())
+            base, toks = parse_batch(url, html, _with_tokens=True)
+            feats = text_feature_batch(base["text_extracted"], tokens=toks)
+            arrays = [rb.column(0), rb.column(1), rb.column(2)] + [
+                pa.array(base[c].tolist()) for c in base.columns
+            ] + [pa.array(feats[c].tolist()) for c in feats.columns]
+            yield pa.RecordBatch.from_arrays(
+                [a.cast(f.type) if a.type != f.type else a
+                 for a, f in zip(arrays, out_type)],
+                schema=out_type,
+            )
+
+    from pyspark.sql import functions as F
+
+    ddl = (
+        "url string, warc_ts timestamp, lang string, host string, tld string, "
+        "path_depth int, title string, charset string, meta_lang string, "
+        "event_class string, ever int, ever_raw string, text_extracted string, "
+        "n_tokens int, n_bytes long, q_avg_word_len double, q_punct_ratio double, "
+        "q_upper_ratio double, q_score double, lang_detected string, "
+        "doc_fingerprint long"
+    )
+    valid = src.where(F.col("url").isNotNull() & F.col("warc_ts").isNotNull())
+    return valid.select("url", "warc_ts", "lang", "html").mapInArrow(gen, ddl)
+
+
 def run(df) -> float:
     t0 = time.perf_counter()
     df.write.mode("overwrite").option("compression", "lz4").parquet(OUT)
@@ -83,7 +147,8 @@ def main():
     pages = bench.ensure_pages(spark, DOCS)
     bench.warmup(spark)
     src = spark.read.parquet(pages)
-    variants = {"A_pandas_udf_struct": variant_a, "B_mapInPandas": variant_b}
+    variants = {"A_pandas_udf_struct": variant_a, "B_mapInPandas": variant_b,
+                "C_mapInArrow": variant_c}
     best: dict[str, float] = {}
     # warm both plans once untimed
     for name, fn in variants.items():
