@@ -16,6 +16,9 @@ Local smoke (what the sandbox runs):
 Subcommands:
   generate  — write the deterministic synthetic pages table
   run       — run the pipeline (one batch, or --repeat until exhausted)
+  update    — unattended scheduled cycle: `run` wrapped in a rotating
+              logfile (T6, the reference's event_db_updater analog);
+              exceptions land in the log and exit 1
   archive   — seal a completed month
   status    — print watermark + sink counts + last batch metrics
 """
@@ -68,6 +71,20 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_update(args) -> int:
+    from eventanalysis_spark.runner import run_logged, update_cycle
+
+    spark = _spark(args)
+    return run_logged(
+        lambda: update_cycle(
+            spark, args.source, args.warehouse,
+            cap=args.cap, repeat=args.repeat, period=args.period,
+        ),
+        tag=args.tag,
+        log_dir=args.log_dir,
+    )
+
+
 def cmd_archive(args) -> int:
     from eventanalysis_spark.pipeline import Pipeline, PipelineConfig
     from eventanalysis_spark.sources.archive import build_archive
@@ -116,6 +133,16 @@ def main(argv=None) -> int:
     r.add_argument("--period", default="day")
     r.add_argument("--repeat", action="store_true")
     r.set_defaults(fn=cmd_run)
+
+    u = sub.add_parser("update")
+    u.add_argument("--source", required=True)
+    u.add_argument("--warehouse", required=True)
+    u.add_argument("--cap", type=int, default=20000)
+    u.add_argument("--period", default="day")
+    u.add_argument("--repeat", action="store_true")
+    u.add_argument("--tag", default="event-db-updater")
+    u.add_argument("--log-dir", default=".")
+    u.set_defaults(fn=cmd_update)
 
     a = sub.add_parser("archive")
     a.add_argument("--warehouse", required=True)
