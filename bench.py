@@ -104,7 +104,12 @@ def worker_main(cores: int, docs: int) -> None:
     warm_docs = max(docs // 8, 100_000)
     run_pipeline(spark, ensure_pages(spark, warm_docs))
     best = None
-    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "1"))
+    # default 2 reps: the FIRST full-size run in a fresh JVM still pays
+    # one-time costs (heap growth, first-big-run GC shape) that the small
+    # warm run doesn't cover — ~12% of wall at 8 cores but ~4% at 2 cores,
+    # which skews the N→4N ratio. Min-of-2 times steady state at BOTH
+    # levels while keeping the fresh-JVM / cold-catalog methodology.
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
     for _ in range(reps):
         r = run_pipeline(spark, p)
         if best is None or r["seconds"] < best["seconds"]:

@@ -76,17 +76,24 @@ def start_routing_stream(
     routed = transform(stream, host_info, lang_info, rules)
 
     def sink_batch(df: DataFrame, epoch_id: int) -> None:
-        df = df.where(F.col("allowed")).drop("allowed")
-        sinks = [r["sink"] for r in df.select("sink").distinct().collect()]
-        for s in sorted(sinks):
-            tbl = wh.table(f"stream_sink_{s}")
-            if tbl.state().get("last_epoch") == epoch_id:
-                continue  # exactly-once on restart
-            tbl.append(
-                df.where(F.col("sink") == s).drop("sink"),
-                meta={"epoch": epoch_id},
-                state_update={"last_epoch": epoch_id},
-            )
+        # persist the transformed micro-batch: foreachBatch re-executes the
+        # full plan (incl. the parse UDF) for EVERY action otherwise — the
+        # sink-discovery collect plus one write per sink would re-parse the
+        # epoch n_sinks+1 times at cluster scale
+        df = df.where(F.col("allowed")).drop("allowed").persist()
+        try:
+            sinks = [r["sink"] for r in df.select("sink").distinct().collect()]
+            for s in sorted(sinks):
+                tbl = wh.table(f"stream_sink_{s}")
+                if tbl.state().get("last_epoch") == epoch_id:
+                    continue  # exactly-once on restart
+                tbl.append(
+                    df.where(F.col("sink") == s).drop("sink"),
+                    meta={"epoch": epoch_id},
+                    state_update={"last_epoch": epoch_id},
+                )
+        finally:
+            df.unpersist()
 
     writer = (
         routed.writeStream.outputMode("update")
