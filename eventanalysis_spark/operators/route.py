@@ -33,9 +33,13 @@ def apply_rules(
 ) -> DataFrame:
     """Broadcast-join the rule table and compute routing columns:
 
-      allowed : enabled && version >= min_version, default-allow when the
-                class has no rule (EventInfoTracker.cs:50-54)
-      sink    : rule sink, or `default_sink` for unknown classes
+      allowed     : enabled && version >= min_version, default-allow when
+                    the class has no rule (EventInfoTracker.cs:50-54)
+      sink        : rule sink, or `default_sink` for unknown classes
+      drop_reason : null for routed rows; 'disabled' | 'min_version' for
+                    dropped ones — rides into the quarantine partition so
+                    quarantined data is triageable without re-deriving
+                    which rule fired
 
     No rows are dropped here — observation happens on the full frame."""
     r = rules.select(
@@ -47,20 +51,27 @@ def apply_rules(
     j = enriched.join(
         F.broadcast(r), enriched[class_col] == r["__rule_class"], "left"
     )
-    allowed = F.coalesce(F.col("__rule_enabled"), F.lit(True)) & (
-        F.coalesce(F.col(version_col), F.lit(0))
-        >= F.coalesce(F.col("__rule_minver"), F.lit(0))
+    enabled = F.coalesce(F.col("__rule_enabled"), F.lit(True))
+    ver_ok = F.coalesce(F.col(version_col), F.lit(0)) >= F.coalesce(
+        F.col("__rule_minver"), F.lit(0)
     )
     return (
-        j.withColumn("allowed", allowed)
+        j.withColumn("allowed", enabled & ver_ok)
+        .withColumn(
+            "drop_reason",
+            F.when(F.col("allowed"), F.lit(None).cast("string"))
+            .when(~enabled, F.lit("disabled"))
+            .otherwise(F.lit("min_version")),
+        )
         .withColumn("sink", F.coalesce(F.col("__rule_sink"), F.lit(default_sink)))
         .drop("__rule_class", "__rule_minver", "__rule_enabled", "__rule_sink")
     )
 
 
 def routed_only(with_rules: DataFrame) -> DataFrame:
-    """The rows that actually flow to sinks (post-filter)."""
-    return with_rules.where(F.col("allowed")).drop("allowed")
+    """The rows that actually flow to sinks (post-filter; drop_reason is
+    null by construction on allowed rows, so it is dropped too)."""
+    return with_rules.where(F.col("allowed")).drop("allowed", "drop_reason")
 
 
 def observation_counts(with_rules: DataFrame, class_col: str = "event_class") -> DataFrame:

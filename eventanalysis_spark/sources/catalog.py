@@ -159,6 +159,29 @@ class Table:
         w.parquet(os.path.join(self.path, d))
         return d
 
+    def _check_schema(self, m: dict, df: DataFrame) -> None:
+        """Iceberg-style append-time schema validation: a mismatched frame
+        fails LOUDLY at commit time, not as a cryptic merge error at some
+        later read. Field order is irrelevant (parquet reads by name);
+        names + types must match exactly."""
+        if m["schema"] is None:
+            return
+        want = {
+            (f["name"], json.dumps(f["type"], sort_keys=True))
+            for f in json.loads(m["schema"])["fields"]
+        }
+        got = {
+            (f["name"], json.dumps(f["type"], sort_keys=True))
+            for f in json.loads(df.schema.json())["fields"]
+        }
+        if want != got:
+            missing = sorted(n for n, _ in want - got)
+            extra = sorted(n for n, _ in got - want)
+            raise ValueError(
+                f"append to table {self.name!r} with incompatible schema: "
+                f"missing/retyped {missing}, unexpected/retyped {extra}"
+            )
+
     def append(
         self,
         df: DataFrame,
@@ -168,6 +191,7 @@ class Table:
         coalesce: int | None = None,
     ) -> int:
         m = self._load()
+        self._check_schema(m, df)
         d = self._write_dir(df, partition_by, coalesce)
         prev = m["current"]
         prev_dirs = (
@@ -312,3 +336,33 @@ class Warehouse:
             d for d in os.listdir(self.root)
             if os.path.isdir(os.path.join(self.root, d))
         )
+
+    def maintain(
+        self,
+        spark: SparkSession,
+        keep_snapshots: int = 2,
+        target_partitions: int | None = None,
+        prefixes: tuple[str, ...] = ("sink_", "quarantine"),
+    ) -> dict[str, dict]:
+        """S12 at warehouse scope — the reference's VACUUM maintenance pass
+        (AppArchive.fs:57 'up to some tens of minutes', OpenDbV2.cs:1086):
+        for every data table, compact the live snapshot (many per-batch
+        lz4 staging dirs → one zstd-written dir, the Iceberg
+        rewrite_data_files analog) and expire superseded snapshots so
+        their directories are physically reclaimed. State/dim/agg tables
+        are excluded by default — they are tiny single-file commits.
+        Returns per-table {dirs_before, dirs_removed}."""
+        out: dict[str, dict] = {}
+        for name in self.tables():
+            if not any(name == p or name.startswith(p) for p in prefixes):
+                continue
+            t = self.table(name)
+            snap = t.current_snapshot()
+            if snap is None:
+                continue
+            before = len(snap.dirs)
+            if before > 1:
+                t.compact(spark, target_partitions=target_partitions)
+            removed = t.expire_snapshots(keep_last=keep_snapshots)
+            out[name] = {"dirs_before": before, "dirs_removed": removed}
+        return out

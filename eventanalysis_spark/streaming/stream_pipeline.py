@@ -80,7 +80,7 @@ def start_routing_stream(
         # full plan (incl. the parse UDF) for EVERY action otherwise — the
         # sink-discovery collect plus one write per sink would re-parse the
         # epoch n_sinks+1 times at cluster scale
-        df = df.where(F.col("allowed")).drop("allowed").persist()
+        df = df.where(F.col("allowed")).drop("allowed", "drop_reason").persist()
         try:
             sinks = [r["sink"] for r in df.select("sink").distinct().collect()]
             for s in sorted(sinks):

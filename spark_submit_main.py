@@ -20,6 +20,7 @@ Subcommands:
               logfile (T6, the reference's event_db_updater analog);
               exceptions land in the log and exit 1
   archive   — seal a completed month
+  maintain  — compact sink tables and expire old snapshots (S12 VACUUM)
   status    — print watermark + sink counts + last batch metrics
 """
 
@@ -101,6 +102,20 @@ def cmd_archive(args) -> int:
     return 0
 
 
+def cmd_maintain(args) -> int:
+    from eventanalysis_spark.sources.catalog import Warehouse
+
+    spark = _spark(args)
+    wh = Warehouse(args.warehouse)
+    out = wh.maintain(
+        spark,
+        keep_snapshots=args.keep_snapshots,
+        target_partitions=args.target_files or None,
+    )
+    print(json.dumps(out, indent=1))
+    return 0
+
+
 def cmd_status(args) -> int:
     from eventanalysis_spark.pipeline import SINK_PREFIX, Pipeline, PipelineConfig
 
@@ -151,6 +166,12 @@ def main(argv=None) -> int:
     a.add_argument("--month", required=True)
     a.add_argument("--allow-current", action="store_true")
     a.set_defaults(fn=cmd_archive)
+
+    mt = sub.add_parser("maintain")
+    mt.add_argument("--warehouse", required=True)
+    mt.add_argument("--keep-snapshots", type=int, default=2)
+    mt.add_argument("--target-files", type=int, default=0)
+    mt.set_defaults(fn=cmd_maintain)
 
     s = sub.add_parser("status")
     s.add_argument("--warehouse", required=True)

@@ -98,6 +98,25 @@ def test_routing_semantics(spark, parsed):
     assert len(pdf) == parsed.count()
 
 
+def test_drop_reason_triage(spark, parsed):
+    """Quarantined rows carry WHY they were dropped ('disabled' vs
+    'min_version'); routed rows carry null."""
+    wr = apply_rules(
+        enrich_pages(parsed, datagen.host_info_df(spark), datagen.lang_info_df(spark)),
+        datagen.route_rules_df(spark),
+    )
+    pdf = wr.select("event_class", "ever", "allowed", "drop_reason").toPandas()
+    assert pdf[pdf.allowed].drop_reason.isna().all()
+    login = pdf[pdf.event_class == "login"]  # enabled=False rule
+    assert (login.drop_reason == "disabled").all()
+    prod_low = pdf[(pdf.event_class == "product") & (pdf.ever < 2)]
+    assert (prod_low.drop_reason == "min_version").all()
+    # routed_only strips the vacuous column
+    from eventanalysis_spark.operators.route import routed_only
+
+    assert "drop_reason" not in routed_only(wr).columns
+
+
 def test_observation_includes_dropped(spark, parsed):
     """'observe even ignored events!' (EventImportJob.cs:93-94)."""
     wr = apply_rules(

@@ -185,3 +185,33 @@ def test_hot_host_salting_learns_and_spreads(spark, pages, wh):
     # learned hot set is committed with the watermark and survives resume
     p2 = Pipeline(spark, cfg)
     assert p2._hot_hosts == pipe._hot_hosts
+
+
+def test_warehouse_maintain_compacts_and_preserves(spark, pages, tmp_path):
+    """S12 VACUUM at warehouse scope: after batched runs leave one staging
+    dir per (batch, sink), maintain() collapses each sink to one compacted
+    snapshot dir, reclaims the superseded staging dirs, and changes no
+    data (row sets identical before/after). Resume state survives."""
+    wh_path = str(tmp_path / "wm")
+    pipe = _mk(spark, wh_path, cap=1100)
+    pipe.run_until_exhausted(pages)
+    before = {
+        s: {x.url for x in pipe.sink_table(s).select("url").collect()}
+        for s in ["content", "commerce", "security", "misc"]
+    }
+    content = pipe.wh.table("sink_content")
+    assert len(content.current_snapshot().dirs) == 3  # one per batch
+
+    out = pipe.wh.maintain(spark, keep_snapshots=1, target_partitions=1)
+    assert out["sink_content"]["dirs_before"] == 3
+    assert out["sink_content"]["dirs_removed"] > 0
+    assert len(content.current_snapshot().dirs) == 1
+
+    after = {
+        s: {x.url for x in pipe.sink_table(s).select("url").collect()}
+        for s in ["content", "commerce", "security", "misc"]
+    }
+    assert before == after
+    # pipeline state (watermark, batch count) untouched by maintenance
+    p2 = _mk(spark, wh_path, cap=1100)
+    assert p2.run_batch(pages) is None  # still exhausted, resume intact

@@ -211,3 +211,27 @@ def test_warehouse_snapshot_lifecycle(spark, tmp_path):
     removed = t.expire_snapshots(keep_last=1)
     assert removed > 0
     assert t.read(spark).count() == 6  # current snapshot untouched
+
+
+def test_append_schema_validation(spark, tmp_path):
+    """Iceberg-style commit-time schema check: a mismatched append fails
+    loudly instead of corrupting the table for later reads. Column ORDER
+    is irrelevant (parquet reads by name); overwrite may evolve schema."""
+    import pytest
+
+    wh = Warehouse(str(tmp_path / "whsv"))
+    t = wh.table("t")
+    t.append(spark.range(3).select(F.col("id"), F.lit("x").alias("v")))
+    # reordered columns are fine
+    t.append(spark.range(3).select(F.lit("y").alias("v"), F.col("id")))
+    # missing column / retyped column / extra column all refused
+    with pytest.raises(ValueError, match="incompatible schema"):
+        t.append(spark.range(2).select("id"))
+    with pytest.raises(ValueError, match="incompatible schema"):
+        t.append(spark.range(2).select(F.col("id").cast("int"), F.lit("z").alias("v")))
+    with pytest.raises(ValueError, match="incompatible schema"):
+        t.append(spark.range(2).select("id", F.lit("z").alias("v"), F.lit(1).alias("w")))
+    assert t.read(spark).count() == 6  # failed appends committed nothing
+    # overwrite IS schema evolution
+    t.overwrite(spark.range(2).select("id"))
+    assert t.read(spark).columns == ["id"]
