@@ -39,13 +39,21 @@ from pyspark.sql.types import (
 _NUM_ENT = re.compile(r"&#x([0-9A-Fa-f]+);|&#([0-9]+);")
 
 
+def _ent_char(m: re.Match) -> str:
+    """Decode one numeric entity; out-of-range codepoints (&#x110000;+,
+    possible in arbitrary web input) keep their raw text instead of
+    killing the task — a 10^12-doc scan must never die on one bad doc."""
+    try:
+        return chr(int(m.group(1), 16)) if m.group(1) else chr(int(m.group(2)))
+    except (ValueError, OverflowError):
+        return m.group(0)
+
+
 def _unescape(s: str) -> str:
     if "&" not in s:
         return s
     if "&#" in s:  # numeric entities are rare — skip the regex pass otherwise
-        s = _NUM_ENT.sub(
-            lambda m: chr(int(m.group(1), 16)) if m.group(1) else chr(int(m.group(2))), s
-        )
+        s = _NUM_ENT.sub(_ent_char, s)
     return s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
 
 
@@ -191,7 +199,19 @@ def parse_batch(url: pd.Series, html: pd.Series, _with_tokens: bool = False):
         mlangs.append(_find_quoted(doc, _LANG_MARK))
         ever_raw = _find_quoted(doc, _VER_MARK)
         ever_raws.append(ever_raw)
-        evers.append(parse_hex_or_dec(ever_raw) if ever_raw else None)
+        # malformed version strings in arbitrary web input → null value,
+        # raw kept for triage (TryParse semantics,
+        # XmlStringValueConversions.cs:27-59) — never a task-killing throw
+        if ever_raw:
+            try:
+                ever = parse_hex_or_dec(ever_raw)
+                if ever is not None and not (-(2**31) <= ever < 2**31):
+                    ever = None  # out of Int32 range (schema type)
+            except ValueError:
+                ever = None
+        else:
+            ever = None
+        evers.append(ever)
         i = doc.find("<title>")
         if i == -1:
             titles.append(None)

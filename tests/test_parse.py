@@ -89,6 +89,32 @@ def test_control_char_roundtrip():
     assert (ext == pdf["text"]).all()
 
 
+def test_malformed_input_never_throws():
+    """Web-scale robustness: garbage ea:ver content, out-of-range numeric
+    entities, and out-of-Int32 versions degrade to nulls / raw text —
+    a 10^12-doc scan must never die on one bad document."""
+    from eventanalysis_spark.operators.parse import _unescape
+
+    html = pd.Series(
+        [
+            b'<html><head><meta name="ea:ver" content="xyz"></head>'
+            b"<body><p>ok</p></body></html>",
+            b'<html><head><meta name="ea:ver" content="99999999999"></head>'
+            b"<body><p>&#x110000; stays</p></body></html>",
+            b'<html><head><meta name="ea:ver" content="0xZZ"></head>'
+            b"<body><p>&#xFFFFFFFFFF; too</p></body></html>",
+        ]
+    )
+    url = pd.Series(["https://a.com/x", "https://a.com/y", "https://a.com/z"])
+    out = parse_batch(url, html)
+    assert out["ever"].isna().all()
+    assert out["ever_raw"].tolist() == ["xyz", "99999999999", "0xZZ"]
+    assert out["text_extracted"].tolist() == [
+        "ok", "&#x110000; stays", "&#xFFFFFFFFFF; too"
+    ]
+    assert _unescape("&#x41;") == "A"  # valid entities still decode
+
+
 def test_meta_map_positional_fallback():
     """$XNN naming for unnamed entries (XmlDissector.cs:96-99)."""
     html = pd.Series(
