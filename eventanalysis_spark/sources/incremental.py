@@ -52,11 +52,37 @@ def above_watermark(df: DataFrame, wm: Watermark) -> DataFrame:
 def next_batch(df: DataFrame, wm: Watermark, cap: int | None = 20000) -> DataFrame:
     """One bounded micro-batch in watermark order. cap=None → everything
     above the watermark. Default cap mirrors the reference's 20k
-    (event_db_updater/AppUpdate.fs:44)."""
+    (event_db_updater/AppUpdate.fs:44).
+
+    Scale note: a naive `orderBy(...).limit(cap)` plans as
+    TakeOrderedAndProject, which funnels the WHOLE batch into ONE
+    partition — every downstream stage (the parse UDF, the staged write)
+    then runs single-task, collapsing throughput at production cap sizes
+    (measured 12x slower at cap=400k). Instead: find the cap-th
+    (warc_ts, url) key on a narrow two-column ordered-limit (cheap — the
+    top-k only carries the key columns), then select the batch as a
+    PARALLEL filter against that bound. The selected row set is
+    identical (url is unique within a timestamp, so the bound cuts
+    exactly at the cap-th row); partitioning is preserved. Runs one
+    small Spark job to compute the bound."""
     inc = above_watermark(df, wm)
     if cap is None:
         return inc
-    return inc.orderBy(F.col("warc_ts").asc(), F.col("url").asc()).limit(cap)
+    bound = (
+        inc.select("warc_ts", "url")
+        .orderBy(F.col("warc_ts").asc(), F.col("url").asc())
+        .limit(cap)
+        .agg(F.max(F.struct(F.col("warc_ts"), F.col("url"))).alias("m"))
+        .collect()[0]["m"]
+    )
+    if bound is None:  # source exhausted
+        return inc.where(F.lit(False))
+    b_ts = F.lit(bound["warc_ts"]).cast("timestamp")
+    b_url = F.lit(bound["url"])
+    return inc.where(
+        (F.col("warc_ts") < b_ts)
+        | ((F.col("warc_ts") == b_ts) & (F.col("url") <= b_url))
+    )
 
 
 def advance(batch_max: tuple | None, wm: Watermark) -> Watermark:
