@@ -469,9 +469,11 @@ def q_quality_textmetrics(spark, sf):
 
 def q_fingerprints(spark, sf):
     """Document fingerprinting: rolling polynomial hash + SimHash64 per
-    doc — deterministic, order/partitioning independent. Not expressible
-    in portable SQL (rows-only driver check); invariance is covered by
-    tests/test_textstats.py and test_dedup_similarity.py."""
+    doc — deterministic, order/partitioning independent. Uses the
+    SQL-replicable md5-60bit base hash (dedup.hash60_md5) so every value
+    has an EXACT DuckDB oracle; the xxhash64 production default computes
+    the same formulas (tests/test_textstats.py pins cross-variant
+    structure + partitioning invariance)."""
     from eventanalysis_spark.operators.dedup import simhash64
     from eventanalysis_spark.operators.textstats import fingerprint
 
@@ -479,8 +481,8 @@ def q_fingerprints(spark, sf):
     return (
         docs.select(
             "doc_id",
-            fingerprint(F.col("text")).alias("fp"),
-            simhash64(F.col("text")).alias("simhash"),
+            fingerprint(F.col("text"), hash_fn="md5").alias("fp"),
+            simhash64(F.col("text"), hash_fn="md5").alias("simhash"),
         )
         .where(F.col("doc_id") < 100)
         .orderBy("doc_id")
@@ -488,13 +490,17 @@ def q_fingerprints(spark, sf):
 
 
 def q_minhash_signature(spark, sf):
-    """MinHash signatures (8 permutations) over word shingles — the
-    LSH-dedup building block. No SQL oracle (rows-only check); full LSH
-    pair generation is exercised in tests/test_dedup.py."""
+    """MinHash signatures (8 permutations) over word 3-shingles — the
+    LSH-dedup building block. Uses the SQL-replicable md5-60bit base hash
+    (dedup.hash60_md5) so the DuckDB oracle reproduces every signature
+    value EXACTLY; the xxhash64 production default runs the identical
+    minhash machinery (pytest-pinned in tests/test_dedup_similarity.py)."""
     from eventanalysis_spark.operators.dedup import minhash_signatures
 
     docs = _t(spark, sf, "documents")
-    sigs = minhash_signatures(docs, text_col="text", id_col="doc_id", num_hashes=8)
+    sigs = minhash_signatures(
+        docs, text_col="text", id_col="doc_id", num_hashes=8, hash_fn="md5"
+    )
     return sigs.select(
         "doc_id", F.concat_ws(",", F.transform("sig", lambda x: x.cast("string"))).alias("sig_csv")
     ).orderBy("doc_id")
@@ -684,6 +690,28 @@ def q_dedup_minhash_lsh_pairs(spark, sf):
     pairs = near_duplicate_pairs(
         docs, text_col="text", id_col="doc_id",
         num_hashes=64, bands=32, shingle_k=3, threshold=0.5,
+        expand="pairs",
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def q_dedup_lsh_collapsed(spark, sf):
+    """The PRODUCTION (scale-path) form of MinHash+LSH near-dup: exact
+    duplicates collapse to a min-id representative before LSH (mega-bucket
+    guard, operators/dedup.py::near_duplicate_pairs expand='collapsed'),
+    so output = rep-level near-dup pairs + per-group (rep, member, 1.0)
+    star pairs — O(candidates + n) rows with the same connected components
+    as the exhaustive relation. Oracle: the same collapsed relation built
+    from brute-force jaccard over DISTINCT texts + SQL star expansion."""
+    from eventanalysis_spark.operators.dedup import near_duplicate_pairs
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    pairs = near_duplicate_pairs(
+        docs, text_col="text", id_col="doc_id",
+        num_hashes=64, bands=32, shingle_k=3, threshold=0.5,
+        expand="collapsed",
     )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -770,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_counts": q_rollup_counts,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+        "dedup_lsh_collapsed": q_dedup_lsh_collapsed,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embed_neardup_pairs": q_embed_neardup_pairs,
         "langid": q_langid,
@@ -777,8 +806,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _minhash_oracle() -> str:
+    """Exact DuckDB twin of q_minhash_signature: same 8 (a,b) universal-
+    hash coefficients (dedup._perm_coeffs seed=7), same md5-60bit shingle
+    base hash, same empty-doc sentinel."""
+    from eventanalysis_spark.operators.dedup import _perm_coeffs
+
+    mins = ",\n                   ".join(
+        "CAST(list_min(list_transform(h, x -> "
+        f"((x % 2147483647) * {a} + {b}) % 2147483647)) AS VARCHAR)"
+        for a, b in _perm_coeffs(8)
+    )
+    sentinel = ",".join(["-1"] * 8)
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                 END AS toks
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                      ELSE [array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(toks) - 2, 1))]
+                 END AS strs
+          FROM t
+        ),
+        hs AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(strs, x -> {_H60.format(x='x')})) AS h
+          FROM s
+        )
+        SELECT doc_id,
+               CASE WHEN len(h) = 0 THEN '{sentinel}'
+                    ELSE concat_ws(',', {mins})
+               END AS sig_csv
+        FROM hs ORDER BY doc_id
+    """
+
+
+def _fingerprints_oracle() -> str:
+    """Exact DuckDB twin of q_fingerprints: the rolling polynomial
+    fingerprint (fold (acc*1000003 + h60 mod m) mod m from 2166136261 over
+    whitespace tokens of trim(text)) and the 64-bit SimHash (per-bit sign
+    vote over md5-60bit token hashes of trim(lower(text))). Bits 60-63 of
+    the 60-bit base hash are always 0 → their votes are never positive →
+    terms omitted (matches the Spark md5 variant exactly)."""
+    votes = " + ".join(
+        f"(CASE WHEN COALESCE(list_sum(list_transform(lh, x -> "
+        f"CASE WHEN ((x >> {b}) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(60)
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\\s+')
+                 END AS fp_toks,
+                 CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                 END AS sh_toks
+          FROM documents WHERE doc_id < 100
+        ),
+        h AS (
+          SELECT doc_id,
+                 list_transform(fp_toks, x -> {_H60.format(x='x')} % 2147483647) AS fh,
+                 list_transform(sh_toks, x -> {_H60.format(x='x')}) AS lh
+          FROM t
+        )
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(2166136261 AS BIGINT), fh),
+                 (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp,
+               ({votes}) AS simhash
+        FROM h ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "minhash_signature": _minhash_oracle(),
+        "fingerprints": _fingerprints_oracle(),
         "p1_filter_order_limit": """
             SELECT event_id, ts, user_id, value FROM events
             WHERE event_id BETWEEN 100 AND 5000
@@ -1083,6 +1197,57 @@ def oracle_sql() -> dict[str, str]:
                              ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                                   / len(list_distinct(list_concat(a.s, b.s)))
                         END, 6) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        "dedup_lsh_collapsed": """
+            -- oracle for the COLLAPSED (scale-path) LSH relation: rep-level
+            -- brute-force jaccard pairs over DISTINCT texts + star pairs
+            -- (rep, member, 1.0) inside each exact-dup group
+            WITH g AS (
+              SELECT md5(text) AS th, MIN(doc_id) AS rep
+              FROM documents WHERE doc_id < 200 GROUP BY 1
+            ),
+            rd AS (
+              SELECT d.doc_id, d.text FROM documents d
+              JOIN g ON d.doc_id = g.rep
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                          ELSE list_distinct([
+                            array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(toks) - 2, 1))
+                          ])
+                     END AS s
+              FROM (
+                SELECT doc_id,
+                       CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                       END AS toks
+                FROM rd
+              )
+            ),
+            rep_pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     ROUND(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0
+                                THEN 1.0
+                                ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                                     / len(list_distinct(list_concat(a.s, b.s)))
+                           END, 6) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE ROUND(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0
+                               THEN 1.0
+                               ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                                    / len(list_distinct(list_concat(a.s, b.s)))
+                          END, 6) >= 0.5
+            ),
+            star AS (
+              SELECT g.rep AS id_a, d.doc_id AS id_b,
+                     CAST(1.0 AS DOUBLE) AS jaccard
+              FROM documents d JOIN g ON md5(d.text) = g.th
+              WHERE d.doc_id < 200 AND d.doc_id != g.rep
+            )
+            SELECT * FROM rep_pairs UNION ALL SELECT * FROM star
             ORDER BY id_a, id_b
         """,
         "ann_lsh_topk": """

@@ -31,14 +31,31 @@ def _tokens(text: Column) -> Column:
     )
 
 
-def shingles(text: Column, k: int = 3) -> Column:
+def hash60_md5(c: Column) -> Column:
+    """SQL-replicable 60-bit base hash: first 15 hex digits of md5, as a
+    non-negative bigint. DuckDB twin: ('0x'||substr(md5(x),1,15))::BIGINT —
+    used so minhash/fingerprint variants get EXACT cross-engine oracles.
+    xxhash64 stays the production default (faster, full 64-bit)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _base_hasher(hash_fn: str):
+    if hash_fn == "md5":
+        return hash60_md5
+    if hash_fn == "xxhash64":
+        return F.xxhash64
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+
+def shingles(text: Column, k: int = 3, hash_fn: str = "xxhash64") -> Column:
     """Word k-shingles as 64-bit hashes (distinct). Fewer than k words →
     one shingle of the whole text (so short docs still participate)."""
+    hasher = _base_hasher(hash_fn)
     toks = _tokens(text)
     n = F.size(toks)
     windows = F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        lambda i: hasher(F.concat_ws(" ", F.slice(toks, i + 1, k))),
     )
     return F.array_distinct(
         F.when(n == 0, F.array().cast("array<bigint>")).otherwise(windows)
@@ -92,10 +109,13 @@ def minhash_signatures(
     id_col: str = "url",
     num_hashes: int = 64,
     shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """id + MinHash signature array<long>[num_hashes]. Entirely JVM-side:
-    array_min over a universal-hash transform of the shingle hashes."""
-    sh = shingles(F.col(text_col), shingle_k).alias("__sh")
+    array_min over a universal-hash transform of the shingle hashes.
+    hash_fn='md5' selects the SQL-replicable 60-bit base hash (exact
+    DuckDB oracle); 'xxhash64' (default) is the production fast path."""
+    sh = shingles(F.col(text_col), shingle_k, hash_fn).alias("__sh")
     out = df.select(F.col(id_col).alias("doc_id") if id_col != "doc_id" else F.col(id_col), sh)
     def _universal(a: int, b: int):
         # (a·x + b) mod p over non-negative x (pmod of xxhash64); factory
@@ -115,15 +135,32 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 16, rows_per_band: int | None = None
+    sigs: DataFrame,
+    bands: int = 16,
+    rows_per_band: int | None = None,
+    num_hashes: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs (id_a < id_b) sharing
-    any band bucket. Shuffle key = (band_idx, band_hash): identical docs
-    always co-bucket; bucket sizes stay small for non-pathological data."""
-    # derive rows_per_band from the actual signature length
-    first = sigs.select(F.size("sig").alias("n")).limit(1).collect()
-    n_sig = first[0]["n"] if first else 0
-    r = rows_per_band or max(1, n_sig // bands)
+    any band bucket. Shuffle key = (band_idx, band_hash).
+
+    Scale guards:
+      - pass `num_hashes` (callers always know it) so no Spark job runs at
+        plan-build time; the collect fallback exists only for ad-hoc use;
+      - `max_bucket_size`: a (band, bucket) with b members emits b(b-1)/2
+        pairs — one degenerate bucket (boilerplate/template text that
+        survived exact-dup collapse) can emit 10^12 pairs at web scale.
+        With a cap, oversized buckets instead emit STAR pairs to the
+        bucket's min doc_id: O(b) pairs that still connect the whole
+        bucket for connected-component clustering, at the cost of pair
+        completeness inside pathological buckets only."""
+    if rows_per_band is None:
+        if num_hashes is None:
+            # back-compat fallback: derive from the data (runs a tiny job)
+            first = sigs.select(F.size("sig").alias("n")).limit(1).collect()
+            num_hashes = first[0]["n"] if first else 0
+        rows_per_band = max(1, num_hashes // bands)
+    r = rows_per_band
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -141,18 +178,36 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if max_bucket_size is None:
+        a = banded.alias("a")
+        b = banded.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .distinct()
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
+    sizes = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("__bn"), F.min("doc_id").alias("__anchor")
     )
+    bb = banded.join(sizes, ["band", "bucket"])
+    small = bb.where(F.col("__bn") <= max_bucket_size)
+    a, b = small.alias("a"), small.alias("b")
+    small_pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    big_star = (
+        bb.where((F.col("__bn") > max_bucket_size) & (F.col("doc_id") != F.col("__anchor")))
+        .select(F.col("__anchor").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    return small_pairs.unionByName(big_star).distinct()
 
 
 def jaccard_verify(
@@ -192,21 +247,95 @@ def near_duplicate_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.8,
+    expand: str = "collapsed",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: shingle → minhash → band →
-    bucket-join → exact-Jaccard verify."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    cands = lsh_candidate_pairs(sigs, bands)
-    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
-    return jaccard_verify(base, cands, text_col, "doc_id", shingle_k, threshold)
+    """Full MinHash-LSH near-dup pipeline: exact-dup collapse → shingle →
+    minhash → band → bucket-join → exact-Jaccard verify → expand.
+
+    Exact duplicates are collapsed FIRST (groupBy md5(text), representative
+    = min id): at web scale 10^6 identical boilerplate pages would
+    otherwise co-bucket in EVERY band by construction and the bucket
+    self-join would emit 10^12 candidate pairs. After collapse, LSH only
+    ever sees distinct texts; exact-dup groups re-enter the output as
+    linear-size star pairs.
+
+    expand='collapsed' (default — the scale shape): output is
+        (rep_a, rep_b, jaccard) near-dup pairs between group
+        representatives, plus (rep, member, 1.0) star pairs inside each
+        exact-dup group. O(candidates + n) rows; connected components over
+        these edges give exactly the same dup clusters as the exhaustive
+        relation.
+    expand='pairs' (exhaustive parity): every (id_a < id_b) doc pair with
+        jaccard ≥ threshold, identical to the naive all-docs pipeline —
+        inherently quadratic in exact-dup group size (the OUTPUT is), so
+        only for bounded data / oracle verification."""
+    th = F.md5(F.col(text_col)).alias("__th")
+    groups = df.groupBy(th).agg(
+        F.min(F.col(id_col)).alias("doc_id"), F.count(F.lit(1)).alias("__gn")
+    )
+    rep_docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col)).join(
+        groups.select("doc_id", "__th"), "doc_id"
+    )
+    sigs = minhash_signatures(rep_docs, text_col, "doc_id", num_hashes, shingle_k)
+    cands = lsh_candidate_pairs(
+        sigs, bands, num_hashes=num_hashes, max_bucket_size=max_bucket_size
+    )
+    rep_pairs = jaccard_verify(rep_docs, cands, text_col, "doc_id", shingle_k, threshold)
+
+    members = df.select(
+        F.col(id_col).alias("__mid"), F.md5(F.col(text_col)).alias("__th")
+    )
+    if expand == "collapsed":
+        star = (
+            members.join(groups.select("doc_id", "__th"), "__th")
+            .where(F.col("__mid") != F.col("doc_id"))
+            .select(
+                F.col("doc_id").alias("id_a"),
+                F.col("__mid").alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        return rep_pairs.select("id_a", "id_b", "jaccard").unionByName(star)
+    if expand != "pairs":
+        raise ValueError(f"expand must be 'collapsed' or 'pairs', got {expand!r}")
+    # exhaustive expansion (output-bound quadratic inside exact-dup groups)
+    m1, m2 = members.alias("m1"), members.alias("m2")
+    within = (
+        m1.join(m2, (F.col("m1.__th") == F.col("m2.__th"))
+                & (F.col("m1.__mid") < F.col("m2.__mid")))
+        .select(
+            F.col("m1.__mid").alias("id_a"),
+            F.col("m2.__mid").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    rep_th = groups.select(F.col("doc_id"), F.col("__th"))
+    cross = (
+        rep_pairs
+        .join(rep_th.select(F.col("doc_id").alias("id_a"), F.col("__th").alias("__tha")), "id_a")
+        .join(rep_th.select(F.col("doc_id").alias("id_b"), F.col("__th").alias("__thb")), "id_b")
+        .join(members.select(F.col("__mid").alias("__ma"), F.col("__th").alias("__tha")), "__tha")
+        .join(members.select(F.col("__mid").alias("__mb"), F.col("__th").alias("__thb")), "__thb")
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            F.col("jaccard"),
+        )
+    )
+    return within.unionByName(cross)
 
 
 # ---- SimHash ----------------------------------------------------------------
 
-def simhash64(text: Column) -> Column:
+def simhash64(text: Column, hash_fn: str = "xxhash64") -> Column:
     """64-bit SimHash of the token stream, pure Catalyst expressions:
-    per bit b, sign of Σ_tokens (±1 by bit b of xxhash64(token))."""
-    hashes = F.transform(_tokens(text), lambda t: F.xxhash64(t))
+    per bit b, sign of Σ_tokens (±1 by bit b of xxhash64(token)).
+    hash_fn='md5' uses the 60-bit SQL-replicable base hash (bits 60-63
+    then always vote negative — an exact-oracle variant, not bit-compatible
+    with the xxhash64 production default)."""
+    hasher = _base_hasher(hash_fn)
+    hashes = F.transform(_tokens(text), lambda t: hasher(t))
     bit_votes = F.transform(
         F.sequence(F.lit(0), F.lit(63)),
         lambda b: F.aggregate(
@@ -239,10 +368,39 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "url",
     max_hamming: int = 3,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """SimHash near-dup candidates: block on 4 16-bit chunks (any doc pair
     within hamming distance ≤ 3 shares at least one identical chunk by
-    pigeonhole with 4 blocks), verify exact hamming ≤ max_hamming."""
+    pigeonhole with 4 blocks), verify exact hamming ≤ max_hamming.
+
+    collapse_exact=True (default) collapses identical texts to their min-id
+    representative BEFORE blocking (identical docs share every block key —
+    the same mega-bucket hazard as MinHash LSH) and re-emits each exact-dup
+    group as (rep, member, hamming=0) star pairs: O(n) output per group
+    instead of O(n²), same connected components."""
+    if collapse_exact:
+        th = F.md5(F.col(text_col)).alias("__th")
+        groups = df.groupBy(th).agg(F.min(F.col(id_col)).alias("doc_id"))
+        rep_docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col)).join(
+            groups.select("doc_id"), "doc_id", "left_semi"
+        )
+        rep_pairs = simhash_near_pairs(
+            rep_docs, text_col, "doc_id", max_hamming, collapse_exact=False
+        )
+        members = df.select(
+            F.col(id_col).alias("__mid"), F.md5(F.col(text_col)).alias("__th")
+        )
+        star = (
+            members.join(groups.select("doc_id", "__th"), "__th")
+            .where(F.col("__mid") != F.col("doc_id"))
+            .select(
+                F.col("doc_id").alias("id_a"),
+                F.col("__mid").alias("id_b"),
+                F.lit(0).alias("hamming"),
+            )
+        )
+        return rep_pairs.unionByName(star)
     h = df.select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sh"))
     blocked = h.select(
         "doc_id",

@@ -24,28 +24,42 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def enrich_pages(parsed: DataFrame, host_info: DataFrame, lang_info: DataFrame) -> DataFrame:
+def enrich_pages(
+    parsed: DataFrame,
+    host_info: DataFrame,
+    lang_info: DataFrame,
+    broadcast_host: bool = True,
+) -> DataFrame:
     """Composite-view analog (OpenDbV2.cs:1108-1113): fact ⋈ dims, LEFT so
-    unknown keys survive with NULL attributes (they are discovery input)."""
+    unknown keys survive with NULL attributes (they are discovery input).
+    broadcast_host=False when the host dim has outgrown broadcast size
+    (>10^7 hosts at web scale) — AQE then picks the join strategy."""
+    host_side = F.broadcast(host_info) if broadcast_host else host_info
     return (
-        parsed.join(F.broadcast(host_info), "host", "left")
+        parsed.join(host_side, "host", "left")
         .join(F.broadcast(lang_info), "lang", "left")
     )
 
 
-def discover_new_keys(fact: DataFrame, dim: DataFrame, keys: list[str]) -> DataFrame:
+def discover_new_keys(
+    fact: DataFrame, dim: DataFrame, keys: list[str], broadcast: bool = True
+) -> DataFrame:
     """J5: distinct fact keys not present in the dim (left_anti). The
     distinct() is the map-side combine that makes this scale: the anti-join
-    input is |unique keys|, never |fact|."""
+    input is |unique keys|, never |fact|. broadcast=False for dims past
+    broadcast size (the spilled-dim pipeline path)."""
     from functools import reduce
     from operator import or_
 
     any_key = reduce(or_, [F.col(k).isNotNull() for k in keys])
+    dim_side = dim.select(*keys)
+    if broadcast:
+        dim_side = F.broadcast(dim_side)
     return (
         fact.select(*keys)
         .where(any_key)
         .distinct()
-        .join(F.broadcast(dim.select(*keys)), keys, "left_anti")
+        .join(dim_side, keys, "left_anti")
     )
 
 

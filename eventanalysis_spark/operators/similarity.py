@@ -165,9 +165,37 @@ def embedding_near_duplicates(
     tables: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via self-join on LSH buckets +
-    exact cosine filter (the embedding analog of MinHash near-dup)."""
+    exact cosine filter (the embedding analog of MinHash near-dup).
+
+    collapse_exact=True (default) first collapses bit-identical vectors to
+    their min-id representative: identical embeddings co-bucket in EVERY
+    table (the LSH mega-bucket hazard), so a web-scale crawl with 10^6
+    copies of one page's embedding would emit 10^12 pairs. Each identity
+    group re-enters the output as (rep, member, 1.0) star pairs — O(n)
+    per group, same connected components as the exhaustive relation."""
+    if collapse_exact:
+        groups = emb.groupBy(F.col(vec_col)).agg(F.min(F.col(id_col)).alias("__rep"))
+        rep_rows = emb.join(
+            groups.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+        )
+        rep_pairs = embedding_near_duplicates(
+            rep_rows, dim, threshold, bits, tables, id_col, vec_col,
+            collapse_exact=False,
+        )
+        star = (
+            emb.select(F.col(id_col).alias("__mid"), F.col(vec_col))
+            .join(groups, vec_col)
+            .where(F.col("__mid") != F.col("__rep"))
+            .select(
+                F.col("__rep").alias("id_a"),
+                F.col("__mid").alias("id_b"),
+                F.lit(1.0).alias("cos_sim"),
+            )
+        )
+        return rep_pairs.unionByName(star)
     e = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
 
     def sig_array(vcol):

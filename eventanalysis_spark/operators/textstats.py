@@ -97,10 +97,15 @@ def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def fingerprint(text: Column) -> Column:
+def fingerprint(text: Column, hash_fn: str = "xxhash64") -> Column:
     """Order-sensitive rolling document fingerprint: polynomial rolling
-    hash over token hashes, h = (h·1000003 + xxhash64(tok)) mod 2^31-1 —
-    stable under any partitioning (pure function of text)."""
+    hash over token hashes, h = (h·1000003 + hash(tok) mod m) mod 2^31-1 —
+    stable under any partitioning (pure function of text). hash_fn='md5'
+    swaps the token hash for the 60-bit md5 prefix so DuckDB can replicate
+    the value exactly (oracle variant); 'xxhash64' is the default."""
+    from eventanalysis_spark.operators.dedup import _base_hasher
+
+    hasher = _base_hasher(hash_fn)
     toks = F.when(
         F.length(F.trim(text)) == 0, F.array().cast("array<string>")
     ).otherwise(F.split(F.trim(text), r"\s+"))
@@ -109,7 +114,7 @@ def fingerprint(text: Column) -> Column:
     return F.aggregate(
         toks,
         F.lit(2166136261).cast("long"),
-        lambda acc, t: F.pmod(acc * F.lit(1000003) + F.pmod(F.xxhash64(t), m), m),
+        lambda acc, t: F.pmod(acc * F.lit(1000003) + F.pmod(hasher(t), m), m),
     )
 
 

@@ -42,6 +42,13 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from eventanalysis_spark import datagen
 from eventanalysis_spark.functions.scalars import period_key
@@ -66,6 +73,25 @@ RESERVED_TABLES = frozenset(
 )
 # sink names follow the reference's job-name grammar (EventJobConfig.cs:58)
 _SINK_NAME_RE = re.compile(r"^[a-z][a-z0-9]*([-_][a-z0-9]+)*$")
+
+# fixed schemas for driver-side micro-commits (Table.append_rows — no
+# Spark job for a 5-row table); must match the bootstrap DataFrames
+_HOST_SCHEMA = StructType([
+    StructField("host_id", IntegerType()),
+    StructField("host", StringType()),
+    StructField("registrar", StringType()),
+])
+_LANG_SCHEMA = StructType([
+    StructField("lang", StringType()),
+    StructField("lang_name", StringType()),
+])
+_OBS_SCHEMA = StructType([
+    StructField("event_class", StringType()),
+    StructField("n_observed", LongType()),
+    StructField("n_routed", LongType()),
+    StructField("n_dropped", LongType()),
+    StructField("batch_id", StringType()),
+])
 
 
 def validate_sink_name(sink: str) -> None:
@@ -111,6 +137,15 @@ class PipelineConfig:
     # writes don't serialize. (Explicit because the persisted agg pins its
     # shuffle partitioning before AQE coalescing can apply.)
     agg_write_files: int = 1
+    # Driver dim-cache ceiling. Below it, host/lang dims live on the
+    # driver (the reference's ProviderInfoCache shape: tiny dims, broadcast
+    # enrich, driver-side sequential ids). Once the host dim outgrows it,
+    # the pipeline PERMANENTLY switches to the table path (flag persisted
+    # in state): hosts stay in the warehouse table, discovery is a
+    # distributed anti-join append (operators/enrich.py), and the enrich
+    # join stops forcing broadcast so AQE picks the join strategy. At
+    # web scale hosts exceed 10^7 — a driver cache cannot hold them.
+    dim_cache_limit: int = 1_000_000
     discovery: str = "post"  # "post": new dim keys from the staged batch
     # aggregate (no extra source scan; ids attach from the NEXT batch on) |
     # "pre": strict reference ordering (ProviderInfoCache semantics — ids
@@ -157,8 +192,15 @@ class Pipeline:
             self.rules_tbl.overwrite(rules or datagen.route_rules_df(spark))
         # driver-side dim caches (the reference's ProviderInfoCache/J4 shape):
         # dims are tiny; keeping them on the driver avoids re-reading parquet
-        # every batch and makes the enrich joins broadcast-from-local
-        self._host_rows = [r.asDict() for r in self.host_tbl.read(spark).collect()]
+        # every batch and makes the enrich joins broadcast-from-local.
+        # Once the host dim has outgrown dim_cache_limit (flag persisted in
+        # state), hosts stay in the warehouse table — no driver cache.
+        self._dims_spilled = bool(self.state_tbl.state().get("dims_spilled", False))
+        self._host_rows = (
+            None
+            if self._dims_spilled
+            else [r.asDict() for r in self.host_tbl.read(spark).collect()]
+        )
         self._lang_rows = [r.asDict() for r in self.lang_tbl.read(spark).collect()]
         self._rules_df = self.rules_tbl.read(spark)
         # hot hosts learned from the previous batch's aggregate (committed
@@ -171,6 +213,8 @@ class Pipeline:
             validate_sink_name(s)
 
     def _host_df(self) -> DataFrame:
+        if self._dims_spilled:
+            return self.host_tbl.read(self.spark)
         return self.spark.createDataFrame(
             [(r["host_id"], r["host"], r["registrar"]) for r in self._host_rows],
             "host_id int, host string, registrar string",
@@ -185,48 +229,77 @@ class Pipeline:
     def _grow_dims(self, seen_hosts: set, seen_langs: set, batch_id: str) -> tuple[int, int]:
         """Deterministic sequential id assignment for newly observed keys
         (driver-side over the tiny new-key set; the reference does exactly
-        this on its single thread, ProviderInfoCache.cs:92-136). The dim
-        caches here assume ≤~10^6 keys; beyond that switch to the
-        table-based anti-join path (operators/enrich.discover_and_grow)."""
-        import threading as _threading
-
+        this on its single thread, ProviderInfoCache.cs:92-136). Commits
+        are APPEND-ONLY driver-side arrow writes of just the new rows — no
+        Spark job, no full-dim rewrite. When the host cache outgrows
+        cfg.dim_cache_limit the pipeline flips to the table path
+        (_grow_hosts_table) permanently."""
         n_h = n_l = 0
-        writes = []
-        new_hosts = sorted(seen_hosts - {r["host"] for r in self._host_rows})
+        new_hosts = (
+            sorted(seen_hosts - {r["host"] for r in self._host_rows})
+            if seen_hosts and self._host_rows is not None
+            else []
+        )
         if new_hosts and self.host_tbl.state().get("last_batch") != batch_id:
             next_id = max((r["host_id"] for r in self._host_rows), default=0) + 1
-            for i, h in enumerate(new_hosts):
-                self._host_rows.append({"host_id": next_id + i, "host": h, "registrar": None})
+            rows = [(next_id + i, h, None) for i, h in enumerate(new_hosts)]
+            for hid, h, _ in rows:
+                self._host_rows.append({"host_id": hid, "host": h, "registrar": None})
             n_h = len(new_hosts)
-            writes.append(lambda: self.host_tbl.overwrite(
-                self._host_df(), meta={"batch": batch_id},
-                state_update={"last_batch": batch_id}, coalesce=1))
+            self.host_tbl.append_rows(
+                rows, _HOST_SCHEMA, meta={"batch": batch_id},
+                state_update={"last_batch": batch_id},
+            )
+            if len(self._host_rows) > self.cfg.dim_cache_limit:
+                # permanent switch to the table path; flag rides the next
+                # watermark commit and every future Pipeline sees it
+                self._dims_spilled = True
+                self._host_rows = None
         new_langs = sorted(seen_langs - {r["lang"] for r in self._lang_rows})
         if new_langs and self.lang_tbl.state().get("last_batch") != batch_id:
+            rows = [(lg, None) for lg in new_langs]
             for lg in new_langs:
                 self._lang_rows.append({"lang": lg, "lang_name": None})
             n_l = len(new_langs)
-            writes.append(lambda: self.lang_tbl.overwrite(
-                self._lang_df(), meta={"batch": batch_id},
-                state_update={"last_batch": batch_id}, coalesce=1))
-        # both dim snapshots are independent tables — commit them
-        # concurrently (each is a tiny single-file write; errors re-raised)
-        errs: list = []
-
-        def _run(fn):
-            try:
-                fn()
-            except Exception as e:  # pragma: no cover - surfaced below
-                errs.append(e)
-
-        threads = [_threading.Thread(target=_run, args=(w,)) for w in writes]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        if errs:
-            raise errs[0]
+            self.lang_tbl.append_rows(
+                rows, _LANG_SCHEMA, meta={"batch": batch_id},
+                state_update={"last_batch": batch_id},
+            )
         return n_h, n_l
+
+    def _grow_hosts_table(self, batch_hosts: DataFrame, batch_id: str) -> int:
+        """Scale path for host-dim growth (dims too big for the driver):
+        distinct batch hosts anti-join the dim TABLE, sequential ids
+        continue from the table max (ProviderInfoCache.cs:126 numbering,
+        distributed), and ONLY the new rows are appended. No driver-side
+        host set, no full-dim rewrite — O(new keys) work per batch."""
+        from eventanalysis_spark.operators.enrich import assign_ids, discover_new_keys
+
+        if self.host_tbl.state().get("last_batch") == batch_id:
+            return self.host_tbl.state().get("last_batch_new", 0)
+        dim = self.host_tbl.read(self.spark)
+        new = discover_new_keys(
+            batch_hosts.select("host"), dim, ["host"], broadcast=False
+        )
+        start = dim.agg(F.max("host_id").alias("m")).collect()[0]["m"] or 0
+        new_ids = (
+            assign_ids(new, "host_id", ["host"], start_after=start)
+            .select(
+                "host_id", "host", F.lit(None).cast("string").alias("registrar")
+            )
+            .persist()
+        )
+        n_new = new_ids.count()
+        if n_new:
+            self.host_tbl.append(
+                new_ids, meta={"batch": batch_id},
+                state_update={"last_batch": batch_id, "last_batch_new": n_new},
+                coalesce=1,
+            )
+        else:
+            self.host_tbl.set_state(last_batch=batch_id, last_batch_new=0)
+        new_ids.unpersist()
+        return n_new
 
     # ---- state ---------------------------------------------------------
     def watermark(self) -> Watermark:
@@ -303,7 +376,10 @@ class Pipeline:
             if self.cfg.fused_parse
             else parse_pages(batch, features=self.cfg.compute_text_features)
         )
-        enriched = enrich_pages(parsed, self._host_df(), self._lang_df())
+        enriched = enrich_pages(
+            parsed, self._host_df(), self._lang_df(),
+            broadcast_host=not self._dims_spilled,
+        )
         with_rules = apply_rules(enriched, self._rules_df, self.cfg.default_sink)
         staged = with_rules.withColumn(
             "sink", F.when(F.col("allowed"), F.col("sink")).otherwise(F.lit(QUARANTINE))
@@ -332,65 +408,91 @@ class Pipeline:
             _shutil.rmtree(stage_dir, ignore_errors=True)
             return None
 
-        # -- all stats from the staged columnar data (cheap pruned scans):
-        # ONE grouping-sets aggregate yields lineage (sink, part_id),
-        # observation stats (sink, event_class), dim-discovery keys
-        # (host, lang), sink row counts, and the watermark bound TOGETHER.
-        # Small Spark jobs are the pipeline's serial fraction — fusing the
-        # three scans/collects into one job is what keeps 2→8-core scaling
-        # efficiency ~0.9 instead of ~0.86 (measured, BENCH.md).
+        # -- all stats from ONE staged scan: a single fine-grained
+        # map-side-partial hash aggregate at (sink, part_id, event_class,
+        # host, lang, bucket) grain is persisted, and EVERYTHING downstream
+        # — per-sink north-rule aggregate, lineage, observation stats,
+        # dim-discovery keys, hot-host volumes — is a tiny rollup of that
+        # cache. The previous design ran TWO full staged scans (fine stats
+        # + agg) in parallel threads; overlap hides the second scan only
+        # when cores are idle, so at low parallelism (the N→4N scaling
+        # regime) it was pure extra work. part_id is in the grain, so the
+        # map-side combine is perfect (each task owns one part_id) and the
+        # shuffled volume is the per-task distinct-combo count, not rows.
         import threading as _threading
 
         stg = self.spark.read.parquet(stage_dir)
+        fine_grain = (
+            stg.groupBy(
+                "sink", "part_id", "event_class", "host", "lang",
+                period_key(F.col("warc_ts"), self.cfg.period).alias("bucket"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("warc_ts").alias("__ts_min"),
+                F.max("warc_ts").alias("__ts_max"),
+                F.sum("n_bytes").alias("__bytes"),
+            )
+            .persist()
+        )
+        agg_tbl = self.wh.table("sink_agg")
+        post_discovery = self.cfg.discovery == "post"
+
+        # the ONE staged scan: materializes the cache with full parallelism
+        # and collects the (sink, part_id, event_class) rollup (lineage +
+        # observation grain). (A grouping-sets form was measured 3x slower
+        # at low parallelism: Expand duplicates every input row per set.)
+        fine = (
+            fine_grain.groupBy("sink", "part_id", "event_class")
+            .agg(
+                F.sum("n").alias("rows"),
+                F.min("__ts_min").cast("string").alias("ts_min"),
+                F.max("__ts_max").cast("string").alias("ts_max"),
+                F.sum("__bytes").alias("bytes"),
+            )
+            .collect()
+        )
+        n_input_fine = sum(r["rows"] for r in fine)
 
         # -- per-sink north-rule aggregate (additive counts), INCLUDING the
         # quarantine partition ("observe even ignored events",
-        # EventImportJob.cs:93-94). Launched on a DRIVER THREAD so its
-        # staged scan+append overlaps the fine-stats collect below — the
-        # two jobs are independent, and on a multi-executor cluster (or
-        # local[N] with idle slots) they interleave instead of serializing.
-        agg = (
-            stg.groupBy(
-                "sink", "host", "lang", "event_class",
-                period_key(F.col("warc_ts"), self.cfg.period).alias("bucket"),
-            )
-            .agg(F.count(F.lit(1)).alias("n"))
-            .withColumn("batch_id", F.lit(batch_id))
-        )
-        agg_tbl = self.wh.table("sink_agg")
+        # EventImportJob.cs:93-94): a cached rollup + tiny append, launched
+        # on a DRIVER THREAD so it overlaps the driver-side lineage/obs
+        # assembly and the sink manifest commits below.
         agg_res: dict = {}
-        post_discovery = self.cfg.discovery == "post"
+        hot_thr = self.cfg.salt_threshold * max(n_input_fine, 1)
 
         def _agg_write():
-            # post-mode dim discovery rides this thread: persist the (small,
-            # bounded-by-group-cardinality) aggregate so the distinct-keys
-            # collect reuses the computed agg instead of a second staged
-            # scan or a read-back of the files just written — the keys
-            # arrive concurrently with the fine-stats collect below,
-            # removing a serial tail job from every batch.
             try:
                 if agg_tbl.state().get("last_batch") != batch_id:
-                    if post_discovery:
-                        # keys FIRST: the distinct materializes the cache
-                        # with full shuffle parallelism; the coalesced
-                        # append below then writes few files from the tiny
-                        # cached result. (Order matters — a coalesce(1)
-                        # write against a cold cache would make one task
-                        # compute all partitions serially.)
-                        agg.persist()
-                        # per-host volume (for hot-host detection) doubles
-                        # as the host half of dim discovery; both collects
-                        # are tiny rollups of the cached aggregate
-                        agg_res["host_counts"] = (
-                            agg.groupBy("host").agg(F.sum("n").alias("n")).collect()
+                    if post_discovery and not self._dims_spilled:
+                        # ONE tiny cached rollup feeds dim discovery AND
+                        # hot-host detection: (host, lang) volumes;
+                        # host/lang marginals derive driver-side
+                        agg_res["kl"] = (
+                            fine_grain.groupBy("host", "lang")
+                            .agg(F.sum("n").alias("n"))
+                            .collect()
                         )
-                        agg_res["keys"] = [
-                            {"host": None, "lang": r["lang"]}
-                            for r in agg.select("lang").distinct().collect()
-                        ] + [
-                            {"host": r["host"], "lang": None}
-                            for r in agg_res["host_counts"]
-                        ]
+                    elif post_discovery:
+                        # spilled dims: hosts never collect unbounded —
+                        # hot candidates are filtered to >= threshold
+                        # (≤ 1/salt_threshold rows by construction) and
+                        # langs are a bounded distinct
+                        agg_res["hot"] = (
+                            fine_grain.groupBy("host")
+                            .agg(F.sum("n").alias("n"))
+                            .where(F.col("n") >= F.lit(hot_thr))
+                            .collect()
+                        )
+                        agg_res["langs"] = (
+                            fine_grain.select("lang").distinct().collect()
+                        )
+                    agg = (
+                        fine_grain.groupBy("sink", "host", "lang", "event_class", "bucket")
+                        .agg(F.sum("n").alias("n"))
+                        .withColumn("batch_id", F.lit(batch_id))
+                    )
                     agg_res["sid"] = agg_tbl.append(
                         agg, meta={"batch": batch_id},
                         state_update={"last_batch": batch_id},
@@ -400,28 +502,9 @@ class Pipeline:
                     agg_res["sid"] = agg_tbl.snapshot_for_meta("batch", batch_id)
             except Exception as e:
                 agg_res["err"] = e
-            finally:
-                if post_discovery:
-                    agg.unpersist()
 
         agg_thread = _threading.Thread(target=_agg_write, name=f"agg-{batch_id}")
         agg_thread.start()
-
-        # finest grouping (sink, part_id, event_class): ONE map-side-partial
-        # hash agg + small collect; lineage = roll up over event_class, obs
-        # = roll up over part_id — both driver-side. (A grouping-sets form
-        # was measured 3x slower at low parallelism: Expand duplicates every
-        # input row per set, tripling the max(struct(ts,url)) work.)
-        fine = (
-            stg.groupBy("sink", "part_id", "event_class")
-            .agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.min("warc_ts").cast("string").alias("ts_min"),
-                F.max("warc_ts").cast("string").alias("ts_max"),
-                F.sum("n_bytes").alias("bytes"),
-            )
-            .collect()
-        )
         # resume (write skipped, no Observation): one narrow 2-column scan
         if wm_bound_row is None:
             wm_bound_row = stg.select(
@@ -450,6 +533,7 @@ class Pipeline:
         n_input = sum(r["rows"] for r in lineage_rows)
         if n_input == 0:
             agg_thread.join()
+            fine_grain.unpersist()
             return None
         bounds = (wm_bound_row["warc_ts"], wm_bound_row["url"])
         lineage: dict[str, list] = {}
@@ -484,6 +568,11 @@ class Pipeline:
                         "lineage": lineage.get(s, []),
                     },
                     state_update={"last_batch": batch_id, "last_batch_rows": n_rows},
+                    # drop_reason is quarantine-only triage data; routed
+                    # sink partitions carry it always-null (single
+                    # partitionBy write), so sink tables project it away —
+                    # batch and streaming sink schemas stay identical
+                    read_drop=None if s == QUARANTINE else ["drop_reason"],
                 )
             if s != QUARANTINE:
                 sink_counts[s] = n_rows
@@ -491,10 +580,10 @@ class Pipeline:
         timer.lap("fan_out")
 
         # observation stats assembled DRIVER-SIDE from the fine-grouped
-        # rows (no extra scan); the tiny append runs on a second driver
-        # thread — all table commits are independent and idempotent, and
-        # every thread joins before the watermark advances (the overall
-        # commit point)
+        # rows (no extra scan) and committed as a driver-side arrow write
+        # (Table.append_rows) — zero Spark jobs for a ~|event classes|-row
+        # table; all commits stay independent and idempotent, and happen
+        # before the watermark advances (the overall commit point)
         obs_acc: dict = {}
         for r in obs_rows:
             d = obs_acc.setdefault(
@@ -505,28 +594,17 @@ class Pipeline:
                 d["n_dropped"] += r["rows"]
             else:
                 d["n_routed"] += r["rows"]
-        obs = self.spark.createDataFrame(
-            [
-                (ec, d["n_observed"], d["n_routed"], d["n_dropped"], batch_id)
-                for ec, d in sorted(obs_acc.items(), key=lambda kv: str(kv[0]))
-            ],
-            "event_class string, n_observed long, n_routed long, "
-            "n_dropped long, batch_id string",
-        )
         obs_tbl = self.wh.table("observations")
-        obs_errs: list = []
-
-        def _obs_write():
-            try:
-                if obs_tbl.state().get("last_batch") != batch_id:
-                    obs_tbl.append(obs, meta={"batch": batch_id},
-                                   state_update={"last_batch": batch_id},
-                                   coalesce=1)
-            except Exception as e:  # surfaced after join, before commit
-                obs_errs.append(e)
-
-        obs_thread = _threading.Thread(target=_obs_write, name=f"obs-{batch_id}")
-        obs_thread.start()
+        if obs_tbl.state().get("last_batch") != batch_id:
+            obs_tbl.append_rows(
+                [
+                    (ec, d["n_observed"], d["n_routed"], d["n_dropped"], batch_id)
+                    for ec, d in sorted(obs_acc.items(), key=lambda kv: str(kv[0]))
+                ],
+                _OBS_SCHEMA,
+                meta={"batch": batch_id},
+                state_update={"last_batch": batch_id},
+            )
 
         agg_thread.join()
         if "err" in agg_res:
@@ -537,29 +615,50 @@ class Pipeline:
         # (agg already committed): read back ONLY the files that batch's
         # commit added (incremental snapshot read).
         if post_discovery:
-            keys = agg_res.get("keys")
-            if keys is None:
-                keys_src = (
-                    agg_tbl.read_incremental(self.spark, agg_res["sid"])
-                    if agg_res.get("sid") is not None
-                    else agg_tbl.read(self.spark).where(F.col("batch_id") == batch_id)
+            if self._dims_spilled:
+                # table path: hosts never touch the driver; langs stay in
+                # the (bounded) driver cache
+                batch_hosts = fine_grain.select("host").where(
+                    F.col("host").isNotNull()
+                ).distinct()
+                n_new_hosts = self._grow_hosts_table(batch_hosts, batch_id)
+                langs = agg_res.get("langs")
+                if langs is None:
+                    langs = fine_grain.select("lang").distinct().collect()
+                _, n_new_langs = self._grow_dims(
+                    set(), {r["lang"] for r in langs if r["lang"]}, batch_id
                 )
-                keys = keys_src.select("host", "lang").distinct().collect()
-            n_new_hosts, n_new_langs = self._grow_dims(
-                {k["host"] for k in keys if k["host"]},
-                {k["lang"] for k in keys if k["lang"]},
-                batch_id,
-            )
-            if self.cfg.detect_hot_hosts and agg_res.get("host_counts") is not None:
-                thr = self.cfg.salt_threshold * max(n_input, 1)
-                self._hot_hosts = sorted(
-                    r["host"]
-                    for r in agg_res["host_counts"]
-                    if r["host"] and r["n"] >= thr
+                if self.cfg.detect_hot_hosts and agg_res.get("hot") is not None:
+                    self._hot_hosts = sorted(
+                        r["host"] for r in agg_res["hot"] if r["host"]
+                    )
+            else:
+                kl = agg_res.get("kl")
+                if kl is None:  # resume: read back this batch's agg files
+                    keys_src = (
+                        agg_tbl.read_incremental(self.spark, agg_res["sid"])
+                        if agg_res.get("sid") is not None
+                        else agg_tbl.read(self.spark).where(F.col("batch_id") == batch_id)
+                    )
+                    kl = (
+                        keys_src.groupBy("host", "lang")
+                        .agg(F.sum("n").alias("n"))
+                        .collect()
+                    )
+                n_new_hosts, n_new_langs = self._grow_dims(
+                    {k["host"] for k in kl if k["host"]},
+                    {k["lang"] for k in kl if k["lang"]},
+                    batch_id,
                 )
-        obs_thread.join()
-        if obs_errs:
-            raise obs_errs[0]
+                if self.cfg.detect_hot_hosts:
+                    host_totals: dict[str, int] = {}
+                    for r in kl:
+                        if r["host"]:
+                            host_totals[r["host"]] = host_totals.get(r["host"], 0) + r["n"]
+                    self._hot_hosts = sorted(
+                        h for h, n in host_totals.items() if n >= hot_thr
+                    )
+        fine_grain.unpersist()
         timer.lap("aggregate")
 
         # -- advance watermark (the overall batch commit point)
@@ -567,7 +666,7 @@ class Pipeline:
         n_batches = self.state_tbl.state().get("n_batches", 0) + 1
         self.state_tbl.set_state(
             **new_wm.to_state(), n_batches=n_batches, last_batch=batch_id,
-            hot_hosts=self._hot_hosts,
+            hot_hosts=self._hot_hosts, dims_spilled=self._dims_spilled,
         )
 
         total = timer.total()

@@ -96,6 +96,16 @@ class Table:
         return self._load().get("state", {})
 
     # ---- read ----------------------------------------------------------
+    def _apply_read_drop(self, m: dict, df: DataFrame) -> DataFrame:
+        """Manifest-recorded read-side projection: columns that physically
+        exist in the data files but are NOT part of the table's logical
+        schema (e.g. the router's drop_reason triage column, which is
+        quarantine-only — always-null in routed sink partitions adopted
+        from the same partitionBy write). DataFrame.drop is a no-op for
+        absent columns, so mixed old/new file layouts read uniformly."""
+        rd = m.get("read_drop") or []
+        return df.drop(*rd) if rd else df
+
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         m = self._load()
         sid = snapshot_id if snapshot_id is not None else m["current"]
@@ -107,7 +117,7 @@ class Table:
         dirs = [os.path.join(self.path, d) for d in snap["dirs"]]
         if not dirs:
             return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
-        return spark.read.parquet(*dirs)
+        return self._apply_read_drop(m, spark.read.parquet(*dirs))
 
     def read_incremental(self, spark: SparkSession, snapshot_id: int) -> DataFrame:
         """Read ONLY the files added by `snapshot_id` (Iceberg incremental-
@@ -123,7 +133,7 @@ class Table:
         ]
         if not dirs:
             return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
-        return spark.read.parquet(*dirs)
+        return self._apply_read_drop(m, spark.read.parquet(*dirs))
 
     def snapshot_for_meta(self, key: str, value) -> int | None:
         """Newest snapshot id whose commit metadata has meta[key] == value."""
@@ -244,6 +254,7 @@ class Table:
         src_dir: str,
         meta: dict | None = None,
         state_update: dict | None = None,
+        read_drop: list[str] | None = None,
     ) -> int:
         """Adopt an already-written parquet directory as an append snapshot
         WITHOUT moving it (Iceberg model: data files written in place, the
@@ -267,6 +278,84 @@ class Table:
             }
         )
         m["current"] = sid
+        if read_drop:
+            m["read_drop"] = sorted(set(m.get("read_drop") or []) | set(read_drop))
+        if state_update:
+            m.setdefault("state", {}).update(state_update)
+        self._commit(m)
+        return sid
+
+    # pyarrow twins of Spark's simple types for driver-side micro-commits
+    _PA_TYPES = {
+        "string": "string", "long": "int64", "integer": "int32",
+        "double": "float64", "boolean": "bool_",
+    }
+
+    def _rows_write_dir(self, rows: list[tuple], schema: StructType) -> str:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pa_schema = pa.schema(
+            [
+                pa.field(f.name, getattr(pa, self._PA_TYPES[f.dataType.typeName()])())
+                for f in schema.fields
+            ]
+        )
+        cols = list(zip(*rows)) if rows else [[] for _ in schema.fields]
+        tbl = pa.table(
+            {f.name: list(c) for f, c in zip(schema.fields, cols)},
+            schema=pa_schema,
+        )
+        d = f"data-{uuid.uuid4().hex[:12]}"
+        os.makedirs(os.path.join(self.path, d), exist_ok=True)
+        pq.write_table(tbl, os.path.join(self.path, d, "part-00000.parquet"))
+        return d
+
+    def append_rows(
+        self,
+        rows: list[tuple],
+        schema: StructType,
+        meta: dict | None = None,
+        state_update: dict | None = None,
+    ) -> int:
+        """Driver-side small-table append: ONE parquet file written via
+        pyarrow — no Spark job at all. Per-batch micro-commits
+        (observation stats, dim growth) are part of the pipeline's serial
+        fraction; a Spark write job costs 0.2-0.5 s of driver scheduling
+        for a 5-row table, the arrow write costs ~1 ms. Simple types only
+        (string/long/int/double/bool — these tables carry no timestamps).
+        Same append-time schema validation as DataFrame appends."""
+        m = self._load()
+        if m["schema"] is not None:
+            want = {
+                (f["name"], json.dumps(f["type"], sort_keys=True))
+                for f in json.loads(m["schema"])["fields"]
+            }
+            got = {
+                (f.name, json.dumps(f.dataType.jsonValue(), sort_keys=True))
+                for f in schema.fields
+            }
+            if want != got:
+                raise ValueError(
+                    f"append_rows to table {self.name!r} with incompatible "
+                    f"schema: want {sorted(want)}, got {sorted(got)}"
+                )
+        d = self._rows_write_dir(rows, schema)
+        prev = m["current"]
+        prev_dirs = (
+            next(x for x in m["snapshots"] if x["id"] == prev)["dirs"] if prev is not None else []
+        )
+        sid = (prev or 0) + 1
+        m["snapshots"].append(
+            {
+                "id": sid,
+                "parent": prev,
+                "dirs": prev_dirs + [d],
+                "meta": {**(meta or {}), "op": "append", "committed_at": time.time()},
+            }
+        )
+        m["current"] = sid
+        m["schema"] = schema.json() if m["schema"] is None else m["schema"]
         if state_update:
             m.setdefault("state", {}).update(state_update)
         self._commit(m)

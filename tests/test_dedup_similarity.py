@@ -88,6 +88,67 @@ def test_simhash(spark, dup_docs):
     assert (1, 2) in got
 
 
+def test_mega_bucket_exact_dup_collapse(spark):
+    """10^4 identical docs: the exhaustive pair relation is C(10^4,2) ≈
+    5·10^7, but the default (collapsed) LSH pipeline must emit O(n) rows —
+    exact dups collapse to one representative before LSH, then re-enter as
+    (rep, member, 1.0) star pairs."""
+    n = 10_000
+    docs = (
+        spark.range(n)
+        .select(
+            F.col("id").cast("int").alias("doc_id"),
+            F.lit("same boilerplate page text repeated across the crawl").alias("text"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(n + 1, "one genuinely different document about spark")],
+                "doc_id int, text string",
+            )
+        )
+    )
+    pairs = near_duplicate_pairs(
+        docs, "text", "doc_id", num_hashes=16, bands=8, threshold=0.5
+    )
+    rows = pairs.collect()
+    assert len(rows) == n - 1  # star pairs only: (0, 1..n-1)
+    assert all(r.id_a == 0 and r.jaccard == 1.0 for r in rows)
+    # the unrelated doc never pairs
+    assert all(r.id_b != n + 1 for r in rows)
+
+
+def test_lsh_bucket_cap_star_fallback(spark, dup_docs):
+    """max_bucket_size: oversized (band, bucket) groups emit star pairs to
+    the bucket min instead of all-pairs — output linear in bucket size,
+    connectivity preserved."""
+    sigs = minhash_signatures(dup_docs, "text", "doc_id", num_hashes=16)
+    capped = lsh_candidate_pairs(sigs, bands=8, num_hashes=16, max_bucket_size=1)
+    uncapped = lsh_candidate_pairs(sigs, bands=8, num_hashes=16)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    # with cap=1 every multi-member bucket collapses to anchor stars: each
+    # doc that shared any bucket is still connected to that bucket's min id
+    assert (1, 2) in got  # identical docs stay connected
+    # star form never emits MORE pairs than the exhaustive form
+    assert len(got) <= uncapped.count()
+
+
+def test_simhash_collapse_modes(spark, dup_docs):
+    """collapse_exact keeps identical-doc connectivity (star pairs) and
+    matches the exhaustive form's connected components."""
+    collapsed = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_pairs(dup_docs, "text", "doc_id", 3).collect()
+    }
+    exhaustive = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_pairs(
+            dup_docs, "text", "doc_id", 3, collapse_exact=False
+        ).collect()
+    }
+    assert (1, 2) in collapsed
+    assert collapsed <= exhaustive | {(1, 2)}
+
+
 @pytest.fixture(scope="module")
 def embeddings(spark):
     return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -138,6 +138,50 @@ def test_dims_grow_once_and_persist(spark, pages, wh):
     assert langs.count() == 10
 
 
+def test_drop_reason_only_in_quarantine(spark, pages, wh):
+    """drop_reason is triage data for quarantined rows: sink tables must
+    NOT expose it (it is always-null there by construction), quarantine
+    must — and batch sink schema == streaming sink schema."""
+    p = _mk(spark, wh, cap=None)
+    r = p.run_batch(pages)
+    assert r is not None
+    for s in r.sink_counts:
+        assert "drop_reason" not in p.sink_table(s).columns, s
+    q = p.wh.table("quarantine").read(spark)
+    assert "drop_reason" in q.columns
+    assert q.where(F.col("drop_reason").isNull()).count() == 0
+
+
+def test_dim_spill_switches_to_table_path(spark, pages, wh):
+    """Once the host dim outgrows dim_cache_limit the pipeline must flip
+    permanently to the table-based anti-join path (distributed discovery,
+    append-only growth, no driver cache) with sequential-id CONTINUITY
+    across the switch — and a fresh Pipeline on the same warehouse must
+    come up already spilled."""
+    cfg = PipelineConfig(warehouse=wh, cap=1000, dim_cache_limit=5)
+    p = Pipeline(spark, cfg)
+    results = p.run_until_exhausted(pages)
+    assert len(results) == 3
+    assert p._dims_spilled is True
+    assert p._host_rows is None
+    assert p.state_tbl.state().get("dims_spilled") is True
+    hosts = p.wh.table("dim_host").read(spark).collect()
+    assert len(hosts) == 20
+    ids = sorted(r.host_id for r in hosts)
+    assert ids == list(range(1, 21))  # sequential, no gaps across the switch
+    # a new instance resumes spilled and still discovers nothing new
+    p2 = Pipeline(spark, cfg)
+    assert p2._dims_spilled is True
+    assert p2.run_batch(pages) is None
+    # parity: same routed rows as an unspilled run
+    q = _mk(spark, wh + "_ref", cap=1000)
+    q.run_until_exhausted(pages)
+    for s in ["content", "commerce", "security", "misc"]:
+        a = {x.url for x in p.sink_table(s).select("url").collect()}
+        b = {x.url for x in q.sink_table(s).select("url").collect()}
+        assert a == b, s
+
+
 def test_hot_host_salting_learns_and_spreads(spark, pages, wh):
     """North-rule skew handling: a host above salt_threshold of batch
     volume is learned from batch N's aggregate and its rows are salted
