@@ -194,24 +194,15 @@ def q_o5_capped_batch(spark, sf):
 
 def q_w2_spread_sample(spark, sf):
     """W2: evenly-spread k-sample at indices ⌊(n−1)·i/(k−1)⌋, k=10
-    (AppSamples.fs:131-139)."""
-    k = 10
+    (AppSamples.fs:131-139) via the two-phase distributed operator
+    (range-partition → per-partition counts → local row_number + global
+    offset; NO single-partition window — operators/query.py)."""
+    from eventanalysis_spark.operators.query import k_spread_sample
+
     ev = _t(spark, sf, "events")
-    w = Window.orderBy("event_id")
-    numbered = ev.select(
-        "event_id",
-        (F.row_number().over(w) - 1).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
-    idx = spark.range(k).select(F.col("id").alias("i"))
     return (
-        numbered.join(
-            F.broadcast(idx),
-            numbered.rn == F.floor((numbered.n - 1) * idx.i / (k - 1)),
-            "inner",
-        )
+        k_spread_sample(ev, k=10, order_by=("event_id",))
         .select("event_id")
-        .distinct()
         .orderBy("event_id")
     )
 

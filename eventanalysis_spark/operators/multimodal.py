@@ -68,26 +68,62 @@ MEDIA_SCHEMA = StructType(
 MAX_MEDIA_BYTES = 999_999  # reference tlob record cap (TlobWriter.cs:88-93)
 
 
-# ---- codec layer: real implementations are stubs ---------------------------
+# ---- codec layer: runtime-optional real decoders ---------------------------
+# Each decoder import-tries its codec library AT CALL TIME: wherever the
+# libs exist (a real cluster image) the operators are transparently real;
+# where they don't (this sandbox ships none of Pillow/soundfile/PyAV) the
+# NotImplementedError routes callers to the deterministic fake. Output
+# schema and batch shape are identical either way.
 
 def _decode_image_real(content: bytes) -> np.ndarray:
-    """Real JPEG/PNG decode → HxWx3 uint8. Requires Pillow (not in this
-    image)."""
-    raise NotImplementedError(
-        "image decode requires Pillow; sandbox runs the deterministic fake"
-    )
+    """Real JPEG/PNG decode → HxWx3 uint8 via Pillow, when available."""
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires Pillow; falling back to deterministic fake"
+        ) from e
+    import io
+
+    img = Image.open(io.BytesIO(content or b"")).convert("RGB")
+    return np.asarray(img, dtype=np.uint8)
 
 
 def _decode_audio_real(content: bytes) -> np.ndarray:
-    raise NotImplementedError(
-        "audio decode requires soundfile/torchaudio; sandbox runs the fake"
-    )
+    """Real audio decode → mono float32 samples via soundfile, when
+    available."""
+    try:
+        import soundfile as sf
+    except ImportError as e:
+        raise NotImplementedError(
+            "audio decode requires soundfile; falling back to deterministic fake"
+        ) from e
+    import io
+
+    data, _sr = sf.read(io.BytesIO(content or b""), dtype="float32")
+    if data.ndim > 1:
+        data = data.mean(axis=1)
+    return data.astype(np.float32)
 
 
 def _decode_video_frames_real(content: bytes, n_frames: int) -> np.ndarray:
-    raise NotImplementedError(
-        "video decode requires PyAV/ffmpeg; sandbox runs the fake"
-    )
+    """Real video frame sampling → (n_frames, H, W, 3) uint8 via PyAV,
+    when available (frames spread evenly across the stream)."""
+    try:
+        import av
+    except ImportError as e:
+        raise NotImplementedError(
+            "video decode requires PyAV/ffmpeg; falling back to deterministic fake"
+        ) from e
+    import io
+
+    with av.open(io.BytesIO(content or b"")) as container:
+        decoded = [f.to_ndarray(format="rgb24") for f in container.decode(video=0)]
+    if not decoded:
+        raise NotImplementedError("video stream decoded to zero frames")
+    n = len(decoded)
+    picks = sorted({(n - 1) * i // max(1, n_frames - 1) for i in range(n_frames)})
+    return np.stack([decoded[j] for j in picks])
 
 
 def _fake_pixels(content: bytes, h: int, w: int) -> np.ndarray:
@@ -142,7 +178,12 @@ def image_features(media: DataFrame, thumb: int = 8) -> DataFrame:
                 h = int(meta["height"] or 16) if meta is not None else 16
                 try:
                     px = _decode_image_real(content)
-                except NotImplementedError:
+                    # real decode: actual dims win over metadata claims
+                    h, w = int(px.shape[0]), int(px.shape[1])
+                except Exception:
+                    # codec missing (NotImplementedError) OR corrupt bytes
+                    # under a real codec: deterministic fallback keeps the
+                    # operator total — a bad record never kills the task
                     px = _fake_pixels(content, h, w)
                 # thumb-pool: average over a thumb x thumb grid → feature
                 th = px[: (h // thumb) * thumb, : (w // thumb) * thumb]
@@ -198,7 +239,9 @@ def audio_features(media: DataFrame, n_bands: int = 32) -> DataFrame:
                 dur = int(meta["duration_ms"] or 1000) if meta is not None else 1000
                 try:
                     x = _decode_audio_real(content)
-                except NotImplementedError:
+                    if x.size == 0:
+                        raise NotImplementedError("empty audio stream")
+                except Exception:
                     x = _fake_samples(content, sr)
                 bands = x[: (len(x) // n_bands) * n_bands].reshape(n_bands, -1)
                 out["media_id"].append(mid)
@@ -241,7 +284,7 @@ def video_frame_sample(media: DataFrame, k: int = 4, thumb: int = 4) -> DataFram
                 picks = sorted({(n_frames - 1) * i // max(1, k - 1) for i in range(k)})
                 try:
                     frames = _decode_video_frames_real(content, len(picks))
-                except NotImplementedError:
+                except Exception:
                     frames = np.stack(
                         [
                             _fake_pixels((content or b"") + bytes([j % 256]), thumb, thumb)

@@ -93,13 +93,18 @@ def _extract_text(doc: str) -> str:
 
 def _find_quoted(doc: str, marker: str) -> str | None:
     """Value of `marker…"` up to the closing quote — the str.find twin of
-    the `<meta …="([^"]*)"` regexes (first occurrence, no quote inside)."""
+    the `<meta …="([^"]*)"` regexes. Exactly like regex search, a marker
+    occurrence with NO closing quote anywhere after it (truncated tail)
+    fails that position and the scan resumes at the next occurrence —
+    without this, regex and scan diverged on malformed input where a later
+    well-formed occurrence exists."""
     i = doc.find(marker)
-    if i == -1:
-        return None
-    i += len(marker)
-    j = doc.find('"', i)
-    return doc[i:j] if j != -1 else None
+    while i != -1:
+        j = doc.find('"', i + len(marker))
+        if j != -1:
+            return doc[i + len(marker) : j]
+        i = doc.find(marker, i + 1)
+    return None
 
 
 def extract_text_series(html: pd.Series) -> pd.Series:
@@ -267,11 +272,12 @@ _STOPITEMS = tuple(_STOPSETS.items())
 
 def _doc_features(t: str, toks: list[str]) -> tuple:
     """quality score / lang-id / fingerprint for ONE doc (formulas mirror
-    operators/textstats.py). Fingerprint is a crc32 roll over the utf-8
-    bytes mixed with the FNV offset — a byte-level rolling checksum
-    (UDF-side analog of textstats.fingerprint; crc32 instead of xxhash64 —
-    python has no xxhash — so values intentionally differ from the JVM
-    operator, determinism guarantees are identical)."""
+    operators/textstats.py). Fingerprint is the SAME rolling per-token
+    polynomial as textstats.fingerprint — h = (h*1000003 + hash(tok)) mod
+    2^31-1 from 2166136261 — with crc32 as the token hash (python has no
+    xxhash64), so VALUES differ from the JVM operator but the structure is
+    identical: whitespace-run-insensitive, order-sensitive, partitioning-
+    independent."""
     from zlib import crc32
 
     n_tok = len(toks)
@@ -299,7 +305,9 @@ def _doc_features(t: str, toks: list[str]) -> tuple:
         h = len(low & ws)
         if h > best_hits or (h == best_hits and h > 0 and lg > best_lang):
             best_lang, best_hits = lg, h
-    fp = (2166136261 * 1000003 + crc32(t.encode())) % _FP_MOD
+    fp = 2166136261
+    for tok in toks:
+        fp = (fp * 1000003 + crc32(tok.encode())) % _FP_MOD
     return (
         round(avg_wl, 6),
         round(punct_r, 6),

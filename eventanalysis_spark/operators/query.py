@@ -119,28 +119,64 @@ def resolve_host(host_info_rows: list, key: str) -> tuple[int, str]:
     return subs[0]["host_id"], subs[0]["host"]
 
 
-def k_spread_sample(df: DataFrame, k: int, predicate: Column | None = None) -> DataFrame:
+def k_spread_sample(
+    df: DataFrame,
+    k: int,
+    predicate: Column | None = None,
+    num_partitions: int | None = None,
+    order_by: tuple[str, ...] = ORDER_COLS,
+) -> DataFrame:
     """W2: evenly-spread k-sample — pick rows at indices
     ⌊(n−1)·i/(k−1)⌋ for i in 0..k−1 of the ordered match set; k=1 → the
-    most recent (AppSamples.fs:124-139).
+    most recent (AppSamples.fs:124-139 index formula, exactly).
 
-    Distributed shape: a global row_number is unavoidable for exact index
-    semantics; we confine the single-partition window to (idx) only after
-    a cheap count, and filter `rn ∈ indices` — the shuffled payload is the
-    matched subset, not the full table. For approximate sampling at 100 TB
-    use df.sample(); this operator exists for exact reference parity."""
+    Two-phase distributed shape (NO single-partition window anywhere):
+      1. range-partition the match set on the total order (warc_ts, url)
+         and count rows per range partition (one tiny collect);
+      2. per-partition row_number (window partitioned by the range id —
+         every partition numbers its own rows in parallel) + the driver-
+         computed cumulative offset = exact global index; filter
+         `global index ∈ target indices`.
+    Range partitions are ordered by construction, and (warc_ts, url) is a
+    total order (url unique), so local order + offset ≡ the global order.
+    For approximate sampling at 100 TB use df.sample(); this operator
+    exists for exact reference parity."""
     matched = df.where(predicate) if predicate is not None else df
-    n = matched.count()
-    if n == 0:
-        return matched
     if k <= 1:
         return first_event(matched, reverse=True)
+    sess = matched.sparkSession
+    nparts = num_partitions or sess.sparkContext.defaultParallelism
+    # persist pins the sampled range boundaries: the counts job and the
+    # final filter must see the SAME partition assignment (range sampling
+    # is not guaranteed identical across recomputations)
+    ranged = (
+        matched.repartitionByRange(nparts, *[F.col(c) for c in order_by])
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = sum(counts.values())
+    if n == 0:
+        return matched
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
     idx = sorted({(n - 1) * i // (k - 1) for i in range(k)})
-    w = Window.orderBy(*order_cols())
+    off_df = F.broadcast(
+        sess.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
+        )
+    )
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c).asc() for c in order_by])
     return (
-        matched.withColumn("__rn", F.row_number().over(w) - 1)
-        .where(F.col("__rn").isin(idx))
-        .drop("__rn")
+        ranged.join(off_df, "__pid")
+        .withColumn("__gidx", F.row_number().over(w) - 1 + F.col("__off"))
+        .where(F.col("__gidx").isin(idx))
+        .drop("__pid", "__off", "__gidx")
     )
 
 

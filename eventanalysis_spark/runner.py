@@ -21,7 +21,6 @@ batch and the next scheduled cycle continues from there (T1/T4)."""
 from __future__ import annotations
 
 import contextlib
-import io
 import os
 import re
 import time
@@ -76,21 +75,23 @@ def run_logged(
     os.makedirs(log_dir, exist_ok=True)
     logpath = os.path.join(log_dir, f"{tag}.log")
     _cycle_log(logpath, cycle_bytes)
-    with open(logpath, "a", encoding="utf-8") as lf:
+    # line-buffered append + direct redirect: output reaches the logfile AS
+    # IT IS PRODUCED (the reference wrapper streams too, LoggedRun.fs:24-30)
+    # — a cycle killed mid-run (OOM, scheduler timeout, SIGKILL) keeps
+    # everything written so far instead of losing the whole buffered cycle.
+    # stderr is captured alongside stdout (tracebacks, JVM warnings).
+    with open(logpath, "a", encoding="utf-8", buffering=1) as lf:
         lf.write("---------------------------------------------------------\n")
         lf.write("--- " + time.strftime("%Y-%m-%d %H:%M:%S %z") + "\n")
         for w in warnings:
             lf.write(f"- {w}\n")
-        buf = io.StringIO()
         try:
-            with contextlib.redirect_stdout(buf):
+            with contextlib.redirect_stdout(lf), contextlib.redirect_stderr(lf):
                 ret = fn()
         except Exception:
-            lf.write(buf.getvalue())
             lf.write("\n------ ERROR -----\n")
             lf.write(traceback.format_exc())
             return 1
-        lf.write(buf.getvalue())
         lf.write("\n")
     return ret
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,24 +53,114 @@ def export_spec_csv(
     return extracted
 
 
+_XML_TOKEN = re.compile(r"<[^>]*>|[^<]+")
+
+
+def indent_xml(xml: str, fragment: bool = True, indent: str = "  ") -> str:
+    """F10: re-indent markup — the IndentXml analog
+    (/root/reference/Lcl.EventLog/Utilities/XmlUtilities.cs:95-125):
+    elements nest with 2-space indentation, text-only elements stay on one
+    line, self-closing tags normalize to `<x />`, whitespace-only text
+    nodes between elements are dropped, and fragment=False prepends the
+    XML declaration (ConformanceLevel.Document). Like the reference's
+    FixXml pre-pass, malformed input degrades gracefully (unbalanced tags
+    clamp depth; this never raises) — values are an analog of the .NET
+    writer's output, not byte-identical to it."""
+    toks = [t for t in _XML_TOKEN.findall(xml or "")]
+    lines: list[str] = []
+    depth = 0
+
+    def is_tag(t: str) -> bool:
+        return t.startswith("<")
+
+    def is_close(t: str) -> bool:
+        return t.startswith("</")
+
+    def is_leaf(t: str) -> bool:  # self-closing / PI / comment / doctype
+        return t.endswith("/>") or t.startswith(("<?", "<!"))
+
+    def norm(t: str) -> str:
+        if t.endswith("/>") and not t.endswith(" />"):
+            return t[:-2].rstrip() + " />"
+        return t
+
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if not is_tag(t):
+            if t.strip():
+                lines.append(indent * depth + t.strip())
+            i += 1
+            continue
+        if is_close(t):
+            depth = max(0, depth - 1)
+            lines.append(indent * depth + t)
+            i += 1
+            continue
+        if is_leaf(t):
+            lines.append(indent * depth + norm(t))
+            i += 1
+            continue
+        # opening tag: text-only element stays on one line
+        if (
+            i + 2 < len(toks)
+            and not is_tag(toks[i + 1])
+            and toks[i + 1].strip()
+            and is_close(toks[i + 2])
+        ):
+            lines.append(indent * depth + t + toks[i + 1].strip() + toks[i + 2])
+            i += 3
+            continue
+        if i + 1 < len(toks) and is_close(toks[i + 1]):  # empty element pair
+            lines.append(indent * depth + t + toks[i + 1])
+            i += 2
+            continue
+        lines.append(indent * depth + t)
+        depth += 1
+        i += 1
+    body = "\n".join(lines)
+    if fragment:
+        return body
+    return '<?xml version="1.0" encoding="utf-8"?>\n' + body + "\n"
+
+
 def export_samples(
     df: DataFrame,
     out_dir: str,
     k: int = 5,
     predicate=None,
     content_col: str = "text_extracted",
+    fmt: str = "text",
 ) -> list[str]:
     """S8: evenly-spread k samples written as individual files (the
-    reference's per-event XML sample files). Collect is bounded by k."""
+    reference's per-event XML sample files, AppSamples.fs:141-150).
+    Collect is bounded by k. fmt='xml' re-indents the content column
+    through indent_xml (the reference pretty-prints each sampled event
+    via XmlUtilities.IndentXml) and writes .xml files."""
     os.makedirs(out_dir, exist_ok=True)
     rows = k_spread_sample(df, k, predicate).collect()
     paths = []
+    ext = "xml" if fmt == "xml" else "txt"
     for r in rows:
         safe = "".join(c if c.isalnum() else "_" for c in r["url"])[:120]
-        p = os.path.join(out_dir, f"sample-{safe}.txt")
+        p = os.path.join(out_dir, f"sample-{safe}.{ext}")
+        content = r[content_col]
+        if isinstance(content, (bytes, bytearray)):
+            content = content.decode("utf-8", errors="replace")
         with open(p, "w") as f:
-            f.write(f"url: {r['url']}\nwarc_ts: {r['warc_ts']}\n\n")
-            f.write(r[content_col] or "")
+            if fmt == "xml":
+                f.write(
+                    indent_xml(
+                        f"<sample url={json.dumps(r['url'])} "
+                        f"warc_ts={json.dumps(str(r['warc_ts']))}>"
+                        + (content or "")
+                        + "</sample>",
+                        fragment=False,
+                    )
+                )
+            else:
+                f.write(f"url: {r['url']}\nwarc_ts: {r['warc_ts']}\n\n")
+                f.write(content or "")
         paths.append(p)
     return paths
 

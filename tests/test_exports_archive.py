@@ -30,6 +30,7 @@ from eventanalysis_spark.sources.exports import (
     export_metadata_json,
     export_samples,
     export_spec_csv,
+    indent_xml,
 )
 
 
@@ -106,6 +107,41 @@ def test_export_samples(spark, parsed_full, tmp_path):
     assert len(paths) == 5
     content = open(paths[0]).read()
     assert content.startswith("url: https://")
+
+
+def test_indent_xml_golden():
+    """F10 golden: nesting, text-only inline, self-closing normalization,
+    inter-element whitespace dropped, document declaration
+    (XmlUtilities.cs:95-125 IndentXml analog)."""
+    raw = (
+        '<Event><System>  <Provider Name="x"/>'
+        "<EventID>5</EventID><Empty></Empty></System></Event>"
+    )
+    assert indent_xml(raw) == (
+        "<Event>\n"
+        "  <System>\n"
+        '    <Provider Name="x" />\n'
+        "    <EventID>5</EventID>\n"
+        "    <Empty></Empty>\n"
+        "  </System>\n"
+        "</Event>"
+    )
+    doc = indent_xml("<a><b>t</b></a>", fragment=False)
+    assert doc.startswith('<?xml version="1.0" encoding="utf-8"?>\n<a>')
+    assert doc.endswith("</a>\n")
+    # malformed input never raises, depth clamps at 0
+    assert indent_xml("</b><a>text</a>") == "</b>\n<a>text</a>"
+    assert indent_xml("") == ""
+
+
+def test_export_samples_xml_mode(spark, parsed_full, tmp_path):
+    paths = export_samples(
+        parsed_full, str(tmp_path / "xml_samples"), k=3, fmt="xml"
+    )
+    assert len(paths) == 3 and all(p.endswith(".xml") for p in paths)
+    content = open(paths[0]).read()
+    assert content.startswith('<?xml version="1.0" encoding="utf-8"?>\n<sample ')
+    assert content.rstrip().endswith("</sample>")
 
 
 def test_export_metadata_json(spark, parsed_full, tmp_path):
