@@ -756,6 +756,77 @@ def q_tokencount_bpe(spark, sf):
     )
 
 
+def q_sample_hash(spark, sf):
+    """Deterministic hash-rate sample (training-mix building block):
+    keep docs whose md5-60bit(doc_id) bucket < 12.5% of 1e6 — a narrow
+    filter, no shuffle, same rows at any parallelism."""
+    from eventanalysis_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf, "documents")
+    return (
+        hash_sample(docs, 0.125, key_col=F.col("doc_id").cast("string"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q_sample_stratified(spark, sf):
+    """Per-language deterministic mix: en 25%, de 50%, others 6.25%
+    (exact-binary rates so the bucket threshold is integral on both
+    engines). Broadcast rates join + narrow hash filter."""
+    from eventanalysis_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf, "documents")
+    rates = spark.createDataFrame(
+        [("en", 0.25), ("de", 0.5)], "lang string, rate double"
+    )
+    return (
+        stratified_sample(
+            docs, rates, key_col=F.col("doc_id").cast("string"),
+            default_rate=0.0625,
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def q_quota_sample(spark, sf):
+    """Exact per-language quota in deterministic hash order: at most 25
+    docs for en/de, 10 for everything else — stable across runs and
+    partitionings (row_number over (hash, key) within each stratum)."""
+    from eventanalysis_spark.operators.sampling import quota_sample
+
+    docs = _t(spark, sf, "documents")
+    quotas = spark.createDataFrame(
+        [("en", 25), ("de", 25)], "lang string, quota long"
+    )
+    return (
+        quota_sample(
+            docs, quotas, key_col=F.col("doc_id").cast("string"),
+            default_quota=10,
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination: docs (doc_id<300, not in the benchmark)
+    sharing ≥ 2 word 3-grams with the held-out 'benchmark' slice
+    (doc_id<300, doc_id%10==0). Broadcast gram-set intersection — the
+    corpus never shuffles."""
+    from eventanalysis_spark.operators.sampling import decontaminate
+
+    base = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    corpus = base.where(F.col("doc_id") % 10 != 0)
+    bench = base.where(F.col("doc_id") % 10 == 0)
+    return (
+        decontaminate(corpus, bench, k=3, threshold=2)
+        .select("doc_id", "n_contaminated_ngrams", "is_contaminated")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -794,6 +865,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_pairs": q_embed_neardup_pairs,
         "langid": q_langid,
         "tokencount_bpe": q_tokencount_bpe,
+        "sample_hash": q_sample_hash,
+        "sample_stratified": q_sample_stratified,
+        "quota_sample": q_quota_sample,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1313,5 +1388,70 @@ def oracle_sql() -> dict[str, str]:
                         '([A-Za-z]{1,8}|[0-9]{1,4}|[^\\sA-Za-z0-9])', 1)))
                      AS BIGINT) AS bpe_tokens
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "sample_hash": f"""
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE ({_H60.format(x="CAST(doc_id AS VARCHAR)")} % 1000000) < 125000
+            ORDER BY doc_id
+        """,
+        "sample_stratified": f"""
+            SELECT d.doc_id AS doc_id, d.lang AS lang
+            FROM documents d
+            LEFT JOIN (VALUES ('en', 0.25), ('de', 0.5)) r(lang, rate)
+              ON d.lang = r.lang
+            WHERE ({_H60.format(x="CAST(d.doc_id AS VARCHAR)")} % 1000000)
+                  < CAST(FLOOR(COALESCE(r.rate, 0.0625) * 1000000) AS BIGINT)
+            ORDER BY doc_id
+        """,
+        "quota_sample": f"""
+            SELECT doc_id, lang FROM (
+              SELECT d.doc_id AS doc_id, d.lang AS lang,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY d.lang
+                       ORDER BY ({_H60.format(x="CAST(d.doc_id AS VARCHAR)")}
+                                 % 1000000) ASC,
+                                CAST(d.doc_id AS VARCHAR) ASC
+                     ) AS rn,
+                     COALESCE(q.quota, 10) AS quota
+              FROM documents d
+              LEFT JOIN (VALUES ('en', 25), ('de', 25)) q(lang, quota)
+                ON d.lang = q.lang
+            ) WHERE rn <= quota
+            ORDER BY doc_id
+        """,
+        "decontaminate": """
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                          ELSE list_distinct([
+                            array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(toks) - 2, 1))
+                          ])
+                     END AS s
+              FROM (
+                SELECT doc_id,
+                       CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                       END AS toks
+                FROM documents WHERE doc_id < 300
+              )
+            ),
+            bench AS (
+              SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 10 = 0
+            ),
+            hits AS (
+              SELECT c.doc_id,
+                     CAST(COALESCE(COUNT(b.gram), 0) AS BIGINT) AS n
+              FROM sh c
+              LEFT JOIN (SELECT doc_id, unnest(s) AS gram FROM sh
+                         WHERE doc_id % 10 != 0) g ON g.doc_id = c.doc_id
+              LEFT JOIN bench b ON b.gram = g.gram
+              WHERE c.doc_id % 10 != 0
+              GROUP BY c.doc_id
+            )
+            SELECT doc_id, n AS n_contaminated_ngrams,
+                   n >= 2 AS is_contaminated
+            FROM hits ORDER BY doc_id
         """,
     }

@@ -1,0 +1,206 @@
+"""Training-data sampling + decontamination operators.
+
+Large-scale training pipelines need deterministic, resumable sampling —
+"take 3% of commoncrawl, 30% of wikipedia, cap each language at N docs,
+and drop anything that overlaps the eval benchmarks". Random sampling
+(df.sample) is neither reproducible across retried tasks nor resumable;
+these operators derive every decision from a content hash, so the same
+input always yields the same sample regardless of partitioning, retries,
+or cluster size (the same determinism contract as the reference's
+record-id-driven batching, /root/reference/Lcl.EventLog/Jobs/Database/
+OpenDbV2.cs:588-591, re-expressed for web-scale corpora).
+
+All hashes are the 60-bit md5 prefix (dedup.hash60_md5) so every operator
+has an exact DuckDB oracle. Scale notes per operator below."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from eventanalysis_spark.operators.dedup import hash60_md5
+
+# sampling decisions use hash buckets in [0, 1e6): rate 0.123456 keeps
+# buckets < 123456 — exactly representable, SQL-replicable
+BUCKETS = 1_000_000
+
+
+def sample_bucket(key: Column | str) -> Column:
+    """Deterministic sample bucket in [0, BUCKETS) from a key column.
+    Non-string keys should be cast to string by the caller so the md5
+    input is well-defined and SQL-replicable."""
+    key = F.col(key) if isinstance(key, str) else key
+    return hash60_md5(key) % BUCKETS
+
+
+def hash_sample(df: DataFrame, rate: float, key_col: Column | str = "url") -> DataFrame:
+    """Deterministic rate-sample: keep rows whose key hashes below the
+    rate threshold. Pure narrow filter — no shuffle, no RNG state, pushes
+    down to the scan, and the SAME rows survive at any parallelism (task
+    retries and cluster resizes cannot change the sample). Nested samples
+    compose: rate 0.5 then 0.2 of the same key = rate 0.1 (bucket
+    thresholds nest)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return df.where(sample_bucket(key_col) < int(rate * BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: DataFrame,
+    strata_cols: list[str] | None = None,
+    key_col: Column | str = "url",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the training-mix operator
+    ("3% of class A, 30% of class B"). `rates` is a tiny DataFrame of
+    (strata..., rate double); strata with no row get `default_rate`.
+
+    Scale shape: the rates table is KBs → broadcast left join, so the fact
+    side never shuffles; the keep decision is the same narrow hash filter
+    as hash_sample."""
+    strata_cols = strata_cols or [c for c in rates.columns if c != "rate"]
+    r = rates.select(
+        *[F.col(c).alias(f"__s_{c}") for c in strata_cols],
+        F.col("rate").alias("__rate"),
+    )
+    cond = None
+    for c in strata_cols:
+        eq = df[c].eqNullSafe(F.col(f"__s_{c}"))
+        cond = eq if cond is None else cond & eq
+    return (
+        df.join(F.broadcast(r), cond, "left")
+        .where(
+            sample_bucket(key_col)
+            # floor semantics on both engines: exact-binary rates (0.25,
+            # 0.125, ...) are recommended so rate*BUCKETS is integral
+            < F.floor(F.coalesce(F.col("__rate"), F.lit(default_rate)) * BUCKETS).cast("long")
+        )
+        .drop(*[f"__s_{c}" for c in strata_cols], "__rate")
+    )
+
+
+def quota_sample(
+    df: DataFrame,
+    quotas: DataFrame,
+    strata_cols: list[str] | None = None,
+    key_col: Column | str = "url",
+    default_quota: int = 0,
+) -> DataFrame:
+    """Exact per-stratum quota ("at most N docs per language"), chosen in
+    deterministic hash order so the selection is stable across runs and
+    partitionings. `quotas` is a tiny (strata..., quota long) DataFrame.
+
+    Scale shape: ONE shuffle by the strata key (the unavoidable minimum
+    for exact per-group top-k) + broadcast quota join; rank is row_number
+    over (hash, key) inside each stratum — Spark runs it as a partial
+    sort per group, not a global sort. A stratum so hot it swamps one
+    reducer is exactly the hot-host case: pre-filter with
+    stratified_sample (rate ≈ quota/|stratum| upper bound) to shrink the
+    shuffled volume, or salt via operators/skew.py."""
+    strata_cols = strata_cols or [c for c in quotas.columns if c != "quota"]
+    q = quotas.select(
+        *[F.col(c).alias(f"__s_{c}") for c in strata_cols],
+        F.col("quota").alias("__quota"),
+    )
+    cond = None
+    for c in strata_cols:
+        eq = df[c].eqNullSafe(F.col(f"__s_{c}"))
+        cond = eq if cond is None else cond & eq
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    w = Window.partitionBy(*[df[c] for c in strata_cols]).orderBy(
+        sample_bucket(key).asc(), key.asc()
+    )
+    return (
+        df.join(F.broadcast(q), cond, "left")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.coalesce(F.col("__quota"), F.lit(default_quota)))
+        .drop(*[f"__s_{c}" for c in strata_cols], "__quota", "__rn")
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles as strings (lowercased, whitespace-split)
+    — SQL-replicable (DuckDB list_transform twin), shared by the
+    decontamination operators."""
+    t = F.lower(F.trim(text))
+    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    n = F.size(toks)
+    return F.array_distinct(
+        F.when(n == 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            )
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 13,
+    threshold: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    method: str = "broadcast",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ≥ `threshold`
+    word k-grams with any benchmark/eval document (the standard 13-gram
+    contamination rule). Returns docs + `n_contaminated_ngrams` +
+    `is_contaminated`; filter on ~is_contaminated to clean.
+
+    Two scale shapes:
+      - method='broadcast' (default): the distinct benchmark gram set is
+        aggregated to ONE array and broadcast; each doc computes
+        size(array_intersect(grams, bench)) in a single narrow pass — no
+        explode, no shuffle of the corpus. Right for real eval suites
+        (10^5-10^6 grams, tens of MB).
+      - method='join': docs explode to (id, gram) and inner-join the
+        distinct benchmark grams, then count per doc. The corpus shuffles
+        by gram hash — use when the benchmark side outgrows broadcast.
+    Both produce identical results (oracle-checked)."""
+    bench_text_col = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(bench_text_col), k)).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = docs.withColumn("__grams", word_shingles(F.col(text_col), k))
+    if method == "broadcast":
+        bench_arr = bench_grams.agg(F.collect_set("gram").alias("__bench"))
+        hits = (
+            doc_grams.crossJoin(F.broadcast(bench_arr))
+            .withColumn(
+                "n_contaminated_ngrams",
+                F.size(F.array_intersect("__grams", "__bench")).cast("long"),
+            )
+            .drop("__grams", "__bench")
+        )
+    elif method == "join":
+        exploded = doc_grams.select(
+            F.col(id_col).alias("__did"), F.explode("__grams").alias("gram")
+        )
+        counts = (
+            exploded.join(bench_grams, "gram")
+            .groupBy("__did")
+            .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+        )
+        hits = (
+            doc_grams.drop("__grams")
+            .join(counts, doc_grams[id_col] == counts["__did"], "left")
+            .drop("__did")
+            .withColumn(
+                "n_contaminated_ngrams",
+                F.coalesce(F.col("n_contaminated_ngrams"), F.lit(0)),
+            )
+        )
+    else:
+        raise ValueError(f"method must be 'broadcast' or 'join', got {method!r}")
+    return hits.withColumn(
+        "is_contaminated", F.col("n_contaminated_ngrams") >= threshold
+    )

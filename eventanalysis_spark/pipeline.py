@@ -206,11 +206,33 @@ class Pipeline:
         # hot hosts learned from the previous batch's aggregate (committed
         # with the watermark, so resume keeps the salting decision)
         self._hot_hosts: list[str] = list(self.state_tbl.state().get("hot_hosts", []))
-        # validate every routable sink name up front (rules are user input)
-        for s in {r["sink"] for r in self._rules_df.select("sink").collect()} | {
-            config.default_sink
-        }:
+        # validate the rule table up front (rules are user input): every
+        # sink name must be legal, and no two rules may claim the same
+        # event class — the router broadcast-joins on event_class, so a
+        # duplicate would silently DUPLICATE every fact row of that class
+        # (the JobRegistry.cs:52-68 duplicate-channel rejection, which
+        # exists for exactly this reason)
+        rule_rows = self._rules_df.collect()
+        for s in {r["sink"] for r in rule_rows} | {config.default_sink}:
             validate_sink_name(s)
+        seen_cls: dict[str, tuple] = {}
+        dup_exact = False
+        for r in rule_rows:
+            key = (r["sink"], r["min_version"], r["enabled"])
+            prev = seen_cls.get(r["event_class"])
+            if prev is not None and prev != key:
+                raise ValueError(
+                    f"Duplicate channel name '{r['event_class']}' (jobs "
+                    f"'{r['sink']}' and '{prev[0]}'): two differing rules "
+                    "for one event class would duplicate its rows through "
+                    "the routing join"
+                )
+            dup_exact = dup_exact or prev is not None
+            seen_cls[r["event_class"]] = key
+        if dup_exact:
+            # exact re-registration replaces (JobRegistry.Register dict
+            # semantics): dedupe so the routing join stays 1:1
+            self._rules_df = self._rules_df.dropDuplicates(["event_class"])
 
     def _host_df(self) -> DataFrame:
         if self._dims_spilled:

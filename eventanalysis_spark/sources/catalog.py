@@ -51,14 +51,28 @@ class Snapshot:
 
 
 class Table:
-    """One logical table = <warehouse>/<name>/ with data dirs + manifest."""
+    """One logical table = <warehouse>/<name>/ with data dirs + manifest.
+
+    `read_only=True` (EventDataZone.cs:20-101 zone flag, propagated through
+    Warehouse) makes every mutation raise and the constructor touch nothing
+    on disk."""
 
     MANIFEST = "_manifest.json"
 
-    def __init__(self, root: str, name: str):
+    def __init__(self, root: str, name: str, read_only: bool = False):
         self.path = os.path.join(root, name)
         self.name = name
-        os.makedirs(self.path, exist_ok=True)
+        self.read_only = read_only
+        if not read_only:
+            os.makedirs(self.path, exist_ok=True)
+
+    def _check_writable(self) -> None:
+        if self.read_only:
+            from eventanalysis_spark.sources.zone import ReadOnlyZoneError
+
+            raise ReadOnlyZoneError(
+                f"table {self.name!r} belongs to a read-only zone"
+            )
 
     # ---- manifest ----------------------------------------------------
     def _mpath(self) -> str:
@@ -71,6 +85,7 @@ class Table:
             return json.load(f)
 
     def _commit(self, m: dict) -> None:
+        self._check_writable()
         tmp = self._mpath() + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(m, f, indent=1)
@@ -149,6 +164,7 @@ class Table:
         partition_by: list[str] | None,
         coalesce: int | None = None,
     ) -> str:
+        self._check_writable()
         d = f"data-{uuid.uuid4().hex[:12]}"
         if coalesce is not None:
             # Small commits (per-batch aggregates, observation stats, dim
@@ -292,6 +308,7 @@ class Table:
     }
 
     def _rows_write_dir(self, rows: list[tuple], schema: StructType) -> str:
+        self._check_writable()
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -390,6 +407,7 @@ class Table:
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Iceberg expire_snapshots analog: physically remove data dirs
         referenced only by snapshots older than the kept window."""
+        self._check_writable()
         m = self._load()
         if m["current"] is None:
             return 0
@@ -413,14 +431,18 @@ class Table:
 
 
 class Warehouse:
-    def __init__(self, root: str):
+    def __init__(self, root: str, read_only: bool = False):
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        self.read_only = read_only
+        if not read_only:
+            os.makedirs(root, exist_ok=True)
 
     def table(self, name: str) -> Table:
-        return Table(self.root, name)
+        return Table(self.root, name, read_only=self.read_only)
 
     def tables(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
         return sorted(
             d for d in os.listdir(self.root)
             if os.path.isdir(os.path.join(self.root, d))

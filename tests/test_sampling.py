@@ -1,0 +1,155 @@
+"""Sampling + decontamination operators: determinism, composition,
+method equivalence, quota exactness."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventanalysis_spark.operators.sampling import (
+    decontaminate,
+    hash_sample,
+    quota_sample,
+    sample_bucket,
+    stratified_sample,
+    word_shingles,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"tok{i % 7} common words here doc {i}", ["en", "de", "fr"][i % 3])
+        for i in range(400)
+    ] + [(400, "", "en")]  # empty doc
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def _key():
+    return F.col("doc_id").cast("string")
+
+
+def test_hash_sample_deterministic_and_partition_invariant(docs):
+    a = sorted(r.doc_id for r in hash_sample(docs, 0.25, _key()).collect())
+    b = sorted(
+        r.doc_id
+        for r in hash_sample(docs.repartition(13), 0.25, _key()).collect()
+    )
+    assert a == b and 0 < len(a) < 401
+    # rate monotonicity: smaller rate is a subset of larger
+    small = set(r.doc_id for r in hash_sample(docs, 0.125, _key()).collect())
+    assert small <= set(a)
+    # rate 1 keeps everything, rate 0 nothing
+    assert hash_sample(docs, 1.0, _key()).count() == 401
+    assert hash_sample(docs, 0.0, _key()).count() == 0
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5, _key())
+
+
+def test_stratified_sample_rates_and_default(spark, docs):
+    rates = spark.createDataFrame(
+        [("en", 1.0), ("de", 0.0)], "lang string, rate double"
+    )
+    out = stratified_sample(docs, rates, key_col=_key(), default_rate=0.25)
+    got = out.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in got}
+    n_en = docs.where("lang = 'en'").count()
+    assert by_lang["en"] == n_en  # rate 1.0 keeps all
+    assert "de" not in by_lang  # rate 0.0 drops all
+    n_fr = docs.where("lang = 'fr'").count()
+    assert 0 < by_lang["fr"] < n_fr  # default rate samples
+    # schema passthrough: no helper columns leak
+    assert set(out.columns) == set(docs.columns)
+
+
+def test_quota_sample_exact_and_stable(spark, docs):
+    quotas = spark.createDataFrame([("en", 5), ("de", 7)], "lang string, quota long")
+    out = quota_sample(docs, quotas, key_col=_key(), default_quota=3)
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert counts == {"en": 5, "de": 7, "fr": 3}
+    # stability: same selection under different partitioning
+    out2 = quota_sample(
+        docs.repartition(17), quotas, key_col=_key(), default_quota=3
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in out2.collect()
+    )
+    # quota larger than the stratum keeps the whole stratum
+    big = spark.createDataFrame([("en", 10_000)], "lang string, quota long")
+    n_en = docs.where("lang = 'en'").count()
+    assert (
+        quota_sample(docs, big, key_col=_key(), default_quota=0)
+        .where("lang = 'en'").count() == n_en
+    )
+
+
+def test_nested_hash_samples_compose(docs):
+    # sampling at 0.5 then 0.25 over the same key == sampling at 0.25
+    # (bucket thresholds nest)
+    nested = hash_sample(hash_sample(docs, 0.5, _key()), 0.25, _key())
+    direct = hash_sample(docs, 0.25, _key())
+    assert sorted(r.doc_id for r in nested.collect()) == sorted(
+        r.doc_id for r in direct.collect()
+    )
+
+
+def test_decontaminate_flags_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over dogs"),
+            (2, "completely unrelated content xyzzy abc qwerty uvw"),
+            (3, ""),  # empty never contaminated
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps high")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_contaminated_ngrams"], r["is_contaminated"])
+        for r in decontaminate(corpus, bench, k=3, threshold=2).collect()
+    }
+    # doc 1 shares 'quick brown fox' and 'brown fox jumps' → 2 grams
+    assert out[1] == (2, True)
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+
+
+def test_decontaminate_methods_agree(docs):
+    bench = docs.where("doc_id % 10 = 0")
+    corpus = docs.where("doc_id % 10 != 0")
+    a = decontaminate(corpus, bench, k=3, threshold=2, method="broadcast")
+    b = decontaminate(corpus, bench, k=3, threshold=2, method="join")
+    cols = ["doc_id", "n_contaminated_ngrams", "is_contaminated"]
+    assert sorted(map(tuple, a.select(*cols).collect())) == sorted(
+        map(tuple, b.select(*cols).collect())
+    )
+    with pytest.raises(ValueError):
+        decontaminate(corpus, bench, method="nope")
+
+
+def test_sample_bucket_matches_duckdb(spark):
+    """The bucket function is the SQL-replicable md5-60bit hash — pin a
+    few values against DuckDB directly."""
+    import duckdb
+
+    keys = ["0", "42", "https://example.com/x", ""]
+    got = (
+        spark.createDataFrame([(k,) for k in keys], "k string")
+        .select("k", sample_bucket(F.col("k")).alias("b"))
+        .collect()
+    )
+    con = duckdb.connect()
+    for r in got:
+        want = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT % 1000000", [r["k"]]
+        ).fetchone()[0]
+        assert r["b"] == want, r["k"]
+
+
+def test_word_shingles_short_and_empty(spark):
+    rows = spark.createDataFrame(
+        [(1, "one two"), (2, "a"), (3, "")], "id long, text string"
+    ).select("id", word_shingles(F.col("text"), 3).alias("s")).collect()
+    got = {r["id"]: r["s"] for r in rows}
+    assert got[1] == ["one two"]  # shorter than k → single joined gram
+    assert got[2] == ["a"]
+    assert got[3] == []
