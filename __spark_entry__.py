@@ -827,6 +827,99 @@ def q_decontaminate(spark, sf):
     )
 
 
+def q_rep_top2gram(spark, sf):
+    """Gopher repetition signal: the most frequent word 2-gram per doc
+    (ties → lexicographically smallest) and the fraction of document
+    characters it covers. One (doc_id, gram) hash aggregate + one doc_id
+    aggregate — the shuffle key contains doc_id, so no hot keys at scale."""
+    from eventanalysis_spark.operators.webfilter import top_ngram_stats
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    return top_ngram_stats(docs, n=2).orderBy("doc_id")
+
+
+def q_rep_dup5gram(spark, sf):
+    """Gopher repetition signal: fraction of characters covered by word
+    5-grams occurring more than once in the doc."""
+    from eventanalysis_spark.operators.webfilter import dup_ngram_char_fraction
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    return dup_ngram_char_fraction(docs, n=5).orderBy("doc_id")
+
+
+def q_line_quality(spark, sf):
+    """C4-style line-structure metrics (duplicate-line fractions, bullet /
+    ellipsis line fractions). The corpus text is single-line, so line
+    boundaries are manufactured deterministically (replace ' the ' → '\\n')
+    the same way in both engines — the metrics themselves are the unit
+    under test. Pure Catalyst array expressions, narrow."""
+    from eventanalysis_spark.operators.webfilter import line_stats
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    lined = docs.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("t"),
+    )
+    ls = line_stats(F.col("t"))
+    return lined.select(
+        "doc_id",
+        ls["n_lines"].alias("n_lines"),
+        ls["dup_line_frac"].alias("dup_line_frac"),
+        ls["dup_line_char_frac"].alias("dup_line_char_frac"),
+        ls["bullet_line_frac"].alias("bullet_line_frac"),
+        ls["ellipsis_line_frac"].alias("ellipsis_line_frac"),
+    ).orderBy("doc_id")
+
+
+def q_gopher_filter(spark, sf):
+    """Composite Gopher quality gate: word-count window, mean word length,
+    symbol-to-word ratio, stopword presence → per-rule components + keep.
+    One projection over the corpus, no shuffle."""
+    from eventanalysis_spark.operators.webfilter import gopher_quality_flags
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    g = gopher_quality_flags(F.col("text"))
+    return docs.select(
+        "doc_id",
+        g["n_words"].alias("n_words"),
+        g["mean_word_len"].alias("mean_word_len"),
+        g["stopword_hits"].alias("stopword_hits"),
+        g["keep"].alias("keep"),
+    ).orderBy("doc_id")
+
+
+def q_url_quality(spark, sf):
+    """URL/domain operators: host + public-suffix registered domain + tld +
+    path depth over deterministically synthesized URLs, then a broadcast
+    block-list domain filter (left_anti — the corpus never shuffles)."""
+    from eventanalysis_spark.operators.webfilter import domain_filter, url_parts
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 250)
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(".com")).otherwise(F.lit(".co.uk")),
+        F.lit("/"),
+        F.col("lang"),
+        F.when(F.col("doc_id") % 3 == 1, F.lit("/a"))
+        .when(F.col("doc_id") % 3 == 2, F.lit("/a/b"))
+        .otherwise(F.lit("")),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    blocked = spark.createDataFrame(
+        [("src1.co.uk",), ("src3.com",)], "domain string"
+    )
+    kept = domain_filter(with_url, blocked)
+    u = url_parts(F.col("url"))
+    return kept.select(
+        "doc_id",
+        u["host"].alias("host"),
+        u["registered_domain"].alias("registered_domain"),
+        u["tld"].alias("tld"),
+        u["path_depth"].alias("path_depth"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -869,6 +962,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "quota_sample": q_quota_sample,
         "decontaminate": q_decontaminate,
+        "rep_top2gram": q_rep_top2gram,
+        "rep_dup5gram": q_rep_dup5gram,
+        "line_quality": q_line_quality,
+        "gopher_filter": q_gopher_filter,
+        "url_quality": q_url_quality,
     }
 
 
@@ -1453,5 +1551,171 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n AS n_contaminated_ngrams,
                    n >= 2 AS is_contaminated
             FROM hits ORDER BY doc_id
+        """,
+        "rep_top2gram": """
+            WITH toks AS (
+              SELECT doc_id,
+                     length(trim(lower(text))) AS doc_chars,
+                     CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                     END AS t
+              FROM documents WHERE doc_id < 200
+            ),
+            grams AS (
+              SELECT doc_id, doc_chars,
+                     unnest(CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+                                 ELSE [array_to_string(t[i:i+1], ' ')
+                                       for i in generate_series(1, len(t) - 1)]
+                            END) AS gram
+              FROM toks
+            ),
+            gc AS (
+              SELECT doc_id, doc_chars, gram, COUNT(*) AS cnt
+              FROM grams GROUP BY ALL
+            ),
+            pick AS (
+              SELECT doc_id, doc_chars, gram, cnt,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY cnt DESC, gram ASC
+                     ) AS rn
+              FROM gc
+            )
+            SELECT doc_id, gram AS top_gram,
+                   CAST(cnt AS BIGINT) AS top_gram_count,
+                   cnt * length(gram) / greatest(doc_chars, 1)
+                     AS top_gram_char_frac
+            FROM pick WHERE rn = 1 ORDER BY doc_id
+        """,
+        "rep_dup5gram": """
+            WITH toks AS (
+              SELECT doc_id,
+                     length(trim(lower(text))) AS doc_chars,
+                     CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                     END AS t
+              FROM documents WHERE doc_id < 200
+            ),
+            grams AS (
+              SELECT doc_id, doc_chars,
+                     unnest(CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+                                 ELSE [array_to_string(t[i:i+4], ' ')
+                                       for i in generate_series(1, len(t) - 4)]
+                            END) AS gram
+              FROM toks
+            ),
+            gc AS (
+              SELECT doc_id, doc_chars, gram, COUNT(*) AS cnt
+              FROM grams GROUP BY ALL
+            )
+            SELECT doc_id,
+                   CAST(COALESCE(SUM(CASE WHEN cnt > 1
+                                          THEN cnt * length(gram)
+                                          ELSE 0 END), 0) AS BIGINT)
+                     / greatest(doc_chars, 1) AS dup_ngram_char_frac
+            FROM gc GROUP BY doc_id, doc_chars ORDER BY doc_id
+        """,
+        "line_quality": """
+            WITH l AS (
+              SELECT doc_id,
+                     string_split(replace(text, ' the ', chr(10)), chr(10))
+                       AS lines
+              FROM documents WHERE doc_id < 200
+            ),
+            m AS (
+              SELECT doc_id,
+                     len(lines) AS n,
+                     len(list_distinct(lines)) AS nd,
+                     COALESCE(list_aggregate(
+                       list_transform(lines, x -> length(x)), 'sum'), 0) AS tc,
+                     COALESCE(list_aggregate(
+                       list_transform(list_distinct(lines), x -> length(x)),
+                       'sum'), 0) AS dc,
+                     len(list_filter(lines,
+                       x -> regexp_matches(trim(x), '^[-*•]'))) AS nb,
+                     len(list_filter(lines,
+                       x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$'))) AS ne
+              FROM l
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_lines,
+                   (n - nd) / greatest(n, 1) AS dup_line_frac,
+                   (tc - dc) / greatest(tc, 1) AS dup_line_char_frac,
+                   nb / greatest(n, 1) AS bullet_line_frac,
+                   ne / greatest(n, 1) AS ellipsis_line_frac
+            FROM m ORDER BY doc_id
+        """,
+        "gopher_filter": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                     END AS toks
+              FROM documents WHERE doc_id < 300
+            ),
+            m AS (
+              SELECT doc_id, len(toks) AS nw,
+                     COALESCE(list_aggregate(
+                       list_transform(toks, x -> length(x)), 'sum'), 0) AS tl,
+                     len(list_filter(toks,
+                       x -> x IN ('#', '...', '…'))) AS ns,
+                     len(list_intersect(list_distinct(toks),
+                       ['the','be','to','of','and','that','have','with'])) AS sw
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(nw AS BIGINT) AS n_words,
+                   tl / greatest(nw, 1) AS mean_word_len,
+                   CAST(sw AS BIGINT) AS stopword_hits,
+                   (nw BETWEEN 50 AND 100000)
+                     AND (tl / greatest(nw, 1) BETWEEN 3.0 AND 10.0)
+                     AND (ns / greatest(nw, 1) <= 0.1)
+                     AND (sw >= 2) AS keep
+            FROM m ORDER BY doc_id
+        """,
+        "url_quality": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://www.' || source ||
+                     CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.co.uk' END ||
+                     '/' || lang ||
+                     CASE WHEN doc_id % 3 = 1 THEN '/a'
+                          WHEN doc_id % 3 = 2 THEN '/a/b'
+                          ELSE '' END AS url
+              FROM documents WHERE doc_id < 250
+            ),
+            d AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1))
+                       AS host
+              FROM u
+            ),
+            r AS (
+              SELECT doc_id, url, host,
+                     string_split(host, '.') AS labels,
+                     len(string_split(host, '.')) AS n
+              FROM d
+            ),
+            p AS (
+              SELECT doc_id, url, host,
+                     labels[-1] AS tld,
+                     CASE WHEN n >= 3
+                               AND labels[-2] IN
+                                 ('co','com','org','net','ac','gov','edu')
+                               AND length(labels[-1]) = 2
+                          THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                          WHEN n >= 2 THEN labels[-2] || '.' || labels[-1]
+                          ELSE host END AS registered_domain,
+                     len(list_filter(
+                       string_split(
+                         regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1),
+                         '/'),
+                       x -> length(x) > 0)) AS path_depth
+              FROM r
+            )
+            SELECT doc_id, host, registered_domain, tld,
+                   CAST(path_depth AS BIGINT) AS path_depth
+            FROM p
+            WHERE registered_domain NOT IN ('src1.co.uk', 'src3.com')
+            ORDER BY doc_id
         """,
     }

@@ -1,0 +1,241 @@
+"""Web-corpus quality filters for training-data pipelines.
+
+The standard Common-Crawl curation operators (C4 / Gopher / RefinedWeb
+lineage, all public): n-gram repetition metrics, line-structure metrics,
+composite quality gates, and URL/domain operators. Everything is either a
+pure Catalyst column expression (narrow, whole-stage-codegen) or a
+(doc_id, gram)-keyed aggregate — the only shuffle key always contains the
+document id, so the operators cannot concentrate load on hot keys at any
+corpus size.
+
+Reference parity note: the reference engine has no web-corpus analog;
+these extend the §2.8 scalar-function surface the same way the
+dedup/similarity suite extends §2.7 (mission brief: training-pipeline
+operators are first-class).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from eventanalysis_spark.operators.dedup import _tokens
+
+# ---- n-gram repetition (Gopher repetition filters) -----------------------
+
+
+def _gram_counts(
+    df: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, gram, cnt, doc_chars): word n-gram occurrence counts per
+    doc. Shuffle key is (doc_id, gram) — per-doc cardinality bounded by
+    doc length, so partial (map-side) aggregation absorbs all in-doc
+    repetition before the exchange."""
+    toks = _tokens(F.col(text_col))
+    nn = F.size(toks)
+    grams = F.when(nn < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(nn - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.length(F.trim(F.lower(F.col(text_col)))).alias("doc_chars"),
+            F.explode(grams).alias("gram"),
+        )
+        .groupBy("doc_id", "doc_chars", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def top_ngram_stats(
+    df: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per doc: the most frequent word n-gram (ties → lexicographically
+    smallest gram, deterministic) and the fraction of document characters
+    its occurrences cover — the Gopher "fraction of characters in the most
+    common n-gram" signal. Docs with fewer than n words produce no row."""
+    gc = _gram_counts(df, n, id_col, text_col)
+    # min(struct(-cnt, gram)) = max count, then MIN gram on ties: one
+    # hash aggregate on doc_id, no window sort
+    pick = F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("gram").alias("g")))
+    return (
+        gc.groupBy("doc_id", "doc_chars")
+        .agg(pick.alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.g").alias("top_gram"),
+            (-F.col("p.neg")).cast("long").alias("top_gram_count"),
+            (
+                (-F.col("p.neg")) * F.length("p.g")
+                / F.greatest(F.col("doc_chars"), F.lit(1))
+            ).alias("top_gram_char_frac"),
+        )
+    )
+
+
+def dup_ngram_char_fraction(
+    df: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per doc: fraction of characters covered by word n-grams that occur
+    more than once (count·len(gram)/doc_chars, summed over duplicated
+    grams) — the Gopher "fraction of characters in duplicate n-grams"
+    signal. Docs with fewer than n words produce no row."""
+    gc = _gram_counts(df, n, id_col, text_col)
+    dup_chars = F.sum(
+        F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram")).otherwise(F.lit(0))
+    )
+    return (
+        gc.groupBy("doc_id", "doc_chars")
+        .agg(dup_chars.alias("dc"))
+        .select(
+            "doc_id",
+            (F.col("dc") / F.greatest(F.col("doc_chars"), F.lit(1))).alias(
+                "dup_ngram_char_frac"
+            ),
+        )
+    )
+
+
+# ---- line-structure metrics (C4/RefinedWeb line filters) ------------------
+
+
+def line_stats(text: Column) -> Column:
+    """struct(n_lines, dup_line_frac, dup_line_char_frac, bullet_line_frac,
+    ellipsis_line_frac) — the line-level repetition/format signals used by
+    C4-style cleaning. Pure Catalyst array expressions (narrow)."""
+    lines = F.split(text, "\n")
+    n = F.size(lines)
+    dlines = F.array_distinct(lines)
+    nd = F.size(dlines)
+    tot_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    dist_chars = F.aggregate(
+        dlines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    n_bullet = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike(r"^[-*•]"))
+    )
+    n_ellipsis = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$"))
+    )
+    fn = F.greatest(n, F.lit(1))
+    return F.struct(
+        n.cast("long").alias("n_lines"),
+        ((n - nd) / fn).alias("dup_line_frac"),
+        (
+            (tot_chars - dist_chars)
+            / F.greatest(tot_chars, F.lit(1))
+        ).alias("dup_line_char_frac"),
+        (n_bullet / fn).alias("bullet_line_frac"),
+        (n_ellipsis / fn).alias("ellipsis_line_frac"),
+    )
+
+
+# ---- composite quality gate (Gopher rules) --------------------------------
+
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """struct of per-rule booleans + overall `keep` — the published Gopher
+    quality heuristics (word count window, mean word length window,
+    symbol-to-word ratio, stopword presence). One projection, no shuffle."""
+    toks = _tokens(text)
+    n_words = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    mean_wl = total_len / F.greatest(n_words, F.lit(1))
+    n_sym = F.size(F.filter(toks, lambda x: x.isin("#", "...", "…")))
+    sw_arr = F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS])
+    sw_hits = F.size(F.array_intersect(F.array_distinct(toks), sw_arr))
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_mean = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    ok_sym = (n_sym / F.greatest(n_words, F.lit(1))) <= max_symbol_word_ratio
+    ok_sw = sw_hits >= min_stopword_hits
+    return F.struct(
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sw_hits.cast("long").alias("stopword_hits"),
+        ok_words.alias("ok_word_count"),
+        ok_mean.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_sw.alias("ok_stopwords"),
+        (ok_words & ok_mean & ok_sym & ok_sw).alias("keep"),
+    )
+
+
+# ---- URL / domain operators ----------------------------------------------
+
+# common second-level public suffixes: "a.co.uk" registers at 3 labels
+_SECOND_LEVEL = ["co", "com", "org", "net", "ac", "gov", "edu"]
+
+
+def url_parts(url: Column) -> Column:
+    """struct(host, registered_domain, tld, path_depth) from a URL string.
+
+    registered_domain is the public-suffix heuristic every large-scale
+    pipeline starts from: last two labels, or last three when the
+    second-to-last label is a known second-level suffix (co/com/org/…)
+    under a 2-letter ccTLD. path_depth counts non-empty path segments."""
+    host = F.lower(F.regexp_extract(url, r"^[a-z]+://([^/?#]+)", 1))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    tld = F.element_at(labels, -1)
+    second = F.when(n >= 2, F.element_at(labels, -2)).otherwise(F.lit(""))
+    take3 = (
+        (n >= 3)
+        & second.isin(*_SECOND_LEVEL)
+        & (F.length(tld) == 2)
+    )
+    reg = F.when(
+        take3,
+        F.concat_ws(".", F.element_at(labels, -3), second, tld),
+    ).otherwise(
+        F.when(n >= 2, F.concat_ws(".", second, tld)).otherwise(host)
+    )
+    path = F.regexp_extract(url, r"^[a-z]+://[^/?#]+(/[^?#]*)", 1)
+    depth = F.size(F.filter(F.split(path, "/"), lambda x: F.length(x) > 0))
+    return F.struct(
+        host.alias("host"),
+        reg.alias("registered_domain"),
+        tld.alias("tld"),
+        depth.cast("long").alias("path_depth"),
+    )
+
+
+def domain_filter(
+    df: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    mode: str = "block",
+) -> DataFrame:
+    """Drop (mode='block') or keep (mode='allow') rows whose registered
+    domain appears in `blocked` (a 1-column `domain` table). The domain
+    list is a small dimension → broadcast left_anti/left_semi; the corpus
+    never shuffles."""
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    dom = url_parts(F.col(url_col))["registered_domain"]
+    join_type = "left_anti" if mode == "block" else "left_semi"
+    return (
+        df.withColumn("__dom", dom)
+        .join(
+            F.broadcast(blocked.select(F.col("domain").alias("__dom"))),
+            "__dom",
+            join_type,
+        )
+        .drop("__dom")
+    )

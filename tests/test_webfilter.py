@@ -1,0 +1,149 @@
+"""Web-corpus quality filter tests (operators/webfilter.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventanalysis_spark.operators.webfilter import (
+    domain_filter,
+    dup_ngram_char_fraction,
+    gopher_quality_flags,
+    line_stats,
+    top_ngram_stats,
+    url_parts,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "a b a b a b a b"),          # "a b" 2-gram repeated
+        (1, "x y z w v u t s"),          # all distinct
+        (2, ""),                          # empty
+        (3, "one two"),                   # exactly 2 words
+        (4, "q"),                         # 1 word: no 2-grams
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_top_ngram_stats(docs):
+    got = {
+        r["doc_id"]: r
+        for r in top_ngram_stats(docs, n=2).collect()
+    }
+    # doc 0: "a b" appears 4x among 7 grams; chars = len("a b a b a b a b")=15
+    assert got[0]["top_gram"] == "a b"
+    assert got[0]["top_gram_count"] == 4
+    assert got[0]["top_gram_char_frac"] == pytest.approx(4 * 3 / 15)
+    # doc 1 ties at count 1 → lexicographically smallest gram
+    assert got[1]["top_gram_count"] == 1
+    assert got[1]["top_gram"] == min(
+        ["x y", "y z", "z w", "w v", "v u", "u t", "t s"]
+    )
+    # doc 3: single 2-gram
+    assert got[3]["top_gram"] == "one two"
+    # empty and 1-word docs: no grams → no row
+    assert 2 not in got and 4 not in got
+
+
+def test_dup_ngram_char_fraction(docs):
+    got = {
+        r["doc_id"]: r["dup_ngram_char_frac"]
+        for r in dup_ngram_char_fraction(docs, n=2).collect()
+    }
+    # doc 0: grams "a b"x4 + "b a"x3, all duplicated → (4*3+3*3)/15
+    assert got[0] == pytest.approx((4 * 3 + 3 * 3) / 15)
+    assert got[1] == 0.0
+    assert got[3] == 0.0
+
+
+def test_line_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "alpha\nbeta\nalpha\n- item\ngamma..."),
+            (1, "single"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["ls"]
+        for r in df.select("doc_id", line_stats(F.col("text")).alias("ls")).collect()
+    }
+    s = got[0]
+    assert s["n_lines"] == 5
+    assert s["dup_line_frac"] == pytest.approx(1 / 5)
+    # dup chars: total=5+4+5+6+8=28, distinct=5+4+6+8=23
+    assert s["dup_line_char_frac"] == pytest.approx(5 / 28)
+    assert s["bullet_line_frac"] == pytest.approx(1 / 5)
+    assert s["ellipsis_line_frac"] == pytest.approx(1 / 5)
+    assert got[1]["n_lines"] == 1
+    assert got[1]["dup_line_frac"] == 0.0
+
+
+def test_gopher_flags(spark):
+    long_good = " ".join(["the", "and", "with"] + ["word"] * 60)
+    short = "too short"
+    symbols = " ".join(["the", "and"] + ["#"] * 30 + ["word"] * 60)
+    df = spark.createDataFrame(
+        [(0, long_good), (1, short), (2, symbols)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", gopher_quality_flags(F.col("text")).alias("g")
+        ).collect()
+    }
+    assert got[0]["keep"] is True
+    assert got[1]["keep"] is False and got[1]["ok_word_count"] is False
+    assert got[2]["keep"] is False and got[2]["ok_symbol_ratio"] is False
+    assert got[0]["stopword_hits"] == 3
+
+
+def test_url_parts(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "https://www.example.com/a/b/c?q=1"),
+            (1, "http://news.bbc.co.uk/"),
+            (2, "https://localhost/x"),
+            (3, "https://sub.deep.example.org/p"),
+        ],
+        "i long, url string",
+    )
+    got = {
+        r["i"]: r["u"]
+        for r in df.select("i", url_parts(F.col("url")).alias("u")).collect()
+    }
+    assert got[0]["host"] == "www.example.com"
+    assert got[0]["registered_domain"] == "example.com"
+    assert got[0]["tld"] == "com"
+    assert got[0]["path_depth"] == 3
+    # co.uk → 3-label registered domain
+    assert got[1]["registered_domain"] == "bbc.co.uk"
+    assert got[1]["path_depth"] == 0
+    # single-label host → host itself
+    assert got[2]["registered_domain"] == "localhost"
+    assert got[3]["registered_domain"] == "example.org"
+
+
+def test_domain_filter(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "https://spam.example.com/x"),
+            (1, "https://good.org/y"),
+            (2, "https://ads.tracker.net/z"),
+        ],
+        "i long, url string",
+    )
+    blocked = spark.createDataFrame(
+        [("example.com",), ("tracker.net",)], "domain string"
+    )
+    kept = sorted(r["i"] for r in domain_filter(df, blocked).collect())
+    assert kept == [1]
+    allowed = sorted(
+        r["i"] for r in domain_filter(df, blocked, mode="allow").collect()
+    )
+    assert allowed == [0, 2]
+    # the block-list join must be a broadcast, corpus side unshuffled
+    plan = domain_filter(df, blocked)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
