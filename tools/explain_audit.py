@@ -159,6 +159,88 @@ def main() -> None:
         "expressions inside codegen.",
     )
 
+    # 6. deterministic hash sampling: narrow filter, no exchange, no Python
+    from eventanalysis_spark.operators.sampling import hash_sample
+
+    docs001 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    samp = hash_sample(docs001, 0.125, key_col=F.col("doc_id").cast("string"))
+    plan6 = samp._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Deterministic hash sample: pure narrow filter",
+        samp,
+        [
+            ("no shuffle (sampling decision is per-row)", "Exchange" not in plan6),
+            ("no Python in the plan", "Python" not in plan6),
+        ],
+        "md5-bucket sampling keeps the SAME rows at any parallelism — no "
+        "RNG state, no repartition; the filter runs inside codegen.",
+    )
+
+    # 7. decontamination (broadcast method): corpus never shuffles
+    from eventanalysis_spark.operators.sampling import decontaminate
+
+    bench = docs001.where(F.col("doc_id") % 10 == 0)
+    corp = docs001.where(F.col("doc_id") % 10 != 0)
+    dec = decontaminate(corp, bench, k=3, threshold=2)
+    plan7 = dec._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Benchmark decontamination (broadcast): corpus side never shuffles",
+        dec,
+        [
+            ("benchmark gram set arrives via BroadcastExchange",
+             "BroadcastExchange" in plan7),
+            ("no hash-partition exchange on the corpus side",
+             "Exchange hashpartitioning" not in plan7),
+            ("no Python in the plan", "Python" not in plan7),
+        ],
+        "The distinct benchmark gram set aggregates to one broadcast array; "
+        "each doc computes size(array_intersect(...)) in a narrow pass.",
+    )
+
+    # 8. top-ngram repetition: partial agg, shuffle key contains doc_id
+    from eventanalysis_spark.operators.webfilter import top_ngram_stats
+
+    rep = top_ngram_stats(docs001, n=2)
+    plan8 = rep._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Top-ngram repetition (Gopher): doc_id-keyed aggregation",
+        rep,
+        [
+            ("map-side partial aggregation before BOTH exchanges (gram "
+             "counts hash-agg; struct-min pick carries partial_min)",
+             plan8.count("HashAggregate") >= 2 and "partial_min" in plan8),
+            ("gram-count shuffle key contains doc_id (no global hot keys)",
+             "Exchange hashpartitioning(doc_id" in plan8),
+            ("no Python in the plan", "Python" not in plan8),
+            ("no window sort (mode picked via min(struct(-cnt, gram)))",
+             "Window" not in plan8),
+        ],
+        "Per-doc n-gram repetition aggregates on (doc_id, gram) — in-doc "
+        "repetition collapses map-side, and the key can never concentrate "
+        "load because it embeds the document id.",
+    )
+
+    # 9. domain block-list filter: broadcast anti-join, corpus unshuffled
+    from eventanalysis_spark.operators.webfilter import domain_filter
+
+    urls = pages.select("url")
+    blocked = spark.createDataFrame([("example.com",)], "domain string")
+    df9 = domain_filter(urls, blocked)
+    plan9 = df9._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Domain block-list filter: broadcast anti-join",
+        df9,
+        [
+            ("block list arrives via BroadcastExchange",
+             "BroadcastExchange" in plan9),
+            ("no SortMergeJoin / corpus-side hash exchange",
+             "SortMergeJoin" not in plan9
+             and "Exchange hashpartitioning" not in plan9),
+        ],
+        "The domain dimension is KBs — broadcast left_anti; the corpus "
+        "scan streams straight through the join.",
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the engine's key paths\n\n"
