@@ -469,10 +469,13 @@ def write_bench_md(payload: dict) -> None:
             "the engine's plan: on a real cluster each added executor brings its "
             "own disk/memory/JVM.",
             "",
-            "Methodology: same input, fresh JVM per level, warm python workers +",
-            "an untimed warm pipeline run, interleaved rounds, min per level",
-            "(the sandbox VM shows bursty CPU steal — 4x wall-clock swings on",
-            "identical runs — so the min approximates uncontended capability).",
+            f"Samples per level this run: {s.get('samples', {})} (persistent",
+            "per-level JVMs: setup/warmup paid once, every sample is a fresh",
+            "plan into a fresh warehouse with a cold catalog; interleaved",
+            "rounds, min per level — the sandbox VM shows bursty CPU steal,",
+            "4x wall-clock swings on identical runs, so the min approximates",
+            "uncontended capability; sampling continues until the pair",
+            "estimate clears the clean-window floor or the budget is spent).",
             "The pure-python busy-loop control runs the SAME total work at each",
             "parallelism level at measurement time, so engine scaling can be",
             "read against what the substrate itself could scale that day.",
