@@ -920,6 +920,55 @@ def q_url_quality(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_dedup_clusters(spark, sf):
+    """Duplicate-CLUSTER assignment end to end: exact-dup collapse →
+    MinHash LSH → Jaccard verify → pointer-jumping connected components
+    (operators/cluster.py) → every doc labeled with the min doc id
+    reachable through the near-dup graph (singletons label themselves).
+    Oracle = DuckDB recursive-CTE transitive closure over the brute-force
+    exact-Jaccard pairs (same ≥0.5 threshold; LSH recall 1.0 at r=2/32
+    bands as proven by dedup_minhash_lsh_pairs)."""
+    from eventanalysis_spark.operators.cluster import dedup_cluster_assignments
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    return (
+        dedup_cluster_assignments(
+            docs, text_col="text", id_col="doc_id",
+            num_hashes=64, bands=32, shingle_k=3, threshold=0.5,
+        )
+        .select(
+            F.col("id").alias("doc_id"), "cluster_id", "is_representative"
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_curate_corpus(spark, sf):
+    """The full training-corpus curation composition END TO END in one
+    flagged pass (operators/curate.py): Gopher quality gate + MinHash-LSH
+    duplicate clusters + benchmark decontamination + deterministic
+    sampling → per-doc verdict. Oracle composes the same four stages in
+    SQL (incl. recursive-CTE connected components) — the whole pipeline is
+    value-checked, not just its parts."""
+    from eventanalysis_spark.operators.curate import CurationConfig, curate_corpus
+
+    base = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    corpus = base.where(F.col("doc_id") % 10 != 0)
+    bench = base.where(F.col("doc_id") % 10 == 0)
+    cfg = CurationConfig(
+        num_hashes=64, bands=32, shingle_k=3, jaccard_threshold=0.5,
+        decontaminate_k=3, decontaminate_threshold=2, sample_rate=0.25,
+    )
+    return (
+        curate_corpus(corpus, benchmark=bench, config=cfg)
+        .select(
+            "doc_id", "ok_quality", "cluster_id", "is_representative",
+            "n_contaminated_ngrams", "is_contaminated", "in_sample", "keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -967,6 +1016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_quality": q_line_quality,
         "gopher_filter": q_gopher_filter,
         "url_quality": q_url_quality,
+        "dedup_clusters": q_dedup_clusters,
+        "curate_corpus": q_curate_corpus,
     }
 
 
@@ -1716,6 +1767,148 @@ def oracle_sql() -> dict[str, str]:
                    CAST(path_depth AS BIGINT) AS path_depth
             FROM p
             WHERE registered_domain NOT IN ('src1.co.uk', 'src3.com')
+            ORDER BY doc_id
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                          ELSE list_distinct([
+                            array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(toks) - 2, 1))
+                          ])
+                     END AS s
+              FROM (
+                SELECT doc_id,
+                       CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                       END AS toks
+                FROM documents WHERE doc_id < 200
+              )
+            ),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE (CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0
+                          THEN 1.0
+                          ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                               / len(list_distinct(list_concat(a.s, b.s)))
+                     END) >= 0.5
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM sh
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+            )
+            SELECT id AS doc_id,
+                   MIN(r) AS cluster_id,
+                   MIN(r) = id AS is_representative
+            FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "curate_corpus": f"""
+            WITH RECURSIVE
+            corpus AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id < 200 AND doc_id % 10 != 0
+            ),
+            toks AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                     END AS t
+              FROM corpus
+            ),
+            quality AS (
+              SELECT doc_id,
+                     (len(t) BETWEEN 50 AND 100000)
+                       AND (COALESCE(list_aggregate(
+                              list_transform(t, x -> length(x)), 'sum'), 0)
+                            / greatest(len(t), 1) BETWEEN 3.0 AND 10.0)
+                       AND (len(list_filter(t, x -> x IN ('#', '...', '…')))
+                            / greatest(len(t), 1) <= 0.1)
+                       AND (len(list_intersect(list_distinct(t),
+                              ['the','be','to','of','and','that','have','with']))
+                            >= 2) AS ok_quality
+              FROM toks
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+                          ELSE list_distinct([
+                            array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(t) - 2, 1))
+                          ])
+                     END AS s
+              FROM toks
+            ),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE (CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0
+                          THEN 1.0
+                          ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                               / len(list_distinct(list_concat(a.s, b.s)))
+                     END) >= 0.5
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM sh
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+            ),
+            comps AS (
+              SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+            ),
+            bench AS (
+              SELECT DISTINCT unnest(
+                CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+                     ELSE list_distinct([
+                       array_to_string(t[i:i+2], ' ')
+                       for i in generate_series(1, greatest(len(t) - 2, 1))
+                     ])
+                END) AS gram
+              FROM (
+                SELECT doc_id,
+                       CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                       END AS t
+                FROM documents WHERE doc_id < 200 AND doc_id % 10 = 0
+              )
+            ),
+            contam AS (
+              SELECT c.doc_id,
+                     CAST(COALESCE(COUNT(b.gram), 0) AS BIGINT) AS n
+              FROM sh c
+              LEFT JOIN (SELECT doc_id, unnest(s) AS gram FROM sh) g
+                ON g.doc_id = c.doc_id
+              LEFT JOIN bench b ON b.gram = g.gram
+              GROUP BY c.doc_id
+            )
+            SELECT q.doc_id AS doc_id,
+                   q.ok_quality AS ok_quality,
+                   comps.cluster_id AS cluster_id,
+                   comps.cluster_id = q.doc_id AS is_representative,
+                   contam.n AS n_contaminated_ngrams,
+                   contam.n >= 2 AS is_contaminated,
+                   ({_H60.format(x="CAST(q.doc_id AS VARCHAR)")} % 1000000)
+                     < 250000 AS in_sample,
+                   q.ok_quality AND comps.cluster_id = q.doc_id
+                     AND NOT (contam.n >= 2)
+                     AND (({_H60.format(x="CAST(q.doc_id AS VARCHAR)")}
+                           % 1000000) < 250000) AS keep
+            FROM quality q
+            JOIN comps ON comps.doc_id = q.doc_id
+            JOIN contam ON contam.doc_id = q.doc_id
             ORDER BY doc_id
         """,
     }
