@@ -969,6 +969,33 @@ def q_curate_corpus(spark, sf):
     )
 
 
+def q_pii_scrub(spark, sf):
+    """C4-style PII redaction: emails / IPv4s / phone numbers counted and
+    replaced in sequential stages (pure Catalyst regexp_count +
+    regexp_replace, one projection). PII is synthesized deterministically
+    from doc_id in both engines; patterns are restricted to syntax with
+    identical Java-regex/RE2 semantics."""
+    from eventanalysis_spark.operators.webfilter import scrub_pii
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10.1."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".7 call 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    p = scrub_pii(pii_text)
+    return docs.select(
+        "doc_id",
+        p["n_emails"].alias("n_emails"),
+        p["n_ipv4s"].alias("n_ipv4s"),
+        p["n_phones"].alias("n_phones"),
+        p["text_scrubbed"].alias("text_scrubbed"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -1018,10 +1045,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_quality": q_url_quality,
         "dedup_clusters": q_dedup_clusters,
         "curate_corpus": q_curate_corpus,
+        "pii_scrub": q_pii_scrub,
     }
 
 
 _H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _pii_oracle() -> str:
+    """Exact DuckDB twin of q_pii_scrub: same synthesized PII, same
+    sequential count-then-replace stages, same patterns (webfilter.
+    PII_PATTERNS — Java-regex/RE2-identical syntax)."""
+    from eventanalysis_spark.operators.webfilter import PII_PATTERNS
+
+    (_, e_pat, e_rep), (_, i_pat, i_rep), (_, p_pat, p_rep) = PII_PATTERNS
+    sql = """
+        WITH base AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example.com from 10.1.'
+                      || CAST(doc_id % 200 AS VARCHAR)
+                      || '.7 call 555-123-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+          FROM documents WHERE doc_id < 200
+        ),
+        s1 AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(t, '@EPAT@')) AS n_emails,
+                 regexp_replace(t, '@EPAT@', '@EREP@', 'g') AS t
+          FROM base
+        ),
+        s2 AS (
+          SELECT doc_id, n_emails,
+                 len(regexp_extract_all(t, '@IPAT@')) AS n_ipv4s,
+                 regexp_replace(t, '@IPAT@', '@IREP@', 'g') AS t
+          FROM s1
+        ),
+        s3 AS (
+          SELECT doc_id, n_emails, n_ipv4s,
+                 len(regexp_extract_all(t, '@PPAT@')) AS n_phones,
+                 regexp_replace(t, '@PPAT@', '@PREP@', 'g') AS t
+          FROM s2
+        )
+        SELECT doc_id,
+               CAST(n_emails AS BIGINT) AS n_emails,
+               CAST(n_ipv4s AS BIGINT) AS n_ipv4s,
+               CAST(n_phones AS BIGINT) AS n_phones,
+               t AS text_scrubbed
+        FROM s3 ORDER BY doc_id
+    """
+    for token, val in [
+        ("@EPAT@", e_pat), ("@EREP@", e_rep),
+        ("@IPAT@", i_pat), ("@IREP@", i_rep),
+        ("@PPAT@", p_pat), ("@PREP@", p_rep),
+    ]:
+        sql = sql.replace(token, val)
+    return sql
 
 
 def _minhash_oracle() -> str:
@@ -1911,4 +1990,5 @@ def oracle_sql() -> dict[str, str]:
             JOIN contam ON contam.doc_id = q.doc_id
             ORDER BY doc_id
         """,
+        "pii_scrub": _pii_oracle(),
     }

@@ -33,6 +33,7 @@ class CurationConfig:
 
     quality: bool = True
     min_words: int = 50
+    min_stopword_hits: int = 2
     dedup: bool = True
     num_hashes: int = 64
     bands: int = 16
@@ -69,7 +70,11 @@ def curate_corpus(
     if cfg.quality:
         out = out.withColumn(
             "ok_quality",
-            gopher_quality_flags(F.col(text_col), min_words=cfg.min_words)["keep"],
+            gopher_quality_flags(
+                F.col(text_col),
+                min_words=cfg.min_words,
+                min_stopword_hits=cfg.min_stopword_hits,
+            )["keep"],
         )
     else:
         out = out.withColumn("ok_quality", F.lit(True))

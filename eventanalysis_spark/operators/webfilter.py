@@ -177,6 +177,32 @@ def gopher_quality_flags(
     )
 
 
+# ---- PII scrubbing (C4-style redaction) -----------------------------------
+
+# patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition, \b —
+# no alternation-order or lookaround subtleties
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4s", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phones", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """struct(text_scrubbed, n_emails, n_ipv4s, n_phones): redact emails,
+    IPv4 addresses, and xxx-xxx-xxxx phone numbers (the C4-style PII
+    pass). Sequential stages — each count is taken on the previous stage's
+    output, then replaced — so e.g. digits inside an already-redacted
+    email are never double-counted. Pure Catalyst, one projection."""
+    cur = text
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return F.struct(cur.alias("text_scrubbed"), *counts)
+
+
 # ---- URL / domain operators ----------------------------------------------
 
 # common second-level public suffixes: "a.co.uk" registers at 3 labels

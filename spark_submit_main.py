@@ -22,6 +22,9 @@ Subcommands:
   archive   — seal a completed month
   maintain  — compact sink tables and expire old snapshots (S12 VACUUM)
   status    — print watermark + sink counts + last batch metrics
+  curate    — training-corpus curation: quality gate + duplicate-cluster
+              collapse + optional benchmark decontamination + sampling in
+              one flagged pass; writes the kept corpus + prints the audit
 """
 
 from __future__ import annotations
@@ -116,6 +119,43 @@ def cmd_maintain(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    from pyspark.sql import functions as F
+
+    from eventanalysis_spark.operators.curate import (
+        CurationConfig,
+        curate_corpus,
+        curation_report,
+    )
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.source)
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    cfg = CurationConfig(
+        quality=not args.no_quality,
+        min_words=args.min_words,
+        min_stopword_hits=args.min_stopwords,
+        dedup=not args.no_dedup,
+        jaccard_threshold=args.jaccard,
+        decontaminate_k=args.decontaminate_k,
+        sample_rate=args.sample_rate,
+    )
+    flagged = curate_corpus(
+        docs, text_col=args.text_col, id_col=args.id_col,
+        benchmark=bench, config=cfg,
+    )
+    # one pass: write the curated corpus, report from the same flags
+    flagged.persist()
+    (flagged.where(F.col("keep"))
+     .drop("ok_quality", "cluster_id", "is_representative",
+           "n_contaminated_ngrams", "is_contaminated", "in_sample", "keep")
+     .write.mode("overwrite").parquet(args.out))
+    rep = curation_report(flagged).collect()[0]
+    flagged.unpersist()
+    print(json.dumps({k: rep[k] for k in rep.asDict()}))
+    return 0
+
+
 def cmd_status(args) -> int:
     from eventanalysis_spark.pipeline import SINK_PREFIX, Pipeline, PipelineConfig
 
@@ -176,6 +216,22 @@ def main(argv=None) -> int:
     s = sub.add_parser("status")
     s.add_argument("--warehouse", required=True)
     s.set_defaults(fn=cmd_status)
+
+    c = sub.add_parser("curate")
+    c.add_argument("--source", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--benchmark", default=None,
+                   help="parquet of eval docs to decontaminate against")
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--min-words", type=int, default=50)
+    c.add_argument("--min-stopwords", type=int, default=2)
+    c.add_argument("--jaccard", type=float, default=0.8)
+    c.add_argument("--decontaminate-k", type=int, default=13)
+    c.add_argument("--sample-rate", type=float, default=None)
+    c.add_argument("--no-quality", action="store_true")
+    c.add_argument("--no-dedup", action="store_true")
+    c.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     return args.fn(args)

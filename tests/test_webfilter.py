@@ -147,3 +147,31 @@ def test_domain_filter(spark):
     plan = domain_filter(df, blocked)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_scrub_pii(spark):
+    from eventanalysis_spark.operators.webfilter import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail bob.smith+x@sub.example.co.uk now"),
+            (1, "server at 192.168.0.1 and 10.0.0.255 up"),
+            (2, "call 555-123-4567 or 555-987-6543"),
+            (3, "clean text with no pii at all"),
+            (4, "a@b.io from 1.2.3.4 dial 111-222-3333"),
+        ],
+        "i long, text string",
+    )
+    got = {
+        r["i"]: r["p"]
+        for r in df.select("i", scrub_pii(F.col("text")).alias("p")).collect()
+    }
+    assert got[0]["text_scrubbed"] == "mail <EMAIL> now"
+    assert got[0]["n_emails"] == 1 and got[0]["n_ipv4s"] == 0
+    assert got[1]["text_scrubbed"] == "server at <IP> and <IP> up"
+    assert got[1]["n_ipv4s"] == 2
+    assert got[2]["text_scrubbed"] == "call <PHONE> or <PHONE>"
+    assert got[2]["n_phones"] == 2
+    assert got[3]["text_scrubbed"] == "clean text with no pii at all"
+    assert (got[3]["n_emails"], got[3]["n_ipv4s"], got[3]["n_phones"]) == (0, 0, 0)
+    assert got[4]["text_scrubbed"] == "<EMAIL> from <IP> dial <PHONE>"
