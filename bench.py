@@ -260,6 +260,9 @@ def timed_queries(spark) -> dict[str, float]:
         "textstats",
         "ann_cosine_topk",
         "minhash_signature",
+        "sample_hash",
+        "gopher_filter",
+        "rep_top2gram",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -105,6 +105,28 @@ def start_routing_stream(
     return writer.start()
 
 
+def exact_dedup_stream(
+    stream: DataFrame,
+    text_col: str = "html",
+    ts_col: str = "warc_ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each content hash wins
+    within the event-time watermark horizon.
+
+    Scale shape: `dropDuplicatesWithinWatermark` expires its hash state as
+    the watermark advances — bounded state at any corpus size, unlike a
+    plain streaming dropDuplicates whose state grows forever. The batch
+    twin is dedup.drop_exact_duplicates (min-id canonical instead of
+    first-seen; both keep exactly one row per distinct content)."""
+    return (
+        stream.withWatermark(ts_col, delay)
+        .withColumn("__th", F.md5(F.col(text_col)))
+        .dropDuplicatesWithinWatermark(["__th"])
+        .drop("__th")
+    )
+
+
 def windowed_counts_stream(
     spark: SparkSession,
     source_path: str,

@@ -54,3 +54,38 @@ def test_host_sessions_match_pandas_oracle(spark, pages_path, pages_pdf):
     assert (got.total_bytes == want.total_bytes).all()
     assert (got.closed_reason == "gap").all()
     assert got.n_events.sum() > 0
+
+
+def test_exact_dedup_stream_bounded_state(spark, pages_path, pages_pdf, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) drains a
+    duplicated source to exactly one row per distinct content."""
+    from eventanalysis_spark.streaming.stream_pipeline import (
+        exact_dedup_stream,
+        read_pages_stream,
+    )
+
+    # duplicate every page (two files of the same data)
+    dup_dir = str(tmp_path / "dup-pages")
+    src = spark.read.parquet(pages_path)
+    src.write.mode("overwrite").parquet(dup_dir)
+    src.write.mode("append").parquet(dup_dir)
+
+    stream = read_pages_stream(spark, dup_dir)
+    deduped = exact_dedup_stream(stream, text_col="html")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("dedup_stream_test")
+    n_distinct = pages_pdf.html.map(bytes).nunique()
+    assert got.count() == n_distinct
+    # one row per content hash, schema preserved
+    from pyspark.sql import functions as F
+
+    assert got.groupBy(F.md5("html")).count().where("count > 1").count() == 0
+    assert set(got.columns) == set(src.columns)
