@@ -1815,7 +1815,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             d AS (
               SELECT doc_id, url,
-                     lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1))
+                     lower(regexp_replace(regexp_replace(
+                       regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+                       '^.*@', ''), ':[0-9]+$', ''))
                        AS host
               FROM u
             ),
@@ -1837,7 +1839,7 @@ def oracle_sql() -> dict[str, str]:
                           ELSE host END AS registered_domain,
                      len(list_filter(
                        string_split(
-                         regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1),
+                         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1),
                          '/'),
                        x -> length(x) > 0)) AS path_depth
               FROM r

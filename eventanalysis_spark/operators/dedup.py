@@ -15,7 +15,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Mersenne prime 2^31-1: universal-hash modulus chosen so (a·x + b) stays
@@ -150,10 +150,15 @@ def lsh_candidate_pairs(
       - `max_bucket_size`: a (band, bucket) with b members emits b(b-1)/2
         pairs — one degenerate bucket (boilerplate/template text that
         survived exact-dup collapse) can emit 10^12 pairs at web scale.
-        With a cap, oversized buckets instead emit STAR pairs to the
-        bucket's min doc_id: O(b) pairs that still connect the whole
-        bucket for connected-component clustering, at the cost of pair
-        completeness inside pathological buckets only."""
+        With a cap, oversized buckets instead emit O(b) pairs: STAR pairs
+        to the bucket's min doc_id PLUS CHAIN pairs between neighbors in
+        minhash-signature sort order (sorted-neighborhood method — docs
+        with high Jaccard agree on leading minhash coordinates with
+        probability ≥ threshold per coordinate, so true near-dups sort
+        adjacently and their chain edge survives a downstream exact-
+        Jaccard verify even when neither resembles the anchor). Pair
+        completeness inside pathological buckets is still sacrificed;
+        connectivity of verified near-dup runs is not."""
     if rows_per_band is None:
         if num_hashes is None:
             # back-compat fallback: derive from the data (runs a tiny job)
@@ -163,6 +168,10 @@ def lsh_candidate_pairs(
     r = rows_per_band
     banded = sigs.select(
         "doc_id",
+        # leading signature coords = sorted-neighborhood key for capped
+        # buckets (Catalyst prunes them off the uncapped path)
+        F.element_at("sig", 1).alias("__s0"),
+        F.element_at("sig", 2).alias("__s1"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -177,7 +186,7 @@ def lsh_candidate_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select("doc_id", "__s0", "__s1", "bb.band", "bb.bucket")
     if max_bucket_size is None:
         a = banded.alias("a")
         b = banded.alias("b")
@@ -203,11 +212,22 @@ def lsh_candidate_pairs(
         & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-    big_star = (
-        bb.where((F.col("__bn") > max_bucket_size) & (F.col("doc_id") != F.col("__anchor")))
-        .select(F.col("__anchor").alias("id_a"), F.col("doc_id").alias("id_b"))
+    big = bb.where(F.col("__bn") > max_bucket_size)
+    big_star = big.where(F.col("doc_id") != F.col("__anchor")).select(
+        F.col("__anchor").alias("id_a"), F.col("doc_id").alias("id_b")
     )
-    return small_pairs.unionByName(big_star).distinct()
+    # chain edges in signature sort order: only big-bucket rows shuffle
+    # into the window, O(b) output
+    w = Window.partitionBy("band", "bucket").orderBy("__s0", "__s1", "doc_id")
+    big_chain = (
+        big.withColumn("__nxt", F.lead("doc_id").over(w))
+        .where(F.col("__nxt").isNotNull())
+        .select(
+            F.least("doc_id", "__nxt").alias("id_a"),
+            F.greatest("doc_id", "__nxt").alias("id_b"),
+        )
+    )
+    return small_pairs.unionByName(big_star).unionByName(big_chain).distinct()
 
 
 def jaccard_verify(

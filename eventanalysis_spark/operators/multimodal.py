@@ -121,9 +121,12 @@ def _decode_video_frames_real(content: bytes, n_frames: int) -> np.ndarray:
         decoded = [f.to_ndarray(format="rgb24") for f in container.decode(video=0)]
     if not decoded:
         raise NotImplementedError("video stream decoded to zero frames")
+    # ALWAYS return exactly n_frames frames (repeating when the stream
+    # decodes to fewer) so the caller's zip(picks, frames) never drops a
+    # pick or mislabels a frame timestamp.
     n = len(decoded)
-    picks = sorted({(n - 1) * i // max(1, n_frames - 1) for i in range(n_frames)})
-    return np.stack([decoded[j] for j in picks])
+    idx = [(n - 1) * i // max(1, n_frames - 1) for i in range(n_frames)]
+    return np.stack([decoded[j] for j in idx])
 
 
 def _fake_pixels(content: bytes, h: int, w: int) -> np.ndarray:
@@ -142,6 +145,30 @@ def _fake_pixels(content: bytes, h: int, w: int) -> np.ndarray:
 def _fake_samples(content: bytes, n: int) -> np.ndarray:
     pix = _fake_pixels(content, 1, (n + 2) // 3).reshape(-1)[:n]
     return (pix.astype(np.float32) - 127.5) / 127.5
+
+
+def _pool_to_thumb(px: np.ndarray, thumb: int) -> np.ndarray:
+    """Edge-pad then block-mean-pool an HxWx3 array to thumb x thumb x 3.
+
+    Total for ANY input size: a 1x1 tracking pixel (ubiquitous in web
+    crawls) is edge-replicated up to the thumb grid instead of crashing
+    the reshape — real-codec decodes must never kill a Spark task on a
+    small image. For already-thumb-sized input this is the identity (in
+    float), so the deterministic fake path's values are unchanged."""
+    if px.shape[0] < thumb or px.shape[1] < thumb:
+        px = np.pad(
+            px,
+            (
+                (0, max(0, thumb - px.shape[0])),
+                (0, max(0, thumb - px.shape[1])),
+                (0, 0),
+            ),
+            mode="edge",
+        )
+    th = px[: (px.shape[0] // thumb) * thumb, : (px.shape[1] // thumb) * thumb]
+    gh = th.shape[0] // thumb
+    gw = th.shape[1] // thumb
+    return th.reshape(thumb, gh, thumb, gw, 3).mean(axis=(1, 3))
 
 
 # ---- operators --------------------------------------------------------------
@@ -186,14 +213,9 @@ def image_features(media: DataFrame, thumb: int = 8) -> DataFrame:
                     # operator total — a bad record never kills the task
                     px = _fake_pixels(content, h, w)
                 # thumb-pool: average over a thumb x thumb grid → feature
-                th = px[: (h // thumb) * thumb, : (w // thumb) * thumb]
-                if th.size == 0:
-                    th = px
-                gh = max(1, th.shape[0] // thumb)
-                gw = max(1, th.shape[1] // thumb)
-                pooled = th[: gh * thumb, : gw * thumb].reshape(
-                    thumb, gh, thumb, gw, 3
-                ).mean(axis=(1, 3))
+                # (_pool_to_thumb edge-pads sub-thumb images, so a real
+                # 1x1 decode cannot crash the task)
+                pooled = _pool_to_thumb(px, thumb)
                 gray = pooled.mean(axis=2).reshape(-1)  # 64 dims
                 ids.append(mid); ws.append(w); hs.append(h)
                 means.append(px.reshape(-1, 3).mean(axis=0).astype(np.float32).tolist())
@@ -243,6 +265,10 @@ def audio_features(media: DataFrame, n_bands: int = 32) -> DataFrame:
                         raise NotImplementedError("empty audio stream")
                 except Exception:
                     x = _fake_samples(content, sr)
+                if x.size < n_bands:
+                    # real clips shorter than one sample per band: zero-pad
+                    # (silence) so the band reshape below is total
+                    x = np.pad(x, (0, n_bands - x.size))
                 bands = x[: (len(x) // n_bands) * n_bands].reshape(n_bands, -1)
                 out["media_id"].append(mid)
                 out["duration_ms"].append(dur)
@@ -291,12 +317,18 @@ def video_frame_sample(media: DataFrame, k: int = 4, thumb: int = 4) -> DataFram
                             for j in picks
                         ]
                     )
+                # len(frames) == len(picks) by contract (the real decoder
+                # repeats frames when the stream is short); pooling pins
+                # the feature width to thumb² regardless of resolution
                 for j, fr in zip(picks, frames):
                     ids.append(mid)
                     idxs.append(int(j))
                     tss.append(int(j * 40))
+                    pooled = _pool_to_thumb(fr, thumb)
                     feats.append(
-                        (fr.mean(axis=2).reshape(-1) / 255.0).astype(np.float32).tolist()
+                        (pooled.mean(axis=2).reshape(-1) / 255.0)
+                        .astype(np.float32)
+                        .tolist()
                     )
             yield pd.DataFrame(
                 {

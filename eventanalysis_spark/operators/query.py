@@ -139,45 +139,52 @@ def k_spread_sample(
          `global index ∈ target indices`.
     Range partitions are ordered by construction, and (warc_ts, url) is a
     total order (url unique), so local order + offset ≡ the global order.
-    For approximate sampling at 100 TB use df.sample(); this operator
-    exists for exact reference parity."""
+    The ≤ k sampled rows are materialized to the driver (samples are small
+    by contract — AppSamples defaults to tens) so the pinned range cache
+    can be released before returning; for approximate sampling at 100 TB
+    use df.sample() — this operator exists for exact reference parity."""
     matched = df.where(predicate) if predicate is not None else df
     if k <= 1:
-        return first_event(matched, reverse=True)
+        return matched.orderBy(*[F.col(c).desc() for c in order_by]).limit(1)
     sess = matched.sparkSession
     nparts = num_partitions or sess.sparkContext.defaultParallelism
     # persist pins the sampled range boundaries: the counts job and the
     # final filter must see the SAME partition assignment (range sampling
-    # is not guaranteed identical across recomputations)
+    # is not guaranteed identical across recomputations); released below
     ranged = (
         matched.repartitionByRange(nparts, *[F.col(c) for c in order_by])
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
-    counts = {
-        r["__pid"]: r["cnt"]
-        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    n = sum(counts.values())
-    if n == 0:
-        return matched
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    idx = sorted({(n - 1) * i // (k - 1) for i in range(k)})
-    off_df = F.broadcast(
-        sess.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
+    try:
+        counts = {
+            r["__pid"]: r["cnt"]
+            for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        n = sum(counts.values())
+        if n == 0:
+            return matched.limit(0)
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        idx = sorted({(n - 1) * i // (k - 1) for i in range(k)})
+        off_df = F.broadcast(
+            sess.createDataFrame(
+                [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
+            )
         )
-    )
-    w = Window.partitionBy("__pid").orderBy(*[F.col(c).asc() for c in order_by])
-    return (
-        ranged.join(off_df, "__pid")
-        .withColumn("__gidx", F.row_number().over(w) - 1 + F.col("__off"))
-        .where(F.col("__gidx").isin(idx))
-        .drop("__pid", "__off", "__gidx")
-    )
+        w = Window.partitionBy("__pid").orderBy(*[F.col(c).asc() for c in order_by])
+        picked = (
+            ranged.join(off_df, "__pid")
+            .withColumn("__gidx", F.row_number().over(w) - 1 + F.col("__off"))
+            .where(F.col("__gidx").isin(idx))
+            .drop("__pid", "__off", "__gidx")
+        )
+        rows = picked.collect()
+        return sess.createDataFrame(rows, picked.schema)
+    finally:
+        ranged.unpersist()
 
 
 def chunked_iter(df: DataFrame, chunk: int = 32768, reverse: bool = False):

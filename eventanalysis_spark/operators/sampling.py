@@ -33,16 +33,30 @@ def sample_bucket(key: Column | str) -> Column:
     return hash60_md5(key) % BUCKETS
 
 
-def hash_sample(df: DataFrame, rate: float, key_col: Column | str = "url") -> DataFrame:
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: Column | str = "url",
+    salt: str = "",
+) -> DataFrame:
     """Deterministic rate-sample: keep rows whose key hashes below the
     rate threshold. Pure narrow filter — no shuffle, no RNG state, pushes
     down to the scan, and the SAME rows survive at any parallelism (task
-    retries and cluster resizes cannot change the sample). Nested samples
-    compose: rate 0.5 then 0.2 of the same key = rate 0.1 (bucket
-    thresholds nest)."""
+    retries and cluster resizes cannot change the sample).
+
+    Composition: nested samples with the SAME salt share one bucket per
+    key, so thresholds intersect — rate 0.5 then 0.2 yields min = 0.2
+    (subset semantics: the 0.2 sample is always a subset of the 0.5
+    sample, which is what resumable shrink-the-corpus workflows want).
+    For INDEPENDENT multiplicative stages (0.5 then 0.2 = 0.1), give each
+    stage a distinct `salt` — the salt is folded into the hashed key, so
+    distinct salts draw independent buckets."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0,1], got {rate}")
-    return df.where(sample_bucket(key_col) < int(rate * BUCKETS))
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    if salt:
+        key = F.concat(F.lit(salt + "\x1f"), key)
+    return df.where(sample_bucket(key) < int(rate * BUCKETS))
 
 
 def stratified_sample(

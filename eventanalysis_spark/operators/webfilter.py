@@ -215,8 +215,17 @@ def url_parts(url: Column) -> Column:
     registered_domain is the public-suffix heuristic every large-scale
     pipeline starts from: last two labels, or last three when the
     second-to-last label is a known second-level suffix (co/com/org/…)
-    under a 2-letter ccTLD. path_depth counts non-empty path segments."""
-    host = F.lower(F.regexp_extract(url, r"^[a-z]+://([^/?#]+)", 1))
+    under a 2-letter ccTLD. path_depth counts non-empty path segments.
+
+    The authority is normalized before splitting: scheme match is
+    case-insensitive, userinfo (up to the last '@') and an explicit
+    ':port' suffix are stripped — otherwise 'https://evil.com:8080/x'
+    yields host 'evil.com:8080' and a block list entry 'evil.com'
+    silently fails to match in domain_filter."""
+    auth = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1)
+    host = F.lower(
+        F.regexp_replace(F.regexp_replace(auth, r"^.*@", ""), r":\d+$", "")
+    )
     labels = F.split(host, r"\.")
     n = F.size(labels)
     tld = F.element_at(labels, -1)
@@ -232,7 +241,7 @@ def url_parts(url: Column) -> Column:
     ).otherwise(
         F.when(n >= 2, F.concat_ws(".", second, tld)).otherwise(host)
     )
-    path = F.regexp_extract(url, r"^[a-z]+://[^/?#]+(/[^?#]*)", 1)
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+(/[^?#]*)", 1)
     depth = F.size(F.filter(F.split(path, "/"), lambda x: F.length(x) > 0))
     return F.struct(
         host.alias("host"),

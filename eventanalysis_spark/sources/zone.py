@@ -78,14 +78,18 @@ class JobRegistry:
 
     def register(self, cfg: JobConfig) -> None:
         cfg.validate()
+        # comparisons are case-insensitive to match the registry's own
+        # InvariantCultureIgnoreCase dictionaries: re-registering the same
+        # job/channel pair with different case is an idempotent replace,
+        # not a duplicate
         by_channel = self.find_by_channel(cfg.channel)
-        if by_channel is not None and cfg.name != by_channel.name:
+        if by_channel is not None and cfg.name.lower() != by_channel.name.lower():
             raise RegistryError(
                 f"Duplicate channel name '{cfg.channel}' "
                 f"(jobs '{cfg.name}' and '{by_channel.name}')"
             )
         by_job = self.find_by_job(cfg.name)
-        if by_job is not None and cfg.channel != by_job.channel:
+        if by_job is not None and cfg.channel.lower() != by_job.channel.lower():
             raise RegistryError(
                 f"Duplicate job name '{cfg.name}' "
                 f"(channels '{cfg.channel}' and '{by_job.channel}')"

@@ -200,3 +200,26 @@ def test_embedding_near_duplicates_self_identity(spark, embeddings):
     pairs = embedding_near_duplicates(aug, dim=64, threshold=0.999, bits=8, tables=2)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (7, 100007) in got
+
+
+def test_lsh_bucket_cap_chain_preserves_neardup_connectivity(spark):
+    """Inside a capped bucket whose min-id anchor is NOT similar to the
+    others, star edges alone would be dropped by jaccard_verify and true
+    near-dups would disconnect; the signature-sorted chain edge (1,2)
+    keeps them paired."""
+    sigs = spark.createDataFrame(
+        [
+            (0, [5, 7, 9, 11]),   # shares band 0 with 1 and 2, else distinct
+            (1, [5, 7, 1, 2]),
+            (2, [5, 7, 3, 4]),
+        ],
+        "doc_id long, sig array<long>",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(
+            sigs, bands=2, num_hashes=4, max_bucket_size=2
+        ).collect()
+    }
+    # star to anchor 0 AND the chain edge between sort-adjacent members
+    assert {(0, 1), (0, 2), (1, 2)} == got

@@ -88,3 +88,56 @@ def test_metadata_only_scan_prunes_blob(spark, media, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     rs = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "content" not in rs
+
+
+def test_pool_to_thumb_total_for_tiny_inputs():
+    """1x1 tracking pixels (and any sub-thumb decode) must pool, not
+    crash: edge-pad up to the thumb grid."""
+    from eventanalysis_spark.operators.multimodal import _pool_to_thumb
+
+    one = np.full((1, 1, 3), 200, dtype=np.uint8)
+    pooled = _pool_to_thumb(one, 8)
+    assert pooled.shape == (8, 8, 3)
+    assert np.allclose(pooled, 200.0)
+    odd = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    assert _pool_to_thumb(odd, 8).shape == (8, 8, 3)
+    # identity (in float) for already-thumb-sized input
+    sq = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    assert np.allclose(_pool_to_thumb(sq, 8), sq)
+
+
+def test_small_media_never_kills_the_task(spark):
+    """meta claiming 1x1 images / sample rates below the band count used
+    to crash the reshape inside mapInPandas; both must be total now."""
+    rows = [
+        ("m1", "image", "image/png", b"tiny", (1, 1, None, None, 4)),
+        ("m2", "image", "image/png", b"tall", (1, 100, None, None, 4)),
+        ("m3", "audio", "audio/wav", b"blip", (None, None, 1, 16, 4)),
+    ]
+    df = spark.createDataFrame(
+        [
+            (mid, mod, mime, content, meta)
+            for mid, mod, mime, content, meta in rows
+        ],
+        "media_id string, modality string, mime string, content binary, "
+        "meta struct<width:int, height:int, duration_ms:bigint, "
+        "sample_rate:int, n_bytes:bigint>",
+    )
+    img = image_features(df).toPandas().set_index("media_id")
+    assert len(img) == 2
+    assert len(img.loc["m1", "feature"]) == 64
+    assert len(img.loc["m2", "feature"]) == 64
+    aud = audio_features(df).toPandas()
+    assert len(aud) == 1
+    assert len(aud.loc[0, "feature"]) == 32
+
+
+def test_video_decoder_contract_returns_exactly_n_frames():
+    """_decode_video_frames_real must hand back exactly n_frames (repeating
+    when the stream is short) so pick labels and timestamps stay aligned;
+    without PyAV the stub raises and the contract is enforced on the fake
+    path via the zip in video_frame_sample."""
+    from eventanalysis_spark.operators.multimodal import _decode_video_frames_real
+
+    with pytest.raises(NotImplementedError):
+        _decode_video_frames_real(b"x", 4)

@@ -153,3 +153,27 @@ def test_word_shingles_short_and_empty(spark):
     assert got[1] == ["one two"]  # shorter than k → single joined gram
     assert got[2] == ["a"]
     assert got[3] == []
+
+
+def test_salted_hash_samples_draw_independently(docs):
+    """Same-salt nesting is subset/min semantics (previous test); distinct
+    salts draw independent buckets so stages compose multiplicatively."""
+    half = hash_sample(docs, 0.5, _key())
+    same = hash_sample(half, 0.5, _key())
+    salted = hash_sample(half, 0.5, _key(), salt="stage2")
+    n_half, n_same, n_salted = half.count(), same.count(), salted.count()
+    # same-salt: threshold intersection == min(0.5, 0.5) == the 0.5 sample
+    assert n_same == n_half
+    # distinct salt: an independent coin → roughly rate² of the corpus
+    assert n_salted < n_half
+    total = docs.count()
+    assert 0.15 * total < n_salted < 0.35 * total
+    # salted stage is still a subset of its input and still deterministic
+    ids = sorted(r.doc_id for r in salted.collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in hash_sample(
+            hash_sample(docs.repartition(7), 0.5, _key()), 0.5, _key(), salt="stage2"
+        ).collect()
+    )
+    assert ids == ids2

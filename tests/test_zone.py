@@ -136,3 +136,15 @@ def test_pipeline_rejects_duplicate_class_rules(tmp_path, spark):
         spark, PipelineConfig(warehouse=str(tmp_path / "wh2")), rules=rules2
     )
     assert p._rules_df.count() == 1
+
+
+def test_registry_channel_case_insensitive_replace():
+    """Re-registering the same job/channel pair with different channel
+    case is an idempotent replace (InvariantCultureIgnoreCase semantics),
+    not a duplicate rejection."""
+    r = JobRegistry("Z")
+    r.register(JobConfig("job_a", "ChanA"))
+    r.register(JobConfig("job_a", "chana"))  # must NOT raise
+    assert r.find_by_channel("CHANA").channel == "chana"
+    with pytest.raises(RegistryError):
+        r.register(JobConfig("job_b", "chana"))
