@@ -519,6 +519,64 @@ def q_multimodal_image_features(spark, sf):
     )
 
 
+def q_multimodal_image_dims(spark, sf):
+    """Multimodal plumbing, EXACT-oracle slice: the SQL-expressible
+    invariants of image_features — metadata width/height propagation and
+    oversize routing (tlob cap analog) — over a media table derived
+    deterministically from `documents` (content = utf-8 text bytes,
+    dims = doc_id mod small primes). The feature values themselves stay
+    pytest-covered (sha256 keystream fake isn't SQL); this query pins the
+    mapInPandas schema / null-row / routing contract against DuckDB."""
+    from eventanalysis_spark.operators.multimodal import image_features
+
+    docs = _t(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.lit("image/fake").alias("mime"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            (F.pmod("doc_id", F.lit(37)) + 1).cast("int").alias("width"),
+            (F.pmod("doc_id", F.lit(23)) + 1).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.octet_length("text").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    feats = image_features(media, thumb=4, max_bytes=256)
+    # oversize rows carry null dims by operator contract; -1 sentinel here
+    # only because the cross-engine comparator stringifies nullable ints
+    # through float (1 vs 1.0)
+    return feats.select(
+        "media_id",
+        F.coalesce("width", F.lit(-1)).alias("width"),
+        F.coalesce("height", F.lit(-1)).alias("height"),
+        "oversize",
+    ).orderBy("media_id")
+
+
+def q_dedup_span_stats(spark, sf):
+    """Substring-level dedup (Lee et al. 2022 arXiv:2107.06499 style):
+    per-document profile of 5-token windows that recur across OTHER
+    documents. JVM-only window generation, 8-byte-hash shuffle, map-side
+    partial aggregates — see operators/spans.py design notes."""
+    from eventanalysis_spark.operators.spans import substring_dup_stats
+
+    docs = _t(spark, sf, "documents")
+    return substring_dup_stats(docs, k=5).orderBy("doc_id")
+
+
+def q_dedup_span_islands(spark, sf):
+    """Maximal cross-document duplicated substring spans per document:
+    overlapping/adjacent duplicated 5-gram windows merged gaps-and-islands
+    style with a PER-DOC window (no unpartitioned window, no global
+    sort). Token coordinates, one row per maximal span."""
+    from eventanalysis_spark.operators.spans import duplicate_span_islands
+
+    docs = _t(spark, sf, "documents")
+    return duplicate_span_islands(docs, k=5).orderBy("doc_id", "span_start")
+
+
 def q_u2_merge_upsert(spark, sf):
     """U2: MERGE-style upsert (last-wins) — per-user state where update
     rows (event_id > 1000) replace base rows (event_id <= 1000); users
@@ -1024,6 +1082,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "minhash_signature": q_minhash_signature,
         "multimodal_image_features": q_multimodal_image_features,
+        "multimodal_image_dims": q_multimodal_image_dims,
+        "dedup_span_stats": q_dedup_span_stats,
+        "dedup_span_islands": q_dedup_span_islands,
         "u2_merge_upsert": q_u2_merge_upsert,
         "a2_overview": q_a2_overview,
         "rollup_counts": q_rollup_counts,
@@ -1187,6 +1248,91 @@ def oracle_sql() -> dict[str, str]:
     return {
         "minhash_signature": _minhash_oracle(),
         "fingerprints": _fingerprints_oracle(),
+        "multimodal_image_dims": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   CASE WHEN octet_length(CAST(text AS BLOB)) > 256 THEN -1
+                        ELSE CAST(doc_id % 37 + 1 AS INT) END AS width,
+                   CASE WHEN octet_length(CAST(text AS BLOB)) > 256 THEN -1
+                        ELSE CAST(doc_id % 23 + 1 AS INT) END AS height,
+                   CASE WHEN octet_length(CAST(text AS BLOB)) > 256
+                        THEN 1 ELSE 0 END AS oversize
+            FROM documents
+            ORDER BY media_id
+        """,
+        "dedup_span_stats": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ),
+            win AS (
+              SELECT doc_id, i AS pos, array_to_string(t[i:i+4], ' ') AS gram
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(
+                       1, greatest(len(t) - 4, 0))) AS i)
+            ),
+            dup AS (
+              SELECT gram FROM win GROUP BY gram
+              HAVING count(DISTINCT doc_id) > 1
+            ),
+            per AS (
+              SELECT w.doc_id, count(*) AS n_dup_windows
+              FROM win w JOIN dup USING (gram) GROUP BY w.doc_id
+            ),
+            tot AS (
+              SELECT doc_id, count(*) AS n_windows FROM win GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(t.n_windows, 0) AS BIGINT) AS n_windows,
+                   CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+                   ROUND(COALESCE(p.n_dup_windows, 0)::DOUBLE / t.n_windows, 6)
+                     AS dup_frac
+            FROM documents d
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN per p USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "dedup_span_islands": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ),
+            win AS (
+              SELECT doc_id, i AS pos, array_to_string(t[i:i+4], ' ') AS gram
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(
+                       1, greatest(len(t) - 4, 0))) AS i)
+            ),
+            dup AS (
+              SELECT gram FROM win GROUP BY gram
+              HAVING count(DISTINCT doc_id) > 1
+            ),
+            spans AS (
+              SELECT w.doc_id, w.pos, w.pos + 4 AS pend
+              FROM win w JOIN dup USING (gram)
+            ),
+            flagged AS (
+              SELECT doc_id, pos, pend,
+                     CASE WHEN max(pend) OVER w IS NULL
+                            OR pos > max(pend) OVER w + 1
+                          THEN 1 ELSE 0 END AS new_island
+              FROM spans
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ),
+            islands AS (
+              SELECT doc_id, pos, pend,
+                     sum(new_island) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS island
+              FROM flagged
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pend) AS BIGINT) AS span_end,
+                   count(*) AS n_windows
+            FROM islands GROUP BY doc_id, island
+            ORDER BY doc_id, span_start
+        """,
         "p1_filter_order_limit": """
             SELECT event_id, ts, user_id, value FROM events
             WHERE event_id BETWEEN 100 AND 5000

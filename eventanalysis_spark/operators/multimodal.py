@@ -185,10 +185,15 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
-def image_features(media: DataFrame, thumb: int = 8) -> DataFrame:
+def image_features(
+    media: DataFrame, thumb: int = 8, max_bytes: int = MAX_MEDIA_BYTES
+) -> DataFrame:
     """Decode (fake) → thumb-pool → 64-dim feature + channel means.
     mapInPandas over (media_id, content, meta) only — Parquet never reads
-    other columns (explicit prune before the UDF)."""
+    other columns (explicit prune before the UDF). `max_bytes` is the
+    oversize-routing cap (defaults to the reference tlob record cap,
+    TlobWriter.cs:88-93); payloads above it emit a null-feature row with
+    oversize=1 instead of being decoded."""
 
     def op(batches):
         for pdf in batches:
@@ -197,7 +202,7 @@ def image_features(media: DataFrame, thumb: int = 8) -> DataFrame:
                 pdf["media_id"], pdf["content"], pdf["meta"]
             ):
                 n_bytes = len(content) if content is not None else 0
-                if n_bytes > MAX_MEDIA_BYTES:
+                if n_bytes > max_bytes:
                     ids.append(mid); ws.append(None); hs.append(None)
                     means.append(None); feats.append(None); oversize.append(1)
                     continue
