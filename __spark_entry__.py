@@ -563,7 +563,11 @@ def q_dedup_span_stats(spark, sf):
     from eventanalysis_spark.operators.spans import substring_dup_stats
 
     docs = _t(spark, sf, "documents")
-    return substring_dup_stats(docs, k=5).orderBy("doc_id")
+    # test documents arrive as ONE parquet split: spread the CPU-heavy
+    # window-gen stage. 8 measured best for these KB-scale tables (32 ways
+    # leaves ~150 docs/task — scheduling overhead dominates); production
+    # corpora arrive pre-split and pass parallelism=None.
+    return substring_dup_stats(docs, k=5, parallelism=8).orderBy("doc_id")
 
 
 def q_dedup_span_islands(spark, sf):
@@ -574,7 +578,9 @@ def q_dedup_span_islands(spark, sf):
     from eventanalysis_spark.operators.spans import duplicate_span_islands
 
     docs = _t(spark, sf, "documents")
-    return duplicate_span_islands(docs, k=5).orderBy("doc_id", "span_start")
+    return duplicate_span_islands(docs, k=5, parallelism=8).orderBy(
+        "doc_id", "span_start"
+    )
 
 
 def q_u2_merge_upsert(spark, sf):

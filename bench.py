@@ -263,6 +263,7 @@ def timed_queries(spark) -> dict[str, float]:
         "sample_hash",
         "gopher_filter",
         "rep_top2gram",
+        "dedup_span_stats",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

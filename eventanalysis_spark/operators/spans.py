@@ -38,14 +38,27 @@ from pyspark.sql import functions as F
 
 
 def ngram_windows(
-    docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """(id, pos, gram_hash) for every k-token sliding window.
 
     Tokenization: trim, split on whitespace runs — byte-for-byte the
     DuckDB `regexp_split_to_array(trim(text), '\\s+')` twin so the oracle
     is exact. pos is 1-based (first window = 1). Docs with fewer than k
-    tokens emit no rows. Entirely JVM-side (codegen'd)."""
+    tokens emit no rows. Entirely JVM-side (codegen'd).
+
+    `parallelism`: window generation is the CPU-heavy narrow stage; when
+    the source arrives in fewer splits than cores (one small parquet
+    file → ONE task doing all the tokenizing), pass the core count to
+    round-robin the docs first. Leave None when the source is already
+    well-split (the 100 TB case — parquet splits ≫ cores), where an
+    extra full shuffle of the corpus would be pure waste."""
+    if parallelism:
+        docs = docs.repartition(parallelism)
     toks = docs.select(
         F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
     )
@@ -82,7 +95,11 @@ def crossdoc_dup_grams(windows: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def substring_dup_stats(
-    docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Per-document cross-doc duplication profile:
     (id, n_windows, n_dup_windows, dup_frac).
@@ -91,7 +108,7 @@ def substring_dup_stats(
     dup_frac = n_dup_windows / n_windows (null when a doc has no
     windows). Docs shorter than k tokens appear with n_windows = 0 —
     a curation policy needs to SEE them, not silently lose them."""
-    w = ngram_windows(docs, k, text_col, id_col)
+    w = ngram_windows(docs, k, text_col, id_col, parallelism)
     dup = crossdoc_dup_grams(w, id_col)
     per_doc_dup = (
         w.join(dup.select("gram_hash"), "gram_hash")
@@ -119,7 +136,11 @@ def substring_dup_stats(
 
 
 def duplicate_span_islands(
-    docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Maximal duplicated substring spans per document.
 
@@ -129,7 +150,7 @@ def duplicate_span_islands(
     end over a PER-DOC window — no unpartitioned window, no global
     sort). Output: (id, span_start, span_end, n_windows) with token
     (not byte) coordinates, one row per maximal span."""
-    w = ngram_windows(docs, k, text_col, id_col)
+    w = ngram_windows(docs, k, text_col, id_col, parallelism)
     dup = crossdoc_dup_grams(w, id_col)
     spans = w.join(dup.select("gram_hash"), "gram_hash").select(
         id_col, "pos", (F.col("pos") + (k - 1)).alias("end")

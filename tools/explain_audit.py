@@ -241,6 +241,34 @@ def main() -> None:
         "scan streams straight through the join.",
     )
 
+    # 10. substring-level dedup: JVM-only window stream, per-doc windows
+    from eventanalysis_spark.operators.spans import duplicate_span_islands
+
+    docs10 = pages.select(
+        F.col("url").alias("doc_id"), F.col("lang").alias("text")
+    )
+    df10 = duplicate_span_islands(docs10, k=1)
+    plan10 = df10._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Substring-level dedup (span islands): hashed window stream, "
+        "per-doc gaps-and-islands",
+        df10,
+        [
+            ("no Python in the plan (tokenize/window-gen/hash all codegen)",
+             "Python" not in plan10),
+            ("dup-gram dictionary built with map-side partial aggregation",
+             "partial_count" in plan10 or "HashAggregate" in plan10),
+            ("island merge windows are PARTITIONED by doc (no "
+             "single-partition Exchange)", "SinglePartition" not in plan10),
+            ("window stream shuffles the 8-byte gram_hash key, not gram "
+             "strings", "Exchange hashpartitioning(gram_hash" in plan10),
+        ],
+        "Lee-et-al-style substring dedup: the token-window stream carries "
+        "(id, pos, xxhash64) only; the duplicated-gram dictionary is a "
+        "filtered hash aggregate; island merging never leaves the doc "
+        "partition.",
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the engine's key paths\n\n"
