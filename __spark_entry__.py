@@ -773,6 +773,25 @@ def q_dedup_lsh_collapsed(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def q_ann_ivf_topk(spark, sf):
+    """IVF ANN (the trained-codebook scale path: deterministic
+    hash-sampled 16-centroid coarse quantizer → inverted-list assignment
+    → probe the 4 nearest lists → exact cosine re-rank;
+    operators/similarity.py::ivf_topk) for the vec_id=0 query. The oracle
+    replicates the IVF PROCEDURE (same centroids, assignment, probe) in
+    SQL — it checks the algorithm, not just its recall."""
+    from eventanalysis_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = ivf_topk(emb, q, k=10, n_centroids=16, nprobe=4)
+    return ann.select(
+        "vec_id", F.round("cos_sim", 4).alias("cos_sim")
+    ).orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+
+
 def q_ann_lsh_topk(spark, sf):
     """LSH-bucketed ANN (the 10^12-row scale path: 24 independent 3-bit
     hyperplane signatures → bucket-join candidates → exact cosine re-rank,
@@ -832,6 +851,22 @@ def q_sample_hash(spark, sf):
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+def q_split_corpus(spark, sf):
+    """Deterministic 3-way train/val/test split (90/5/5) keyed by content
+    id — disjoint, exhaustive, partition/rerun-invariant, and leak-proof
+    (a duplicate key can never land in a different split). One narrow
+    projection, no shuffle."""
+    from eventanalysis_spark.operators.sampling import split_corpus
+
+    docs = _t(spark, sf, "documents")
+    out = split_corpus(
+        docs,
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        key_col=F.col("doc_id").cast("string"),
+    )
+    return out.select("doc_id", "split").orderBy("doc_id")
 
 
 def q_sample_stratified(spark, sf):
@@ -1098,10 +1133,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
         "dedup_lsh_collapsed": q_dedup_lsh_collapsed,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embed_neardup_pairs": q_embed_neardup_pairs,
         "langid": q_langid,
         "tokencount_bpe": q_tokencount_bpe,
         "sample_hash": q_sample_hash,
+        "split_corpus": q_split_corpus,
         "sample_stratified": q_sample_stratified,
         "quota_sample": q_quota_sample,
         "decontaminate": q_decontaminate,
@@ -1296,6 +1333,51 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN tot t USING (doc_id)
             LEFT JOIN per p USING (doc_id)
             ORDER BY doc_id
+        """,
+        "ann_ivf_topk": """
+            -- exact SQL twin of the IVF procedure: same hash-sampled
+            -- centroids, same argmin-L2 assignment (dot identity, same
+            -- add order), same nprobe=4 probe, same cosine re-rank
+            WITH cents AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+              FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+            ),
+            assign AS (
+              SELECT vec_id, cid, v FROM (
+                SELECT e.vec_id, c.cid, e.embedding::DOUBLE[] AS v,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[])
+                         - 2 * list_dot_product(e.embedding::DOUBLE[], c.c)
+                         + list_dot_product(c.c, c.c) ASC, c.cid ASC) AS r
+                FROM embeddings e CROSS JOIN cents c
+              ) WHERE r = 1
+            ),
+            q AS (
+              SELECT embedding::DOUBLE[] AS qe FROM embeddings
+              WHERE vec_id = 0
+            ),
+            probes AS (
+              SELECT cid FROM (
+                SELECT c.cid, row_number() OVER (ORDER BY
+                  list_dot_product(q.qe, q.qe)
+                  - 2 * list_dot_product(q.qe, c.c)
+                  + list_dot_product(c.c, c.c) ASC, c.cid ASC) AS r
+                FROM cents c, q
+              ) WHERE r <= 4
+            ),
+            ranked AS (
+              SELECT a.vec_id,
+                     list_dot_product(a.v, q.qe)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(q.qe, q.qe))) AS cs
+              FROM assign a JOIN probes USING (cid), q
+              WHERE a.vec_id != 0
+              ORDER BY cs DESC, a.vec_id ASC LIMIT 10
+            )
+            SELECT vec_id, ROUND(cs, 4) AS cos_sim
+            FROM ranked ORDER BY cos_sim DESC, vec_id ASC
         """,
         "dedup_span_islands": """
             WITH toks AS (
@@ -1773,6 +1855,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source
             FROM documents
             WHERE ({_H60.format(x="CAST(doc_id AS VARCHAR)")} % 1000000) < 125000
+            ORDER BY doc_id
+        """,
+        "split_corpus": f"""
+            SELECT doc_id,
+                   CASE WHEN b < 900000 THEN 'train'
+                        WHEN b < 950000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     {_H60.format(x="'split' || chr(31) || CAST(doc_id AS VARCHAR)")}
+                       % 1000000 AS b
+              FROM documents
+            )
             ORDER BY doc_id
         """,
         "sample_stratified": f"""

@@ -218,3 +218,40 @@ def decontaminate(
     return hits.withColumn(
         "is_contaminated", F.col("n_contaminated_ngrams") >= threshold
     )
+
+
+def split_corpus(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: Column | str = "url",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint-and-exhaustive corpus split — the
+    train/val/test assignment. `fractions` maps split name → fraction
+    (must sum to 1.0 within 1e-9); each row gets a `split` column from
+    its key's hash bucket against the cumulative boundaries, in the
+    dict's insertion order.
+
+    Same contract as hash_sample: a narrow projection (no shuffle, no
+    RNG), the same row lands in the same split at any parallelism or on
+    any rerun, and because assignment is by CONTENT KEY, a re-crawled
+    duplicate of a training page can never drift into the test split
+    (the leakage failure mode of random splits). The salt decorrelates
+    the split from any hash_sample already applied to the same key."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    if salt:
+        key = F.concat(F.lit(salt + "\x1f"), key)
+    bucket = sample_bucket(key)
+    bound = 0
+    expr = None
+    names = list(fractions)
+    for name in names[:-1]:
+        bound += int(fractions[name] * BUCKETS)
+        cond = bucket < bound
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

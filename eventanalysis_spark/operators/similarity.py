@@ -234,3 +234,122 @@ def embedding_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
     )
     return pairs.where(F.col("cos_sim") >= threshold)
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 via the dot identity ‖a‖² − 2a·b + ‖b‖² — the same
+    left-fold sum shape as `dot`, so a SQL twin using list_dot_product
+    reproduces it bit-for-bit (same add order)."""
+    return dot(a, a) - 2 * dot(a, b) + dot(b, b)
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Training-free deterministic coarse quantizer: the centroids are the
+    n vectors whose md5(id) ranks smallest — a hash-derived sample
+    (partition-invariant, no RNG, reproducible across cluster sizes, and
+    SQL-replicable for the oracle). A deployment with a trained k-means
+    codebook drops its centroids into the same (cid, __c) slot; every
+    downstream stage is unchanged."""
+    return (
+        emb.select(
+            F.col(id_col).alias("cid"),
+            _as_double(F.col(vec_col)).alias("__c"),
+        )
+        .orderBy(F.md5(F.col("cid").cast("string")), F.col("cid"))
+        .limit(n_centroids)
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    codebook: list[tuple],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inverted-list assignment: argmin-L2 centroid per vector, computed
+    as ONE projection — `least()` over per-centroid (distance, cid)
+    structs with the centroid vectors inlined as literals and ‖c‖²
+    pre-computed driver-side. The corpus is neither exploded |codebook|×
+    (the cross-join form) nor shuffled (the groupBy form): assignment is
+    a narrow map, the 100 TB shape. Ties break to the smaller cid
+    (struct comparison). Suits codebooks up to ~10³ centroids — beyond
+    that, switch to a broadcast cross join + min(struct) aggregate.
+
+    `codebook`: [(cid, [float, ...]), ...] — a pre-built artifact (the
+    IVF index build / trained k-means output), not a per-query job."""
+    v = _as_double(F.col(vec_col))
+    vv = dot(v, v)
+    structs = []
+    for cid, cvec in codebook:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        cc = float(sum(float(x) * float(x) for x in cvec))
+        d = vv - 2 * dot(v, c) + F.lit(cc)
+        structs.append(F.struct(d.alias("__d"), F.lit(cid).alias("cid")))
+    best = structs[0] if len(structs) == 1 else F.least(*structs)
+    return emb.select(
+        F.col(id_col), v.alias("__v"), best["cid"].alias("cid")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into n_centroids inverted
+    lists, probe the nprobe lists nearest each query, exact cosine
+    re-rank candidates only.
+
+    The 10^12-row shape: the corpus is scanned once for assignment (a
+    broadcast cross join against a ≤10^3-row codebook — in production the
+    assignment is materialized once and reused across queries, exactly an
+    IVF index build), and each query touches ~nprobe/n_centroids of the
+    data. Candidate generation is a broadcast join on cid; the only
+    per-query work is the re-rank."""
+    from pyspark.sql.window import Window
+
+    cents = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    # the ONE collect here is the index build (materializing the codebook
+    # artifact), not per-query work — production reuses it across queries
+    codebook = [(r["cid"], list(r["__c"])) for r in cents.collect()]
+    assigned = ivf_assign(emb, codebook, id_col, vec_col)
+
+    q = query.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("__q")
+    )
+    probe_scored = q.crossJoin(F.broadcast(cents)).select(
+        query_id_col, "__q", "cid", l2sq(F.col("__q"), F.col("__c")).alias("__d")
+    )
+    wp = Window.partitionBy(query_id_col).orderBy(
+        F.col("__d").asc(), F.col("cid").asc()
+    )
+    probes = (
+        probe_scored.withColumn("__r", F.row_number().over(wp))
+        .where(F.col("__r") <= nprobe)
+        .select(query_id_col, "__q", "cid")
+    )
+
+    cands = assigned.join(F.broadcast(probes), "cid").where(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = cands.select(
+        query_id_col, id_col, cosine(F.col("__v"), F.col("__q")).alias("cos_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )

@@ -223,3 +223,79 @@ def test_lsh_bucket_cap_chain_preserves_neardup_connectivity(spark):
     }
     # star to anchor 0 AND the chain edge between sort-adjacent members
     assert {(0, 1), (0, 2), (1, 2)} == got
+
+
+def test_ivf_assign_is_argmin_and_covers_all(spark, embeddings):
+    from eventanalysis_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        l2sq,
+    )
+
+    cents = ivf_centroids(embeddings, n_centroids=8)
+    codebook = [(r["cid"], list(r["__c"])) for r in cents.collect()]
+    assigned = ivf_assign(embeddings, codebook)
+    n = embeddings.count()
+    assert assigned.count() == n  # every vector lands in exactly one list
+    # cross-check argmin on a sample against the exploded form
+    rows = assigned.orderBy("vec_id").limit(20).collect()
+    import numpy as np
+
+    emb_pd = (
+        embeddings.orderBy("vec_id").limit(20).toPandas().set_index("vec_id")
+    )
+    for r in rows:
+        v = np.array(emb_pd.loc[r.vec_id, "embedding"], dtype=np.float64)
+        dists = {
+            cid: float(((v - np.array(c, dtype=np.float64)) ** 2).sum())
+            for cid, c in codebook
+        }
+        best = min(dists, key=lambda cid: (dists[cid], cid))
+        assert r.cid == best, (r.vec_id, r.cid, best)
+
+
+def test_ivf_topk_recall_and_shape(spark, embeddings):
+    """IVF candidates come only from probed lists; recall vs brute force
+    is bounded by nprobe/n_centroids coverage. With nprobe == n_centroids
+    IVF degenerates to exact search — assert equality there, and sane
+    recall at partial probe."""
+    from eventanalysis_spark.operators.similarity import ivf_topk
+
+    q = embeddings.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {r.vec_id for r in brute_force_topk(embeddings, q, k=10).collect()}
+    full = ivf_topk(embeddings, q, k=10, n_centroids=8, nprobe=8)
+    assert {r.vec_id for r in full.collect()} == exact
+    part = ivf_topk(embeddings, q, k=10, n_centroids=8, nprobe=3).collect()
+    assert len(part) <= 10
+    recall = len(exact & {r.vec_id for r in part}) / 10
+    assert recall >= 0.2, f"recall {recall}"  # random vectors spread lists
+
+
+def test_ivf_assignment_plan_is_narrow(spark, embeddings):
+    """The 100 TB shape: assignment is ONE projection — no Exchange, no
+    Python, no join — and ivf_topk's corpus side reaches the candidate
+    join without shuffling (broadcast probes)."""
+    from eventanalysis_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    cents = ivf_centroids(embeddings, n_centroids=8)
+    codebook = [(r["cid"], list(r["__c"])) for r in cents.collect()]
+    assigned = ivf_assign(embeddings, codebook)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    assert "Join" not in plan
+
+    q = embeddings.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk_plan = (
+        ivf_topk(embeddings, q, k=5, n_centroids=8, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in topk_plan
+    assert "SortMergeJoin" not in topk_plan

@@ -177,3 +177,58 @@ def test_salted_hash_samples_draw_independently(docs):
         ).collect()
     )
     assert ids == ids2
+
+
+def test_split_corpus_disjoint_exhaustive_deterministic(spark):
+    from eventanalysis_spark.operators.sampling import split_corpus
+
+    docs = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("string").alias("key")
+    )
+    out = split_corpus(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}, key_col="key"
+    )
+    rows = out.collect()
+    assert len(rows) == 5000  # exhaustive: every row assigned
+    counts = {}
+    for r in rows:
+        counts[r.split] = counts.get(r.split, 0) + 1
+    assert set(counts) == {"train", "val", "test"}  # disjoint by construction
+    assert abs(counts["train"] / 5000 - 0.9) < 0.02
+    assert abs(counts["val"] / 5000 - 0.05) < 0.02
+    # partition-invariant
+    again = {
+        r.doc_id: r.split
+        for r in split_corpus(
+            docs.repartition(13),
+            {"train": 0.9, "val": 0.05, "test": 0.05},
+            key_col="key",
+        ).collect()
+    }
+    assert all(again[r.doc_id] == r.split for r in rows)
+    # salt decorrelates from hash_sample on the same key
+    from eventanalysis_spark.operators.sampling import hash_sample
+
+    sampled = {r.doc_id for r in hash_sample(docs, 0.05, key_col="key").collect()}
+    test_ids = {r.doc_id for r in rows if r.split == "test"}
+    overlap = len(sampled & test_ids) / max(len(sampled), 1)
+    assert overlap < 0.3  # would be ~1.0 if correlated
+
+
+def test_split_corpus_validates_fractions(spark):
+    from eventanalysis_spark.operators.sampling import split_corpus
+
+    docs = spark.range(3).select(F.col("id").cast("string").alias("key"))
+    with pytest.raises(ValueError):
+        split_corpus(docs, {"a": 0.5, "b": 0.4}, key_col="key")
+
+
+def test_split_corpus_plan_is_narrow(spark):
+    from eventanalysis_spark.operators.sampling import split_corpus
+
+    docs = spark.range(100).select(F.col("id").cast("string").alias("key"))
+    plan = (
+        split_corpus(docs, {"train": 0.9, "val": 0.1}, key_col="key")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
