@@ -583,6 +583,17 @@ def q_dedup_span_islands(spark, sf):
     )
 
 
+def q_dedup_span_removal(spark, sf):
+    """Apply step of substring-level dedup: cut every cross-document
+    duplicated 5-gram span out of the text (conservative remove-all-
+    occurrences form), one array expression per doc after a tiny
+    islands join — operators/spans.py::remove_duplicate_spans."""
+    from eventanalysis_spark.operators.spans import remove_duplicate_spans
+
+    docs = _t(spark, sf, "documents")
+    return remove_duplicate_spans(docs, k=5, parallelism=8).orderBy("doc_id")
+
+
 def q_u2_merge_upsert(spark, sf):
     """U2: MERGE-style upsert (last-wins) — per-user state where update
     rows (event_id > 1000) replace base rows (event_id <= 1000); users
@@ -1126,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_dims": q_multimodal_image_dims,
         "dedup_span_stats": q_dedup_span_stats,
         "dedup_span_islands": q_dedup_span_islands,
+        "dedup_span_removal": q_dedup_span_removal,
         "u2_merge_upsert": q_u2_merge_upsert,
         "a2_overview": q_a2_overview,
         "rollup_counts": q_rollup_counts,
@@ -1378,6 +1390,71 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, ROUND(cs, 4) AS cos_sim
             FROM ranked ORDER BY cos_sim DESC, vec_id ASC
+        """,
+        "dedup_span_removal": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ),
+            win AS (
+              SELECT doc_id, i AS pos, array_to_string(t[i:i+4], ' ') AS gram
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(
+                       1, greatest(len(t) - 4, 0))) AS i)
+            ),
+            dup AS (
+              SELECT gram FROM win GROUP BY gram
+              HAVING count(DISTINCT doc_id) > 1
+            ),
+            spans AS (
+              SELECT w.doc_id, w.pos, w.pos + 4 AS pend
+              FROM win w JOIN dup USING (gram)
+            ),
+            flagged AS (
+              SELECT doc_id, pos, pend,
+                     CASE WHEN max(pend) OVER w IS NULL
+                            OR pos > max(pend) OVER w + 1
+                          THEN 1 ELSE 0 END AS new_island
+              FROM spans
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ),
+            numbered AS (
+              SELECT doc_id, pos, pend,
+                     sum(new_island) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS island
+              FROM flagged
+            ),
+            isl AS (
+              SELECT doc_id, min(pos) AS s, max(pend) AS e
+              FROM numbered GROUP BY doc_id, island
+            ),
+            expl AS (
+              SELECT toks.doc_id, t[i] AS tok, i
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)
+            ),
+            kept AS (
+              SELECT x.doc_id, x.i, x.tok
+              FROM expl x
+              WHERE NOT EXISTS (
+                SELECT 1 FROM isl
+                WHERE isl.doc_id = x.doc_id AND x.i BETWEEN isl.s AND isl.e
+              )
+            ),
+            clean AS (
+              SELECT doc_id,
+                     string_agg(tok, ' ' ORDER BY i) AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT tk.doc_id,
+                   COALESCE(c.clean_text, '') AS clean_text,
+                   CAST(len(tk.t) - COALESCE(c.n_kept, 0) AS BIGINT)
+                     AS n_tokens_removed
+            FROM toks tk LEFT JOIN clean c USING (doc_id)
+            ORDER BY tk.doc_id
         """,
         "dedup_span_islands": """
             WITH toks AS (

@@ -177,3 +177,48 @@ def duplicate_span_islands(
         )
         .drop("island")
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Rewrite each document with its cross-document duplicated spans cut
+    out — the apply step of Lee-et-al substring dedup (arXiv:2107.06499
+    removes the repeated substring from all but one occurrence; this
+    variant removes it everywhere, the conservative form for training
+    corpora).
+
+    Shape: the island set is ~spans-per-doc rows (tiny vs the corpus);
+    it is grouped to one array row per doc and joined back, then the cut
+    is ONE array expression — tokens whose 1-based position falls inside
+    any [span_start, span_end] are filtered out and the rest re-joined
+    with single spaces. Docs with no duplicated spans pass through with
+    whitespace runs collapsed (the operator is idempotent on its own
+    output). Output: (id, clean_text, n_tokens_removed)."""
+    islands = duplicate_span_islands(docs, k, text_col, id_col, parallelism)
+    per_doc = islands.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = docs.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__t")
+    ).join(per_doc, id_col, "left")
+    kept = F.filter(
+        "__t",
+        lambda tok, i: ~F.exists(
+            "__spans",
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+        ),
+    )
+    return toks.select(
+        id_col,
+        F.when(F.col("__spans").isNull(), F.concat_ws(" ", "__t"))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias("clean_text"),
+        F.when(F.col("__spans").isNull(), F.lit(0).cast("long"))
+        .otherwise((F.size("__t") - F.size(kept)).cast("long"))
+        .alias("n_tokens_removed"),
+    )

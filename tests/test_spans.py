@@ -138,3 +138,36 @@ def test_plan_shape_no_python_no_global_window(docs_df):
     plan = duplicate_span_islands(docs_df, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_remove_duplicate_spans_hand_computed(docs_df):
+    from eventanalysis_spark.operators.spans import remove_duplicate_spans
+
+    rows = {
+        r.doc_id: r for r in remove_duplicate_spans(docs_df, k=5).collect()
+    }
+    # doc 0: span [1,5] cut → tokens 6..10 remain
+    assert rows[0].clean_text == "x y z w v"
+    assert rows[0].n_tokens_removed == 5
+    # doc 1: spans [2,6] and [9,13] cut → q r s t remain
+    assert rows[1].clean_text == "q r s t"
+    assert rows[1].n_tokens_removed == 10
+    # doc 2: no cross-doc spans → pass-through
+    assert rows[2].clean_text == "p p p p p p"
+    assert rows[2].n_tokens_removed == 0
+    # fully-duplicated docs vanish to empty text
+    assert rows[5].clean_text == "" and rows[5].n_tokens_removed == 6
+    # short/empty docs pass through
+    assert rows[3].clean_text == "u v" and rows[4].clean_text == ""
+
+
+def test_remove_duplicate_spans_idempotent(spark, docs_df):
+    """Second application over the cleaned corpus removes nothing: the
+    duplicated material is gone."""
+    from eventanalysis_spark.operators.spans import remove_duplicate_spans
+
+    once = remove_duplicate_spans(docs_df, k=5).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    twice = remove_duplicate_spans(once, k=5).collect()
+    assert all(r.n_tokens_removed == 0 for r in twice)
