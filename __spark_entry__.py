@@ -864,6 +864,17 @@ def q_sample_hash(spark, sf):
     )
 
 
+def q_unigram_logprob(spark, sf):
+    """Perplexity-proxy quality scoring (CCNet recipe, unigram degenerate
+    case): self-trained token counts → per-doc mean negative logprob with
+    Laplace smoothing. Broadcast vocab join — the corpus never shuffles;
+    operators/textstats.py::unigram_logprob_scores."""
+    from eventanalysis_spark.operators.textstats import unigram_logprob_scores
+
+    docs = _t(spark, sf, "documents")
+    return unigram_logprob_scores(docs, parallelism=8).orderBy("doc_id")
+
+
 def q_split_corpus(spark, sf):
     """Deterministic 3-way train/val/test split (90/5/5) keyed by content
     id — disjoint, exhaustive, partition/rerun-invariant, and leak-proof
@@ -1151,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokencount_bpe": q_tokencount_bpe,
         "sample_hash": q_sample_hash,
         "split_corpus": q_split_corpus,
+        "unigram_logprob": q_unigram_logprob,
         "sample_stratified": q_sample_stratified,
         "quota_sample": q_quota_sample,
         "decontaminate": q_decontaminate,
@@ -1932,6 +1944,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source
             FROM documents
             WHERE ({_H60.format(x="CAST(doc_id AS VARCHAR)")} % 1000000) < 125000
+            ORDER BY doc_id
+        """,
+        "unigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+            tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n,
+                           CAST(count(*) AS DOUBLE) AS v FROM counts),
+            lp AS (
+              SELECT token, -ln((cnt + 1.0) / (n + v)) AS nlp
+              FROM counts, tot
+            ),
+            scored AS (
+              SELECT t.doc_id, count(*) AS n_tokens,
+                     ROUND(avg(lp.nlp), 6) AS avg_neg_logprob
+              FROM toks t JOIN lp USING (token) GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   s.avg_neg_logprob
+            FROM documents d LEFT JOIN scored s USING (doc_id)
             ORDER BY doc_id
         """,
         "split_corpus": f"""

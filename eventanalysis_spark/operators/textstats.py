@@ -8,6 +8,8 @@ training-data pipeline and are grouped with the parse stage in the plan.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -120,3 +122,96 @@ def fingerprint(text: Column, hash_fn: str = "xxhash64") -> Column:
 
 def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("doc_fingerprint", fingerprint(F.col(text_col)))
+
+
+def corpus_token_counts(
+    docs: DataFrame, text_col: str = "text", parallelism: int | None = None
+) -> DataFrame:
+    """Unigram counts over the corpus: (token, cnt). One explode + one
+    map-side-partial hash aggregate; in-doc repetition collapses before
+    the shuffle, so the shuffled volume is per-task DISTINCT tokens
+    (Zipf makes that tiny relative to the token stream)."""
+    if parallelism:
+        docs = docs.repartition(parallelism)
+    toks = docs.select(
+        F.explode(
+            F.when(
+                F.length(F.trim(F.col(text_col))) == 0,
+                F.array().cast("array<string>"),
+            ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("token")
+    )
+    return toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    counts: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    broadcast_counts: bool = True,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Per-document unigram-LM score — the perplexity-proxy quality
+    signal (the CCNet/CC-100 recipe uses a KenLM 5-gram; a unigram model
+    is the degenerate case with the same plumbing: train counts on a
+    reference corpus, score every doc by mean negative log-probability;
+    low = fluent/common, high = gibberish/rare-token soup).
+
+    `counts` defaults to counts over `docs` itself (self-scoring).
+    Additive (Laplace) smoothing: p(tok) = (cnt + alpha) / (N + alpha·V).
+
+    Scale shape: with broadcast_counts=True the vocabulary ships to every
+    executor and the corpus NEVER shuffles — right whenever the vocab is
+    ≪ corpus (always, by Zipf; CCNet prunes its LM vocab anyway). The
+    per-token logprob lookup is a broadcast hash join keyed by token —
+    skew-free because the probe side streams. For a vocabulary too big
+    to broadcast, pass broadcast_counts=False (shuffle join; enable AQE
+    skew handling — 'the' lands on one reducer otherwise).
+
+    Output: (id, n_tokens, avg_neg_logprob) — avg_neg_logprob null for
+    empty docs."""
+    if counts is None:
+        counts = corpus_token_counts(docs, text_col, parallelism)
+    totals = counts.agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    n_total, vocab = totals["n"] or 0, totals["v"] or 0
+    denom = float(n_total) + alpha * float(vocab)
+    lp = counts.select(
+        "token",
+        (-F.log((F.col("cnt") + F.lit(alpha)) / F.lit(denom))).alias("__nlp"),
+    )
+    if parallelism:
+        docs = docs.repartition(parallelism)
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.when(
+                F.length(F.trim(F.col(text_col))) == 0,
+                F.array().cast("array<string>"),
+            ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("token"),
+    )
+    joined = exploded.join(
+        F.broadcast(lp) if broadcast_counts else lp, "token", "left"
+    )
+    oov_nlp = -math.log(alpha / denom) if denom > 0 else 0.0
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("token").alias("n_tokens"),
+            # the explode_outer null row (empty doc) must not score as OOV:
+            # avg over zero non-null terms → null
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("token").isNotNull(),
+                        F.coalesce("__nlp", F.lit(oov_nlp)),
+                    )
+                ),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+    )

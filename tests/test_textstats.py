@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from eventanalysis_spark.operators.textstats import (
@@ -72,3 +73,69 @@ def test_fingerprint_properties(spark):
         for r in add_fingerprint(df.repartition(5)).orderBy("id").collect()
     ]
     assert got == got2
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from eventanalysis_spark.operators.textstats import (
+        corpus_token_counts,
+        unigram_logprob_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c"), (2, "")], "doc_id long, text string"
+    )
+    counts = {
+        r.token: r.cnt for r in corpus_token_counts(docs).collect()
+    }
+    assert counts == {"a": 3, "b": 1, "c": 1}  # empty doc contributes nothing
+    rows = {r.doc_id: r for r in unigram_logprob_scores(docs).collect()}
+    n, v = 5.0, 3.0  # total tokens, vocab
+    lp = {t: -math.log((c + 1.0) / (n + v)) for t, c in counts.items()}
+    assert rows[0].n_tokens == 3
+    assert rows[0].avg_neg_logprob == pytest.approx(
+        round((2 * lp["a"] + lp["b"]) / 3, 6)
+    )
+    assert rows[1].n_tokens == 2
+    # empty doc: present, zero tokens, null score (NOT scored as OOV)
+    assert rows[2].n_tokens == 0 and rows[2].avg_neg_logprob is None
+    # rarer tokens → higher neg logprob → doc 1 scores above doc 0? both
+    # contain 'a'; doc 0 has b, doc 1 has c (same count) — sanity: scores
+    # positive
+    assert rows[0].avg_neg_logprob > 0 and rows[1].avg_neg_logprob > 0
+
+
+def test_unigram_logprob_external_counts_and_oov(spark):
+    import math
+
+    from eventanalysis_spark.operators.textstats import (
+        corpus_token_counts,
+        unigram_logprob_scores,
+    )
+
+    train = spark.createDataFrame([(0, "a a b")], "doc_id long, text string")
+    counts = corpus_token_counts(train)
+    score = spark.createDataFrame([(9, "a z")], "doc_id long, text string")
+    rows = unigram_logprob_scores(score, counts=counts).collect()
+    n, v = 3.0, 2.0
+    lp_a = -math.log((2 + 1.0) / (n + v))
+    lp_oov = -math.log(1.0 / (n + v))  # z unseen → alpha-smoothed floor
+    assert rows[0].avg_neg_logprob == pytest.approx(
+        round((lp_a + lp_oov) / 2, 6)
+    )
+
+
+def test_unigram_logprob_plan_broadcasts_vocab(spark):
+    from eventanalysis_spark.operators.textstats import unigram_logprob_scores
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 7).cast("string")).alias("text"),
+    )
+    plan = (
+        unigram_logprob_scores(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
