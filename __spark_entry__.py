@@ -864,6 +864,23 @@ def q_sample_hash(spark, sf):
     )
 
 
+def q_bpe_tokens(spark, sf):
+    """REAL BPE token counts (Sennrich 2016): merge table learned
+    driver-side from a deterministic hash-sample (the tokenizer-training
+    step), applied distributed via an Arrow-batched pandas UDF with a
+    per-batch word memo. Rows-only by necessity — iterative merge
+    application has no SQL twin; correctness pinned by tests/test_bpe.py
+    golden merges + memo-vs-reference equivalence."""
+    from eventanalysis_spark.operators.bpe import (
+        bpe_token_counts,
+        learn_bpe_merges,
+    )
+
+    docs = _t(spark, sf, "documents")
+    merges = learn_bpe_merges(docs, n_merges=100, max_sample_docs=2000)
+    return bpe_token_counts(docs, merges).orderBy("doc_id")
+
+
 def q_unigram_logprob(spark, sf):
     """Perplexity-proxy quality scoring (CCNet recipe, unigram degenerate
     case): self-trained token counts → per-doc mean negative logprob with
@@ -1163,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": q_sample_hash,
         "split_corpus": q_split_corpus,
         "unigram_logprob": q_unigram_logprob,
+        "bpe_tokens": q_bpe_tokens,
         "sample_stratified": q_sample_stratified,
         "quota_sample": q_quota_sample,
         "decontaminate": q_decontaminate,
