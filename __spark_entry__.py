@@ -3,8 +3,9 @@
 `queries()` maps SURVEY.md §2 operator ids to Spark implementations over
 the driver test tables; `oracle_sql()` holds the DuckDB-equivalent SQL.
 Every aggregate/computed column is aliased identically on both sides.
-Non-SQL-expressible ops (minhash LSH, simhash) have no oracle entry →
-driver records rows-only checks (documented in SURVEY.md §5).
+Non-SQL-expressible ops (multimodal feature values under the stubbed
+codec, iterative BPE merge application) have no oracle entry → driver
+records rows-only checks (documented in SURVEY.md §5 / COVERAGE.md).
 """
 
 from __future__ import annotations
