@@ -595,6 +595,66 @@ def q_dedup_span_removal(spark, sf):
     return remove_duplicate_spans(docs, k=5, parallelism=8).orderBy("doc_id")
 
 
+def _paragraphized(spark, sf):
+    """Deterministic paragraph view of `documents`: the synthetic texts
+    carry no newlines, so both engines chunk tokens into 8-token blocks
+    joined by '\\n' — an exact byte-level twin of the DuckDB CTE used by
+    the paragraph oracles."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.expr(
+                "transform(sequence(1, cast(ceil(size(t)/8.0) as int)),"
+                " i -> concat_ws(' ', slice(t, (i-1)*8+1, 8)))"
+            ),
+        ).alias("text"),
+    )
+
+
+def q_paragraph_dup_stats(spark, sf):
+    """Paragraph-level duplication profile (Dolma/RefinedWeb granularity):
+    per doc, how many newline-delimited blocks recur anywhere in the
+    corpus. One 8-byte-hash aggregate over the paragraph stream —
+    operators/paragraphs.py::paragraph_dup_stats."""
+    from eventanalysis_spark.operators.paragraphs import paragraph_dup_stats
+
+    return paragraph_dup_stats(
+        _paragraphized(spark, sf), parallelism=8
+    ).orderBy("doc_id")
+
+
+def q_dedup_paragraphs(spark, sf):
+    """Keep-first paragraph dedup APPLY step: every repeated paragraph
+    survives only at its globally-first (doc_id, para_idx) occurrence;
+    blank lines always survive so untouched docs reconstruct
+    byte-identically — operators/paragraphs.py::dedup_paragraphs."""
+    from eventanalysis_spark.operators.paragraphs import dedup_paragraphs
+
+    return dedup_paragraphs(
+        _paragraphized(spark, sf), parallelism=8
+    ).orderBy("doc_id")
+
+
+def q_nb_quality_score(spark, sf):
+    """Fasttext-style model-based quality scoring (CCNet/GPT-3 filter
+    recipe): hashed-bag-of-words multinomial Naive Bayes, trained by ONE
+    distributed aggregation (no SGD), scored via a broadcast B-row
+    weight table — operators/classify.py. Label here: lang == 'en'
+    (wiki-vs-crawl style seed), md5 bucket hash for the exact oracle."""
+    from eventanalysis_spark.operators.classify import nb_train_score
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "__is_en", F.col("lang") == "en"
+    )
+    return nb_train_score(
+        docs, "__is_en", num_buckets=4096, alpha=1.0, hash_fn="md5"
+    ).orderBy("doc_id")
+
+
 def q_u2_merge_upsert(spark, sf):
     """U2: MERGE-style upsert (last-wins) — per-user state where update
     rows (event_id > 1000) replace base rows (event_id <= 1000); users
@@ -1167,6 +1227,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_stats": q_dedup_span_stats,
         "dedup_span_islands": q_dedup_span_islands,
         "dedup_span_removal": q_dedup_span_removal,
+        "paragraph_dup_stats": q_paragraph_dup_stats,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "nb_quality_score": q_nb_quality_score,
         "u2_merge_upsert": q_u2_merge_upsert,
         "a2_overview": q_a2_overview,
         "rollup_counts": q_rollup_counts,
@@ -1486,6 +1549,134 @@ def oracle_sql() -> dict[str, str]:
                      AS n_tokens_removed
             FROM toks tk LEFT JOIN clean c USING (doc_id)
             ORDER BY tk.doc_id
+        """,
+        "paragraph_dup_stats": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ),
+            ptext AS (
+              SELECT doc_id, array_to_string(
+                list_transform(
+                  generate_series(1, CAST(ceil(len(t)/8.0) AS INT)),
+                  i -> array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' ')),
+                chr(10)) AS text
+              FROM toks
+            ),
+            paras AS (
+              SELECT doc_id, i AS para_idx, p[i] AS para
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS p
+                    FROM ptext),
+                   LATERAL (SELECT unnest(generate_series(1, len(p))) AS i)
+            ),
+            content AS (
+              SELECT doc_id, para FROM paras WHERE trim(para) != ''
+            ),
+            dup AS (
+              SELECT para FROM content GROUP BY para HAVING count(*) > 1
+            ),
+            per AS (
+              SELECT c.doc_id, count(*) AS n_dup_paras
+              FROM content c JOIN dup USING (para) GROUP BY c.doc_id
+            ),
+            tot AS (
+              SELECT doc_id, count(*) AS n_paras FROM content GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(t.n_paras, 0) AS BIGINT) AS n_paras,
+                   CAST(COALESCE(p.n_dup_paras, 0) AS BIGINT) AS n_dup_paras,
+                   ROUND(COALESCE(p.n_dup_paras, 0)::DOUBLE / t.n_paras, 6)
+                     AS dup_para_frac
+            FROM documents d
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN per p USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "dedup_paragraphs": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ),
+            ptext AS (
+              SELECT doc_id, array_to_string(
+                list_transform(
+                  generate_series(1, CAST(ceil(len(t)/8.0) AS INT)),
+                  i -> array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' ')),
+                chr(10)) AS text
+              FROM toks
+            ),
+            paras AS (
+              SELECT doc_id, i AS para_idx, p[i] AS para
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS p
+                    FROM ptext),
+                   LATERAL (SELECT unnest(generate_series(1, len(p))) AS i)
+            ),
+            marked AS (
+              SELECT doc_id, para_idx, para,
+                     CASE WHEN trim(para) = '' THEN TRUE
+                          ELSE row_number() OVER (
+                                 PARTITION BY para
+                                 ORDER BY doc_id, para_idx) = 1
+                     END AS keep
+              FROM paras
+            )
+            SELECT doc_id,
+                   COALESCE(string_agg(CASE WHEN keep THEN para END,
+                                       chr(10) ORDER BY para_idx), '')
+                     AS clean_text,
+                   CAST(count(*) - count(CASE WHEN keep THEN 1 END) AS BIGINT)
+                     AS n_paras_removed
+            FROM marked GROUP BY doc_id ORDER BY doc_id
+        """,
+        "nb_quality_score": """
+            -- exact SQL twin of the hashed-NB train+score procedure:
+            -- same md5-60bit bucket hash, same Laplace smoothing, same
+            -- dense-B weight table; ROUND(,6) absorbs ln() sum-order ULPs
+            WITH d AS (
+              SELECT doc_id, lower(trim(text)) AS t, (lang = 'en') AS y
+              FROM documents
+            ),
+            bt AS (
+              SELECT doc_id, y,
+                     ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096
+                       AS bucket
+              FROM (
+                SELECT doc_id, y,
+                       unnest(regexp_split_to_array(t, '\\s+')) AS tok
+                FROM d WHERE length(t) > 0
+              )
+            ),
+            counts AS (
+              SELECT bucket,
+                     sum(CASE WHEN y THEN 1 ELSE 0 END) AS c_pos,
+                     sum(CASE WHEN y THEN 0 ELSE 1 END) AS c_neg
+              FROM bt GROUP BY bucket
+            ),
+            tot AS (
+              SELECT sum(c_pos) AS t_pos, sum(c_neg) AS t_neg FROM counts
+            ),
+            w AS (
+              SELECT b.bucket,
+                     ln((COALESCE(c.c_pos, 0) + 1.0) / (t.t_pos + 4096.0))
+                   - ln((COALESCE(c.c_neg, 0) + 1.0) / (t.t_neg + 4096.0))
+                       AS weight
+              FROM (SELECT unnest(generate_series(0, 4095)) AS bucket) b
+              LEFT JOIN counts c USING (bucket), tot t
+            ),
+            prior AS (
+              SELECT ln((sum(CASE WHEN y THEN 1 ELSE 0 END) + 1.0)
+                      / (sum(CASE WHEN y THEN 0 ELSE 1 END) + 1.0)) AS p
+              FROM d
+            ),
+            sums AS (
+              SELECT bt.doc_id, sum(w.weight) AS s
+              FROM bt JOIN w USING (bucket) GROUP BY bt.doc_id
+            )
+            SELECT d.doc_id,
+                   ROUND(COALESCE(s.s, 0) + prior.p, 6) AS nb_score,
+                   (COALESCE(s.s, 0) + prior.p > 0) AS nb_pred
+            FROM d LEFT JOIN sums s USING (doc_id), prior
+            ORDER BY d.doc_id
         """,
         "dedup_span_islands": """
             WITH toks AS (

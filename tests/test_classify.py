@@ -1,0 +1,138 @@
+"""Hashed Naive-Bayes classifier: operators/classify.py vs a pure-Python
+reference implementation of the same model (same hashing, same Laplace
+smoothing), plus plan and shape checks."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from eventanalysis_spark.operators.classify import (
+    nb_score,
+    nb_train,
+    nb_train_score,
+)
+
+DOCS = [
+    (1, "spam spam buy now cheap spam", True),
+    (2, "buy cheap pills now spam", True),
+    (3, "meeting agenda for the quarterly review", False),
+    (4, "the quarterly report and review notes", False),
+    (5, "spam review", True),
+    (6, "", False),  # empty doc: scores the bare prior
+]
+B = 64
+ALPHA = 1.0
+
+
+def _bucket(tok: str) -> int:
+    h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+    return h % B
+
+
+def _ref_model():
+    c_pos: dict[int, int] = {}
+    c_neg: dict[int, int] = {}
+    np = nn = 0
+    for _, text, y in DOCS:
+        np += y
+        nn += not y
+        for tok in text.lower().split():
+            d = c_pos if y else c_neg
+            b = _bucket(tok)
+            d[b] = d.get(b, 0) + 1
+    t_pos, t_neg = sum(c_pos.values()), sum(c_neg.values())
+    w = {
+        b: math.log((c_pos.get(b, 0) + ALPHA) / (t_pos + ALPHA * B))
+        - math.log((c_neg.get(b, 0) + ALPHA) / (t_neg + ALPHA * B))
+        for b in range(B)
+    }
+    prior = math.log((np + ALPHA) / (nn + ALPHA))
+    return w, prior
+
+
+def _ref_scores():
+    w, prior = _ref_model()
+    out = {}
+    for did, text, _ in DOCS:
+        s = prior + sum(w[_bucket(t)] for t in text.lower().split())
+        out[did] = round(s, 6)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, is_spam boolean")
+
+
+def test_model_matches_reference(spark, docs):
+    model = {
+        r.bucket: r.weight
+        for r in nb_train(
+            docs, "is_spam", num_buckets=B, alpha=ALPHA, hash_fn="md5"
+        ).collect()
+    }
+    w, prior = _ref_model()
+    assert len(model) == B + 1
+    assert model[-1] == pytest.approx(prior, abs=1e-12)
+    for b in range(B):
+        assert model[b] == pytest.approx(w[b], abs=1e-12), b
+
+
+def test_scores_match_reference(spark, docs):
+    got = {
+        r.doc_id: (r.nb_score, r.nb_pred)
+        for r in nb_train_score(
+            docs, "is_spam", num_buckets=B, alpha=ALPHA, hash_fn="md5"
+        ).collect()
+    }
+    ref = _ref_scores()
+    for did, _, y in DOCS:
+        assert got[did][0] == pytest.approx(ref[did], abs=1e-6), did
+    # resubstitution on a separable toy corpus classifies correctly
+    for did, text, y in DOCS:
+        if text:
+            assert got[did][1] == y, (did, got[did])
+    # empty doc scores exactly the prior
+    _, prior = _ref_model()
+    assert got[6][0] == pytest.approx(round(prior, 6), abs=1e-6)
+
+
+def test_separate_train_and_score_corpora(spark, docs):
+    model = nb_train(docs, "is_spam", num_buckets=B, hash_fn="md5")
+    unseen = spark.createDataFrame(
+        [(100, "cheap spam pills"), (101, "quarterly meeting notes")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.nb_pred
+        for r in nb_score(unseen, model, num_buckets=B, hash_fn="md5").collect()
+    }
+    assert got[100] is True
+    assert got[101] is False
+
+
+def test_no_python_in_plans(spark, docs):
+    model = nb_train(docs, "is_spam", num_buckets=B, hash_fn="md5")
+    scored = nb_score(docs, model, num_buckets=B, hash_fn="md5")
+    for df in (model, scored):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan
+
+
+def test_model_broadcast_in_score_plan(spark, docs):
+    model = nb_train(docs, "is_spam", num_buckets=B, hash_fn="md5")
+    plan = (
+        nb_score(docs, model, num_buckets=B, hash_fn="md5")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # the corpus-side plan must never shuffle-join: no SMJ anywhere in
+    # the score plan (train's densify join is broadcast too)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
