@@ -655,6 +655,20 @@ def q_nb_quality_score(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_tfidf_topk(spark, sf):
+    """Per-document top-3 salient terms by TF-IDF (keyword extraction /
+    corpus tagging): (doc,term)-keyed tf aggregate (key embeds the doc
+    id — no hot keys), broadcast document-frequency dictionary, per-doc
+    ranking window. Deterministic rank key (round(tfidf,6) DESC, term
+    ASC) — operators/textstats.py::tfidf_topk_terms."""
+    from eventanalysis_spark.operators.textstats import tfidf_topk_terms
+
+    docs = _t(spark, sf, "documents")
+    return tfidf_topk_terms(docs, k=3, parallelism=8).orderBy(
+        "doc_id", "rank"
+    )
+
+
 def q_u2_merge_upsert(spark, sf):
     """U2: MERGE-style upsert (last-wins) — per-user state where update
     rows (event_id > 1000) replace base rows (event_id <= 1000); users
@@ -1230,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dup_stats": q_paragraph_dup_stats,
         "dedup_paragraphs": q_dedup_paragraphs,
         "nb_quality_score": q_nb_quality_score,
+        "tfidf_topk": q_tfidf_topk,
         "u2_merge_upsert": q_u2_merge_upsert,
         "a2_overview": q_a2_overview,
         "rollup_counts": q_rollup_counts,
@@ -1677,6 +1692,37 @@ def oracle_sql() -> dict[str, str]:
                    (COALESCE(s.s, 0) + prior.p > 0) AS nb_pred
             FROM d LEFT JOIN sums s USING (doc_id), prior
             ORDER BY d.doc_id
+        """,
+        "tfidf_topk": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM toks GROUP BY doc_id, term
+            ),
+            df AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     ROUND(tf.tf * ln(n.n::DOUBLE / df.df), 6) AS tfidf
+              FROM tf JOIN df USING (term), n
+            ),
+            ranked AS (
+              SELECT doc_id, term, tf, tfidf,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf DESC, term ASC)
+                       AS rank
+              FROM scored
+            )
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 3
+            ORDER BY doc_id, rank
         """,
         "dedup_span_islands": """
             WITH toks AS (

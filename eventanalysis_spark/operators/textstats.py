@@ -215,3 +215,69 @@ def unigram_logprob_scores(
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+def tfidf_topk_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Per-document top-k salient terms by TF-IDF — the cheap keyword /
+    feature-extraction step used to tag, cluster, or domain-mix a
+    training corpus. tf = in-doc term count, idf = ln(N / df) with df =
+    number of docs containing the term.
+
+    Scale shape (all Catalyst, no Python):
+      - the tf aggregate keys on (doc, term) — the key embeds the doc
+        id, so corpus-hot terms ('the') can never concentrate load, and
+        in-doc repetition collapses map-side before the shuffle;
+      - df aggregates the tf OUTPUT (already one row per doc-term), so
+        the second shuffle is bounded by distinct doc-terms, and its
+        result (the document-frequency dictionary ≈ vocabulary) is
+        broadcast back — the doc-term stream never shuffles again;
+      - ranking is a PER-DOC window (no global sort). Ranking key is
+        (round(tfidf, 6) DESC, term ASC): the rounding makes cross-
+        engine float ULP noise tie instead of rank-flip, and the term
+        tie-break makes the output fully deterministic.
+
+    Output: (id, term, tf, tfidf, rank), rank 1..k; docs with no tokens
+    emit no rows. Empty-text docs are a curation concern, not a keyword
+    one."""
+    if parallelism:
+        docs = docs.repartition(parallelism)
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.length(F.trim(F.col(text_col))) == 0,
+                F.array().cast("array<string>"),
+            ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("term"),
+    )
+    tf = exploded.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("__n") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    byd = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(byd))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", F.col("rank").cast("long"))
+    )

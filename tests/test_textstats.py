@@ -139,3 +139,58 @@ def test_unigram_logprob_plan_broadcasts_vocab(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_topk_terms(spark):
+    import math
+
+    from eventanalysis_spark.operators.textstats import tfidf_topk_terms
+
+    docs = [
+        (1, "apple apple banana common"),
+        (2, "banana cherry common"),
+        (3, "cherry cherry cherry common"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = tfidf_topk_terms(df, k=2).collect()
+    n = 4
+    # pure-python reference
+    from collections import Counter
+
+    tfs = {d: Counter(t.split()) for d, t in docs if t}
+    dfreq = Counter()
+    for c in tfs.values():
+        dfreq.update(c.keys())
+    ref = {}
+    for d, c in tfs.items():
+        scored = sorted(
+            (
+                (round(tf * math.log(n / dfreq[t]), 6), t)
+                for t, tf in c.items()
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        ref[d] = [(t, s) for s, t in scored]
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.tfidf))
+    assert 4 not in by_doc  # empty doc emits nothing
+    for d in (1, 2, 3):
+        ranked = [(t, s) for _, t, s in sorted(by_doc[d])]
+        assert ranked == ref[d], d
+
+
+def test_tfidf_plan_shape(spark):
+    from eventanalysis_spark.operators.textstats import tfidf_topk_terms
+
+    df = spark.createDataFrame([(1, "a b"), (2, "b c")], "doc_id long, text string")
+    plan = (
+        tfidf_topk_terms(df, k=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

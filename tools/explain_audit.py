@@ -269,6 +269,62 @@ def main() -> None:
         "partition.",
     )
 
+    # 11. paragraph-level keep-first dedup: hashed winners, per-doc rebuild
+    from eventanalysis_spark.operators.paragraphs import dedup_paragraphs
+
+    docs11 = pages.select(
+        F.col("url").alias("doc_id"), F.col("lang").alias("text")
+    )
+    df11 = dedup_paragraphs(docs11)
+    plan11 = df11._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Paragraph dedup (keep-first): hashed winner aggregate, "
+        "per-doc rebuild",
+        df11,
+        [
+            ("no Python in the plan", "Python" not in plan11),
+            ("first-occurrence winner via partial-aggregatable min(struct) "
+             "on the 8-byte paragraph hash",
+             "partial_min" in plan11 and "Exchange hashpartitioning(ph" in plan11),
+            ("no single-partition Exchange anywhere (rebuild stays "
+             "per-doc-partitioned; any Sort nodes are partition-local "
+             "SortAggregate requirements)",
+             "SinglePartition" not in plan11),
+        ],
+        "Dolma-granularity paragraph dedup: the corpus-wide shuffle moves "
+        "(doc_id, idx, xxhash64) rows on the 8-byte key; winners re-join on "
+        "the same key; reconstruction is sort_array(collect_list) inside a "
+        "per-doc hash aggregate.",
+    )
+
+    # 12. hashed-NB classifier: bounded-key train agg, broadcast-only score
+    from eventanalysis_spark.operators.classify import nb_score, nb_train
+
+    docs12 = pages.select(
+        F.col("url").alias("doc_id"),
+        F.col("lang").alias("text"),
+        (F.length("lang") > 2).alias("y"),
+    )
+    model12 = nb_train(docs12, "y", num_buckets=64)
+    plan12 = nb_score(docs12, model12, num_buckets=64)._jdf.queryExecution(
+    ).executedPlan().toString()
+    audit(
+        "Hashed-NB classifier score: broadcast model, corpus never "
+        "shuffle-joins",
+        nb_score(docs12, model12, num_buckets=64),
+        [
+            ("no Python in the plan", "Python" not in plan12),
+            ("weight table arrives via BroadcastExchange",
+             "BroadcastExchange" in plan12),
+            ("no SortMergeJoin anywhere", "SortMergeJoin" not in plan12),
+            ("per-doc sum partial-aggregates map-side before the shuffle",
+             "partial_sum" in plan12),
+        ],
+        "fasttext-style scoring: explode → pmod(hash, B) → broadcast-join "
+        "the dense B-row weight table → per-doc sum. The only corpus-scale "
+        "shuffle is the ~1-row-per-doc partial-aggregate output.",
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the engine's key paths\n\n"
