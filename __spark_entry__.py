@@ -639,6 +639,25 @@ def q_dedup_paragraphs(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_dedup_lines(spark, sf):
+    """C4-style WITHIN-document line dedup — one narrow projection, no
+    explode/shuffle/Python (operators/paragraphs.py::
+    dedup_lines_within_doc). The synthetic corpus has no natural
+    within-doc repeats at this granularity, so the view deterministically
+    appends each doc's first paragraph (both engines build the same
+    augmented text); the operator must remove exactly that repeat."""
+    from eventanalysis_spark.operators.paragraphs import (
+        dedup_lines_within_doc,
+    )
+
+    p = _paragraphized(spark, sf)
+    aug = p.select(
+        "doc_id",
+        F.concat_ws("\n", "text", F.split("text", "\n")[0]).alias("text"),
+    )
+    return dedup_lines_within_doc(aug).orderBy("doc_id")
+
+
 def q_nb_quality_score(spark, sf):
     """Fasttext-style model-based quality scoring (CCNet/GPT-3 filter
     recipe): hashed-bag-of-words multinomial Naive Bayes, trained by ONE
@@ -1245,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "nb_quality_score": q_nb_quality_score,
         "tfidf_topk": q_tfidf_topk,
+        "dedup_lines": q_dedup_lines,
         "u2_merge_upsert": q_u2_merge_upsert,
         "a2_overview": q_a2_overview,
         "rollup_counts": q_rollup_counts,
@@ -1641,6 +1661,48 @@ def oracle_sql() -> dict[str, str]:
                      AS clean_text,
                    CAST(count(*) - count(CASE WHEN keep THEN 1 END) AS BIGINT)
                      AS n_paras_removed
+            FROM marked GROUP BY doc_id ORDER BY doc_id
+        """,
+        "dedup_lines": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ),
+            ptext AS (
+              SELECT doc_id, array_to_string(
+                list_transform(
+                  generate_series(1, CAST(ceil(len(t)/8.0) AS INT)),
+                  i -> array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' ')),
+                chr(10)) AS text
+              FROM toks
+            ),
+            aug AS (
+              SELECT doc_id,
+                     text || chr(10) || string_split(text, chr(10))[1]
+                       AS text
+              FROM ptext
+            ),
+            lines AS (
+              SELECT doc_id, i AS idx, p[i] AS line
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS p
+                    FROM aug),
+                   LATERAL (SELECT unnest(generate_series(1, len(p))) AS i)
+            ),
+            marked AS (
+              SELECT doc_id, idx, line,
+                     CASE WHEN trim(line) = '' THEN TRUE
+                          ELSE row_number() OVER (
+                                 PARTITION BY doc_id, line
+                                 ORDER BY idx) = 1
+                     END AS keep
+              FROM lines
+            )
+            SELECT doc_id,
+                   COALESCE(string_agg(CASE WHEN keep THEN line END,
+                                       chr(10) ORDER BY idx), '')
+                     AS clean_text,
+                   CAST(count(*) - count(CASE WHEN keep THEN 1 END) AS BIGINT)
+                     AS n_lines_removed
             FROM marked GROUP BY doc_id ORDER BY doc_id
         """,
         "nb_quality_score": """

@@ -171,3 +171,38 @@ def dedup_paragraphs(
             .alias("n_paras_removed"),
         )
     )
+
+
+def dedup_lines_within_doc(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style within-document line dedup: every non-blank line that
+    repeats INSIDE the same document survives only at its first
+    occurrence (C4 'we discard all but one of any three-sentence span
+    occurring more than once' relaxed to the line granularity used by
+    its public reimplementations). Corpus-wide repetition is the sibling
+    operator `dedup_paragraphs`; this one is purely per-row.
+
+    Scale shape: ONE narrow projection — no explode, no shuffle, no
+    Python; embarrassingly parallel at any corpus size. The keep-first
+    test is array_position(lines, x) == i (first equal element), which
+    is O(L²) in the per-doc line count — right for web pages (L is
+    hundreds); a pathological single doc with 10^5+ lines would want the
+    explode + per-doc-window form instead.
+
+    Blank lines always survive (blank is structure, not content), so
+    untouched documents reconstruct byte-identically.
+    Output: (id, clean_text, n_lines_removed)."""
+    t = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        t,
+        lambda x, i: (F.trim(x) == "")
+        | (F.array_position(t, x) == i + 1),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.concat_ws("\n", kept).alias("clean_text"),
+        (F.size(t) - F.size(kept)).cast("long").alias("n_lines_removed"),
+    )

@@ -90,3 +90,42 @@ def test_no_python_in_plan(spark, docs):
     plan = dedup_paragraphs(docs)._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_dedup_lines_within_doc(spark):
+    from eventanalysis_spark.operators.paragraphs import dedup_lines_within_doc
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b\nc d\na b\ne"),          # within-doc repeat cut
+            (2, "a b\nx"),                     # cross-doc repeat NOT cut
+            (3, "one\n\ntwo\n\nthree"),        # blanks preserved
+            (4, "dup\ndup\ndup"),              # repeated repeats
+            (5, ""),                           # empty passes through
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup_lines_within_doc(docs).collect()}
+    assert rows[1].clean_text == "a b\nc d\ne"
+    assert rows[1].n_lines_removed == 1
+    assert rows[2].clean_text == "a b\nx"
+    assert rows[2].n_lines_removed == 0
+    assert rows[3].clean_text == "one\n\ntwo\n\nthree"
+    assert rows[4].clean_text == "dup"
+    assert rows[4].n_lines_removed == 2
+    assert rows[5].clean_text == ""
+    assert rows[5].n_lines_removed == 0
+
+
+def test_dedup_lines_plan_is_narrow(spark):
+    from eventanalysis_spark.operators.paragraphs import dedup_lines_within_doc
+
+    docs = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    plan = (
+        dedup_lines_within_doc(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
