@@ -674,6 +674,29 @@ def q_nb_quality_score(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_source_overlap(spark, sf):
+    """Corpus-level content-overlap matrix: exact shingle-set Jaccard
+    between every source pair. Distinct (source, shingle-hash) reduce
+    first (map-side partial), pair intersections via shingle-hash
+    self-join bounded by the source count —
+    operators/corpus.py::source_overlap."""
+    from eventanalysis_spark.operators.corpus import source_overlap
+
+    docs = _t(spark, sf, "documents")
+    return source_overlap(docs, k=3, parallelism=8).orderBy(
+        "source_a", "source_b"
+    )
+
+
+def q_corpus_report(spark, sf):
+    """The corpus card: per-lang composition + ALL total in ONE ROLLUP
+    pass; a real NULL lang stays its own '?' group (grouping()
+    disambiguates) — operators/corpus.py::corpus_report."""
+    from eventanalysis_spark.operators.corpus import corpus_report
+
+    return corpus_report(_t(spark, sf, "documents")).orderBy("lang")
+
+
 def q_tfidf_topk(spark, sf):
     """Per-document top-3 salient terms by TF-IDF (keyword extraction /
     corpus tagging): (doc,term)-keyed tf aggregate (key embeds the doc
@@ -1265,6 +1288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_quality_score": q_nb_quality_score,
         "tfidf_topk": q_tfidf_topk,
         "dedup_lines": q_dedup_lines,
+        "source_overlap": q_source_overlap,
+        "corpus_report": q_corpus_report,
         "u2_merge_upsert": q_u2_merge_upsert,
         "a2_overview": q_a2_overview,
         "rollup_counts": q_rollup_counts,
@@ -1754,6 +1779,57 @@ def oracle_sql() -> dict[str, str]:
                    (COALESCE(s.s, 0) + prior.p > 0) AS nb_pred
             FROM d LEFT JOIN sums s USING (doc_id), prior
             ORDER BY d.doc_id
+        """,
+        "source_overlap": """
+            WITH toks AS (
+              SELECT source, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS g
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(
+                       1, greatest(len(t) - 2, 0))) AS i)
+            ),
+            sizes AS (
+              SELECT source, count(*) AS n FROM sh GROUP BY source
+            ),
+            common AS (
+              SELECT a.source AS source_a, b.source AS source_b,
+                     count(*) AS n_common
+              FROM sh a JOIN sh b
+                ON a.g = b.g AND a.source < b.source
+              GROUP BY 1, 2
+            )
+            SELECT c.source_a, c.source_b,
+                   CAST(sa.n AS BIGINT) AS n_a,
+                   CAST(sb.n AS BIGINT) AS n_b,
+                   CAST(c.n_common AS BIGINT) AS n_common,
+                   ROUND(c.n_common::DOUBLE
+                         / (sa.n + sb.n - c.n_common), 6) AS jaccard
+            FROM common c
+            JOIN sizes sa ON sa.source = c.source_a
+            JOIN sizes sb ON sb.source = c.source_b
+            ORDER BY source_a, source_b
+        """,
+        "corpus_report": """
+            WITH d AS (
+              SELECT lang, length(text) AS nchr,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS ntok
+              FROM documents
+            )
+            SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL'
+                        ELSE COALESCE(lang, '?') END AS lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(ntok) AS BIGINT) AS n_tokens,
+                   CAST(sum(nchr) AS BIGINT) AS n_chars,
+                   ROUND(avg(ntok), 6) AS avg_tokens,
+                   CAST(min(nchr) AS BIGINT) AS min_chars,
+                   CAST(max(nchr) AS BIGINT) AS max_chars
+            FROM d GROUP BY ROLLUP(lang)
+            ORDER BY lang
         """,
         "tfidf_topk": """
             WITH toks AS (

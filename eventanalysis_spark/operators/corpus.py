@@ -1,0 +1,163 @@
+"""Corpus-level analytics: source-overlap matrix and the corpus card.
+
+Training-data curation works at three zoom levels — per-doc (quality,
+dedup flags), per-pair (near-duplicate candidates), and per-CORPUS:
+"how much does crawl A overlap crawl B?", "what is the lang/source
+composition and token budget of this snapshot?". These two operators
+are that third level; their outputs are tiny (|sources|² and
+|langs|+1 rows) regardless of corpus size.
+
+The reference engine has no comparable operator; this is part of the
+training-data-pipeline surface the mission brief makes first-class.
+
+Spark-first shape:
+  - `source_overlap` reduces the corpus to DISTINCT (source, shingle)
+    pairs first — one map-side-partial distinct aggregate keyed by the
+    8-byte shingle hash (in-source repetition collapses before the
+    shuffle; Zipf makes the distinct set ≪ the token stream). The
+    pairwise intersection is a self-join ON THE SHINGLE HASH: a shingle
+    held by m sources emits m(m-1)/2 pair rows, and m is bounded by the
+    source count (a dimension, not data) — so no mega-bucket risk.
+  - `corpus_report` is ONE pass with ROLLUP(lang): Spark expands
+    grouping sets map-side and every aggregate is partial-aggregatable.
+
+At 100 TB you would swap the exact distinct-shingle set for the
+per-source MinHash union (operators/dedup.py signatures are mergeable:
+elementwise min across docs) — same API, sketched instead of exact;
+the exact form here IS the oracle-checkable semantics definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def source_shingles(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    group_col: str = "source",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """DISTINCT (group, shingle_hash) pairs — the per-source content
+    set. Tokenization matches spans.ngram_windows (trim + split on
+    whitespace runs); docs shorter than k tokens contribute nothing.
+    Entirely JVM-side."""
+    if parallelism:
+        docs = docs.repartition(parallelism)
+    toks = docs.select(
+        F.col(group_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
+    )
+    grams = toks.select(
+        group_col,
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(t) >= {k} THEN"
+                f" transform(sequence(1, size(t) - {k - 1}),"
+                f" i -> xxhash64(concat_ws(' ', slice(t, i, {k}))))"
+                f" ELSE array() END"
+            )
+        ).alias("sh"),
+    )
+    return grams.distinct()
+
+
+def source_overlap(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    group_col: str = "source",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Pairwise content overlap between sources: one row per unordered
+    source pair (a < b) with exact shingle-set sizes and Jaccard.
+
+    Output: (source_a, source_b, n_a, n_b, n_common, jaccard) with
+    jaccard = |A∩B| / (|A|+|B|−|A∩B|), rounded to 6 decimals. Pairs
+    with no common shingles are absent (a 0-overlap row carries no
+    information and would force an |S|² generate step)."""
+    sh = source_shingles(docs, k, text_col, group_col, parallelism)
+    sizes = sh.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{group_col}") < F.col(f"b.{group_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{group_col}").alias("source_a"),
+            F.col(f"b.{group_col}").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz = F.broadcast(sizes)
+    return (
+        common.join(
+            sz.select(F.col(group_col).alias("source_a"), F.col("n").alias("n_a")),
+            "source_a",
+        )
+        .join(
+            sz.select(F.col(group_col).alias("source_b"), F.col("n").alias("n_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The corpus card: per-language composition plus an ALL total, in
+    one ROLLUP pass (map-side grouping-set expansion, all aggregates
+    partial). Output per row: (lang — 'ALL' for the grand total,
+    n_docs, n_tokens, n_chars, avg_tokens, min_chars, max_chars)."""
+    t = F.trim(F.col(text_col))
+    ntok = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+    return (
+        docs.select(
+            F.col(lang_col).alias("lang"),
+            ntok.alias("__ntok"),
+            F.length(F.col(text_col)).alias("__nchr"),
+        )
+        .rollup("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__ntok").alias("n_tokens"),
+            F.sum("__nchr").alias("n_chars"),
+            F.round(F.avg("__ntok"), 6).alias("avg_tokens"),
+            F.min("__nchr").alias("min_chars"),
+            F.max("__nchr").alias("max_chars"),
+            # grouping() distinguishes the rollup total from a real NULL
+            # lang value (which stays its own '?' group, P8 semantics)
+            F.grouping("lang").alias("__g"),
+        )
+        .select(
+            F.when(F.col("__g") == 1, F.lit("ALL"))
+            .otherwise(F.coalesce("lang", F.lit("?")))
+            .alias("lang"),
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "avg_tokens",
+            "min_chars",
+            "max_chars",
+        )
+    )

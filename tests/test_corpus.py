@@ -1,0 +1,76 @@
+"""Corpus-level analytics: operators/corpus.py vs pure-Python references."""
+
+from __future__ import annotations
+
+import pytest
+
+from eventanalysis_spark.operators.corpus import (
+    corpus_report,
+    source_overlap,
+    source_shingles,
+)
+
+DOCS = [
+    # source A and B share the shingle "x y z"; C is disjoint
+    (1, "x y z w", "A", "en"),
+    (2, "x y z q", "B", "en"),
+    (3, "p q r s", "C", "de"),
+    (4, "x y z w", "A", "en"),   # exact repeat inside A: distinct collapses
+    (5, "ab", "A", None),        # shorter than k: contributes no shingles
+]
+
+
+def _ref_sets(k=3):
+    sets: dict[str, set] = {}
+    for _, text, src, _ in DOCS:
+        toks = text.split()
+        for i in range(len(toks) - k + 1):
+            sets.setdefault(src, set()).add(" ".join(toks[i : i + k]))
+    return sets
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        DOCS, "doc_id long, text string, source string, lang string"
+    )
+
+
+def test_source_shingles_distinct(spark, docs):
+    got = source_shingles(docs, k=3).groupBy("source").count().collect()
+    sizes = {r.source: r["count"] for r in got}
+    ref = {s: len(v) for s, v in _ref_sets().items()}
+    assert sizes == ref  # doc 4's repeat collapsed; doc 5 absent
+
+
+def test_source_overlap_jaccard(spark, docs):
+    rows = source_overlap(docs, k=3).collect()
+    ref = _ref_sets()
+    got = {(r.source_a, r.source_b): r for r in rows}
+    # only (A, B) intersects
+    assert set(got) == {("A", "B")}
+    r = got[("A", "B")]
+    inter = len(ref["A"] & ref["B"])
+    union = len(ref["A"] | ref["B"])
+    assert (r.n_a, r.n_b, r.n_common) == (len(ref["A"]), len(ref["B"]), inter)
+    assert r.jaccard == pytest.approx(round(inter / union, 6))
+
+
+def test_corpus_report(spark, docs):
+    rows = {r.lang: r for r in corpus_report(docs).collect()}
+    assert set(rows) == {"en", "de", "?", "ALL"}
+    assert rows["en"].n_docs == 3
+    assert rows["de"].n_docs == 1
+    assert rows["?"].n_docs == 1  # real NULL lang is NOT the rollup total
+    assert rows["ALL"].n_docs == 5
+    assert rows["ALL"].n_tokens == sum(len(t.split()) for _, t, _, _ in DOCS)
+    assert rows["en"].min_chars == len("x y z q")
+    assert rows["ALL"].avg_tokens == pytest.approx(
+        round(sum(len(t.split()) for _, t, _, _ in DOCS) / 5, 6)
+    )
+
+
+def test_no_python_in_plans(spark, docs):
+    for df in (source_overlap(docs, k=3), corpus_report(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
