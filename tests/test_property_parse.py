@@ -68,3 +68,65 @@ def test_ctrl_char_catalogue_matches_reference():
     (XmlUtilities.cs:28-58): 0x01-0x08, 0x0B, 0x0C, 0x0E-0x1F."""
     want = set(range(0x01, 0x09)) | {0x0B, 0x0C} | set(range(0x0E, 0x20))
     assert {ord(c) for c in _CTRL} == want
+
+
+# ---- vectorized feature batch == scalar spec ------------------------------
+# text_feature_batch is whole-batch numpy; _doc_features is the scalar
+# spec it must match elementwise (values are persisted pipeline columns,
+# so this is a wire-format invariant, not just an optimization check)
+
+feature_text = st.one_of(
+    st.none(),
+    st.just(""),
+    st.just("   \t\n  "),  # whitespace-only: chars>0, tokens==0
+    st.text(max_size=300),
+    st.text(
+        alphabet="aetoinshr THEANDOF.,;:!? \t\n le la der und el que",
+        max_size=400,
+    ),  # stopword/punct/upper-rich mix incl. NBSP whitespace
+)
+
+
+@given(st.lists(feature_text, max_size=25))
+@settings(max_examples=200, deadline=None)
+def test_feature_batch_matches_scalar_spec(texts):
+    from eventanalysis_spark.operators.parse import (
+        _FEATURE_COLS,
+        _doc_features,
+        text_feature_batch,
+    )
+
+    got = text_feature_batch(pd.Series(texts, dtype="object"))
+    want = pd.DataFrame(
+        [
+            _doc_features(t if t is not None else "",
+                          t.split() if t is not None else [])
+            for t in texts
+        ],
+        columns=list(_FEATURE_COLS),
+    )
+    for c in _FEATURE_COLS:
+        gv, wv = got[c].tolist(), want[c].tolist()
+        assert gv == wv, f"{c}: {gv} != {wv}"
+
+
+def test_feature_batch_token_reuse_path():
+    """The fused path hands parse_batch's token lists straight in —
+    equality must hold for that calling form too (and for huge docs that
+    grow the power table)."""
+    from eventanalysis_spark.operators.parse import (
+        _FEATURE_COLS,
+        _doc_features,
+        text_feature_batch,
+    )
+
+    texts = ["the and of to in " * 500, "word", "", None, "a b  c d"]
+    toks = [t.split() if t is not None else [] for t in texts]
+    got = text_feature_batch(pd.Series(texts, dtype="object"), tokens=toks)
+    want = pd.DataFrame(
+        [_doc_features(t if t is not None else "", tk)
+         for t, tk in zip(texts, toks)],
+        columns=list(_FEATURE_COLS),
+    )
+    for c in _FEATURE_COLS:
+        assert got[c].tolist() == want[c].tolist(), c
