@@ -430,6 +430,30 @@ def scaling_runs(docs: int) -> dict:
     return out
 
 
+def _prev_scaling_section() -> list[str] | None:
+    """Scaling block of the existing BENCH.md (between the Scaling header
+    and the next '## '), so a headline-only rerun doesn't erase it."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+    try:
+        text = open(path).read()
+    except OSError:
+        return None
+    marker = "## Scaling"
+    i = text.find(marker)
+    if i == -1:
+        return None
+    body = text[i:]
+    body = body[body.find("\n") + 1 :]
+    j = body.find("\n## ")
+    if j != -1:
+        body = body[:j]
+    out = [ln for ln in body.split("\n")]
+    # drop a stale carried-forward label so they don't stack up
+    while out and ("skipped this run" in out[0] or not out[0].strip()):
+        out.pop(0)
+    return out or None
+
+
 def write_bench_md(payload: dict) -> None:
     s = payload.get("scaling") or {}
     lines = [
@@ -486,7 +510,14 @@ def write_bench_md(payload: dict) -> None:
             "",
         ]
     else:
-        lines += ["(scaling step skipped — SPARK_GRAFT_SCALING=0)", ""]
+        # headline-only run: carry the previous report's scaling section
+        # forward (clearly labeled) instead of erasing the evidence
+        prev = _prev_scaling_section()
+        if prev:
+            lines += ["(scaling step skipped this run — section below is "
+                      "from the last full run)", ""] + prev
+        else:
+            lines += ["(scaling step skipped — SPARK_GRAFT_SCALING=0)", ""]
     lines += [
         "## Headline operator queries at "
         f"`{payload['sf_dir']}` (best of {REPS} warm runs, seconds)",
