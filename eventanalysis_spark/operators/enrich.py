@@ -73,20 +73,39 @@ def assign_ids(
     """Deterministic id assignment for discovered keys.
 
     mode='sequential' reproduces the reference's next-id counter
-    (ProviderInfoCache.cs:126) deterministically: row_number over a total
-    order on the key, offset by the current max id. The new-key set is tiny
-    (it just survived an anti-join against the known dim), so the
-    single-partition window is not a scale concern — same reasoning as the
-    reference doing this on the driver thread.
+    (ProviderInfoCache.cs:126) deterministically: ids are the global rank
+    over a total order on the key, offset by the current max id — computed
+    two-phase so no single partition ever sees the whole key set (batch 1
+    on a cold warehouse discovers EVERY key, 10^7+ hosts at web scale):
+    range-partition by key, per-partition counts → cumulative offsets
+    (one ~numPartitions-row window), broadcast offsets back, and
+    row_number only WITHIN each range partition. Global-rank ids are
+    invariant to where the sampled range bounds land, so the result is
+    identical to a global row_number.
 
     mode='hash' assigns xxhash64(key) — fully parallel, stable across runs
     and cluster sizes, but diverges from sequential numbering (documented
     deviation, SURVEY.md §7.3)."""
     if mode == "hash":
         return new_keys.withColumn(id_col, F.xxhash64(*order_cols))
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
-    return new_keys.withColumn(
-        id_col, (F.row_number().over(w) + F.lit(start_after)).cast("int")
+    cols = [F.col(c) for c in order_cols]
+    npart = new_keys.sparkSession.sparkContext.defaultParallelism
+    ranged = new_keys.repartitionByRange(npart, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_cum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_cum), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            id_col,
+            (F.row_number().over(w_in) + F.col("_off") + F.lit(start_after)).cast("int"),
+        )
+        .drop("_pid", "_off")
     )
 
 

@@ -138,3 +138,33 @@ def test_rules_join_is_broadcast(spark, parsed):
     )
     plan = wr._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
+
+
+def test_assign_ids_two_phase_no_data_funnel(spark):
+    """Sequential ids = global rank by key, computed WITHOUT a global
+    single-partition window over the data: the only SinglePartition
+    exchange in the plan is the ~numPartitions-row offsets rollup (batch 1
+    at web scale discovers every key — the data side must stay parallel)."""
+    from pyspark.sql import functions as F
+
+    from eventanalysis_spark.operators.enrich import assign_ids
+
+    keys = spark.range(5000).select(
+        F.concat(F.lit("h"), F.lpad((F.col("id") * 7919) % 5000, 6, "0")).alias("host")
+    ).distinct()
+    got = assign_ids(keys, "host_id", ["host"], start_after=42)
+    rows = sorted(got.collect(), key=lambda r: r["host"])
+    assert [r["host_id"] for r in rows] == list(range(43, 43 + len(rows)))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the data side is range-partitioned (parallel), and every
+    # SinglePartition exchange in the plan feeds from the ~numPartitions-row
+    # _pid counts rollup — never from the raw key data. (AQE's toString
+    # prints final+initial plans, so occurrence counts are not stable;
+    # structural child checks are.)
+    assert "rangepartitioning" in plan.lower()
+    lines = plan.split("\n")
+    sp = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    assert sp, "expected the offsets rollup exchange"
+    for i in sp:
+        child = "\n".join(lines[i + 1 : i + 3])
+        assert "_pid" in child, f"SinglePartition over data, not counts:\n{child}"
