@@ -1,0 +1,65 @@
+"""North-rule packaging check: the engine must run via
+`spark-submit --py-files pkg.zip` (BASELINE.json north_rule). This drives
+the REAL launcher binary in a subprocess — generate then a capped
+multi-batch run — from a cwd outside the repo, so the only way executors
+see the package is the shipped zip."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+SPARK_SUBMIT = shutil.which("spark-submit")
+
+pytestmark = pytest.mark.skipif(
+    SPARK_SUBMIT is None, reason="spark-submit not on PATH"
+)
+
+
+def _submit(tmp_path, zip_path, *args, timeout=240):
+    cmd = [
+        SPARK_SUBMIT,
+        "--master",
+        "local[4]",
+        "--py-files",
+        zip_path,
+        "/root/repo/spark_submit_main.py",
+        *args,
+    ]
+    return subprocess.run(
+        cmd, cwd=str(tmp_path), capture_output=True, text=True, timeout=timeout
+    )
+
+
+def test_spark_submit_pyfiles_end_to_end(tmp_path):
+    sys.path.insert(0, "/root/repo")
+    from eventanalysis_spark.session import build_pyfiles_zip
+
+    zip_path = build_pyfiles_zip(str(tmp_path))
+
+    gen = _submit(
+        tmp_path, zip_path,
+        "generate", "--out", str(tmp_path / "pages"), "--rows", "2000",
+    )
+    assert gen.returncode == 0, gen.stderr[-2000:]
+    assert json.loads(gen.stdout.strip().splitlines()[-1])["written"] == 2000
+
+    run = _submit(
+        tmp_path, zip_path,
+        "run", "--source", str(tmp_path / "pages"),
+        "--warehouse", str(tmp_path / "wh"), "--cap", "1200", "--repeat",
+    )
+    assert run.returncode == 0, run.stderr[-2000:]
+    batches = [
+        json.loads(ln) for ln in run.stdout.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    assert len(batches) == 2  # 2000 docs / cap 1200 → 1200 + 800
+    assert sum(b["n_input"] for b in batches) == 2000
+    for b in batches:
+        assert 0 < b["n_routed"] <= b["n_input"]
+        assert b["sinks"]
