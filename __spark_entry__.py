@@ -1251,6 +1251,76 @@ def q_pii_scrub(spark, sf):
     ).orderBy("doc_id")
 
 
+_KM_K = 8
+_KM_ITERS = 2
+_KM_TAU = 0.4
+
+
+def _km_fit(spark, sf):
+    """Shared k-means fit for the kmeans/semdedup/prune queries: k=8,
+    2 Lloyd iterations from deterministic hash seeds, centroid
+    components rounded to 6 per iteration (operators/kmeans.py —
+    rounding is what makes the fit exactly SQL-replicable)."""
+    from eventanalysis_spark.operators.kmeans import kmeans_fit
+
+    emb = _t(spark, sf, "embeddings")
+    return emb, kmeans_fit(emb, k=_KM_K, iterations=_KM_ITERS)
+
+
+def q_kmeans_assign(spark, sf):
+    """Distributed Lloyd's k-means (operators/kmeans.py): fit k=8 for 2
+    iterations, then assign every vector — one narrow argmin-L2
+    projection with the trained centroids inlined as literals. The
+    oracle replays the ENTIRE training loop in SQL (seeds → assign →
+    rounded means → assign → rounded means → final assign), so this
+    checks the fit, not just the final projection."""
+    from eventanalysis_spark.operators.kmeans import kmeans_assign
+
+    emb, cents = _km_fit(spark, sf)
+    return (
+        kmeans_assign(emb, cents)
+        .select(
+            "vec_id",
+            F.col("cid").cast("long").alias("cid"),
+            F.round("__d", 6).alias("dist_sq"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def q_semdedup(spark, sf):
+    """SemDeDup (arXiv:2303.09540): drop every vector with a smaller-id
+    within-cluster neighbor at cosine ≥ tau. The synthetic embeddings
+    are near-orthogonal (max pairwise cosine ≈ 0.51), so tau=0.4 is the
+    test-scale stand-in for the paper's ~0.95 on real embeddings — it
+    exercises a non-trivial drop set through the same plan."""
+    from eventanalysis_spark.operators.kmeans import semdedup
+
+    emb, cents = _km_fit(spark, sf)
+    return (
+        semdedup(emb, tau=_KM_TAU, centroids=cents)
+        .select("vec_id", F.col("cid").cast("long").alias("cid"), "keep")
+        .orderBy("vec_id")
+    )
+
+
+def q_prune_prototypes(spark, sf):
+    """Prototypicality pruning (arXiv:2206.14486): keep the hardest 50%
+    of each k-means cluster (farthest from centroid), rank on the
+    ROUNDED distance then vec_id so float ULPs tie rather than
+    rank-flip across engines."""
+    from eventanalysis_spark.operators.kmeans import prototypicality_prune
+
+    emb, cents = _km_fit(spark, sf)
+    return (
+        prototypicality_prune(emb, keep_fraction=0.5, centroids=cents)
+        .select(
+            "vec_id", F.col("cid").cast("long").alias("cid"), "dist_sq", "keep"
+        )
+        .orderBy("vec_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -1316,6 +1386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "curate_corpus": q_curate_corpus,
         "pii_scrub": q_pii_scrub,
+        "kmeans_assign": q_kmeans_assign,
+        "semdedup": q_semdedup,
+        "prune_prototypes": q_prune_prototypes,
     }
 
 
@@ -1453,9 +1526,96 @@ def _fingerprints_oracle() -> str:
     """
 
 
+def _kmeans_cte(dim: int = 64, k: int = _KM_K) -> str:
+    """WITH-clause body replaying operators/kmeans.py::kmeans_fit(k=8,
+    iterations=2) + final assignment in DuckDB: hash-sampled seeds →
+    argmin-L2 assign (dot identity, same left-fold add order as the
+    Spark F.aggregate fold) → per-cluster component means ROUNDED to 6
+    (the rounding is what pins the centroids bit-identically across
+    engines) → repeat → final assignment CTE `afin(vec_id, cid, v, d)`.
+    Empty clusters COALESCE back to the previous centroid, matching the
+    Spark fallback."""
+
+    def assign(cents: str, name: str) -> str:
+        d = (
+            "list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c)"
+            " + list_dot_product(c.c, c.c)"
+        )
+        return f"""
+        {name} AS (
+          SELECT vec_id, cid, v, d FROM (
+            SELECT e.vec_id, c.cid, e.v, {d} AS d,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {d} ASC, c.cid ASC) AS r
+            FROM ev e CROSS JOIN {cents} c
+          ) WHERE r = 1
+        )"""
+
+    means = ", ".join(f"ROUND(avg(v[{i + 1}]), 6)" for i in range(dim))
+    parts = [
+        "ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""cents0 AS (
+          SELECT vec_id AS cid, v AS c FROM ev
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+        )""",
+    ]
+    for it in range(_KM_ITERS):
+        parts.append(assign(f"cents{it}", f"a{it}"))
+        parts.append(
+            f"m{it} AS (SELECT cid, list_value({means}) AS c"
+            f" FROM a{it} GROUP BY cid)"
+        )
+        parts.append(
+            f"cents{it + 1} AS (SELECT s.cid, COALESCE(m.c, s.c) AS c"
+            f" FROM cents{it} s LEFT JOIN m{it} m USING (cid))"
+        )
+    parts.append(assign(f"cents{_KM_ITERS}", "afin"))
+    return ",\n".join(parts)
+
+
+def _kmeans_assign_oracle() -> str:
+    return f"""
+        WITH {_kmeans_cte()}
+        SELECT vec_id, cid::BIGINT AS cid, ROUND(d, 6) AS dist_sq
+        FROM afin ORDER BY vec_id
+    """
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+        WITH {_kmeans_cte()},
+        drops AS (
+          SELECT DISTINCT l.vec_id AS vec_id
+          FROM afin l JOIN afin r
+            ON l.cid = r.cid AND r.vec_id < l.vec_id
+          WHERE list_dot_product(l.v, r.v)
+                / (sqrt(list_dot_product(l.v, l.v))
+                   * sqrt(list_dot_product(r.v, r.v))) >= {_KM_TAU}
+        )
+        SELECT a.vec_id, a.cid::BIGINT AS cid, (d.vec_id IS NULL) AS keep
+        FROM afin a LEFT JOIN drops d USING (vec_id)
+        ORDER BY a.vec_id
+    """
+
+
+def _prune_prototypes_oracle() -> str:
+    return f"""
+        WITH {_kmeans_cte()},
+        dd AS (SELECT vec_id, cid, ROUND(d, 6) AS dist_sq FROM afin)
+        SELECT vec_id, cid::BIGINT AS cid, dist_sq,
+               (row_number() OVER (PARTITION BY cid
+                  ORDER BY dist_sq DESC, vec_id ASC))
+                 <= CEIL(0.5 * (count(*) OVER (PARTITION BY cid))) AS keep
+        FROM dd ORDER BY vec_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "minhash_signature": _minhash_oracle(),
+        "kmeans_assign": _kmeans_assign_oracle(),
+        "semdedup": _semdedup_oracle(),
+        "prune_prototypes": _prune_prototypes_oracle(),
         "fingerprints": _fingerprints_oracle(),
         "multimodal_image_dims": """
             SELECT CAST(doc_id AS VARCHAR) AS media_id,

@@ -1,0 +1,178 @@
+"""k-means / SemDeDup / prototypicality pruning (operators/kmeans.py)
+against pure-Python replicas on deterministic synthetic vectors."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventanalysis_spark.operators.kmeans import (
+    kmeans_assign,
+    kmeans_fit,
+    prototypicality_prune,
+    semdedup,
+)
+
+DIM = 8
+N = 120
+
+
+def _vec(i: int) -> list[float]:
+    # counter-mode deterministic pseudo-random-ish vectors with three
+    # coarse directions so the clustering has structure
+    base = [0.0] * DIM
+    base[i % 3] = 3.0
+    return [
+        round(base[j] + math.sin(0.7 * i + 1.3 * j) * 0.9, 6)
+        for j in range(DIM)
+    ]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [(i, _vec(i)) for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _py_fit(vecs: dict[int, list[float]], k: int, iters: int):
+    import hashlib
+
+    seeds = sorted(
+        vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:k]
+    cents = {cid: list(vecs[cid]) for cid in seeds}
+
+    def assign_all():
+        out = {}
+        for i, v in vecs.items():
+            best = None
+            for cid in sorted(cents):
+                c = cents[cid]
+                vv = 0.0
+                for x in v:
+                    vv += x * x
+                vc = 0.0
+                for x, y in zip(v, c):
+                    vc += x * y
+                cc = 0.0
+                for y in c:
+                    cc += y * y
+                d = vv - 2 * vc + cc
+                if best is None or (d, cid) < best:
+                    best = (d, cid)
+            out[i] = best
+        return out
+
+    for _ in range(iters):
+        a = assign_all()
+        sums = {cid: [0.0] * len(next(iter(vecs.values()))) for cid in cents}
+        counts = {cid: 0 for cid in cents}
+        for i, (_, cid) in a.items():
+            counts[cid] += 1
+            for j, x in enumerate(vecs[i]):
+                sums[cid][j] += x
+        for cid in cents:
+            if counts[cid]:
+                cents[cid] = [
+                    round(s / counts[cid], 6) for s in sums[cid]
+                ]
+    return cents, assign_all()
+
+
+def test_fit_matches_pure_python(spark, emb):
+    got = dict(kmeans_fit(emb, k=3, iterations=2))
+    vecs = {i: _vec(i) for i in range(N)}
+    want, _ = _py_fit(vecs, k=3, iters=2)
+    assert set(got) == set(want)
+    for cid in want:
+        assert got[cid] == pytest.approx(want[cid], abs=1e-9)
+
+
+def test_fit_partition_invariant(spark, emb):
+    """Rounded per-iteration centroids pin the fit across partitionings
+    (raw float sums would differ in the last ULP)."""
+    a = kmeans_fit(emb.repartition(1), k=3, iterations=2)
+    b = kmeans_fit(emb.repartition(7), k=3, iterations=2)
+    assert a == b
+
+
+def test_assign_matches_pure_python(spark, emb):
+    cents = kmeans_fit(emb, k=3, iterations=2)
+    got = {
+        r["vec_id"]: (r["cid"], r["__d"])
+        for r in kmeans_assign(emb, cents).collect()
+    }
+    vecs = {i: _vec(i) for i in range(N)}
+    _, a = _py_fit(vecs, k=3, iters=2)
+    for i, (d, cid) in a.items():
+        assert got[i][0] == cid
+        assert got[i][1] == pytest.approx(d, abs=1e-9)
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    """Two identical seed vectors -> after the first update both
+    centroids coincide and every point tie-breaks to the smaller cid,
+    so the other cluster goes empty and must keep its centroid."""
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = dict(kmeans_fit(df, k=3, iterations=3))
+    assert len(cents) == 3  # k never shrinks
+    a = kmeans_assign(df, sorted(cents.items())).collect()
+    assert all(r["__d"] >= 0 or abs(r["__d"]) < 1e-9 for r in a)
+
+
+def test_semdedup_matches_brute_force(spark, emb):
+    tau = 0.97
+    cents = kmeans_fit(emb, k=3, iterations=2)
+    got = {r["vec_id"]: r["keep"] for r in semdedup(emb, tau, centroids=cents).collect()}
+    vecs = {i: _vec(i) for i in range(N)}
+    _, a = _py_fit(vecs, k=3, iters=2)
+
+    def cos(u, v):
+        num = sum(x * y for x, y in zip(u, v))
+        return num / (
+            math.sqrt(sum(x * x for x in u)) * math.sqrt(sum(y * y for y in v))
+        )
+
+    dropped = 0
+    for i in vecs:
+        want_keep = not any(
+            j < i and a[j][1] == a[i][1] and cos(vecs[i], vecs[j]) >= tau
+            for j in vecs
+        )
+        assert got[i] == want_keep, i
+        dropped += 0 if want_keep else 1
+    assert 0 < dropped < N  # threshold actually bites, but not everything
+
+
+def test_prune_keeps_exact_per_cluster_fraction(spark, emb):
+    cents = kmeans_fit(emb, k=3, iterations=2)
+    out = prototypicality_prune(emb, keep_fraction=0.5, centroids=cents)
+    per = (
+        out.groupBy("cid")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("keep").cast("int")).alias("kept"),
+        )
+        .collect()
+    )
+    assert per
+    for r in per:
+        assert r["kept"] == math.ceil(0.5 * r["n"])
+    # kept rows are the FARTHEST ones: min kept dist >= max dropped dist
+    kept_min = out.where("keep").groupBy("cid").agg(F.min("dist_sq").alias("m"))
+    drop_max = out.where("NOT keep").groupBy("cid").agg(F.max("dist_sq").alias("x"))
+    joined = kept_min.join(drop_max, "cid").collect()
+    for r in joined:
+        assert r["m"] >= r["x"]
+
+
+def test_prune_quantile_method_close_to_rank(spark, emb):
+    cents = kmeans_fit(emb, k=3, iterations=2)
+    rank = prototypicality_prune(emb, 0.5, centroids=cents, method="rank")
+    quant = prototypicality_prune(emb, 0.5, centroids=cents, method="quantile")
+    nr = rank.where("keep").count()
+    nq = quant.where("keep").count()
+    assert abs(nr - nq) <= 0.1 * N  # sketch-accurate at the boundary

@@ -325,6 +325,36 @@ def main() -> None:
         "shuffle is the ~1-row-per-doc partial-aggregate output.",
     )
 
+    # 13. k-means assignment: narrow literal-centroid argmin, no Exchange
+    from eventanalysis_spark.operators.kmeans import kmeans_assign, kmeans_fit
+
+    emb13 = pages.select(
+        F.xxhash64("url").alias("vec_id"),
+        F.array(*[
+            (F.length("lang") * F.lit(float(i + 1))).cast("double")
+            for i in range(4)
+        ]).alias("embedding"),
+    )
+    cents13 = kmeans_fit(emb13, k=4, iterations=1)
+    plan13 = kmeans_assign(emb13, cents13)._jdf.queryExecution(
+    ).executedPlan().toString()
+    audit(
+        "k-means assignment (SemDeDup/pruning substrate): one narrow "
+        "projection, centroids as literals",
+        kmeans_assign(emb13, cents13),
+        [
+            ("no Python in the plan", "Python" not in plan13),
+            ("zero Exchange (assignment never shuffles the corpus)",
+             "Exchange" not in plan13),
+            ("no join (centroids are inlined literals, not a table)",
+             "Join" not in plan13),
+        ],
+        "Lloyd's assignment step as `least()` over per-centroid "
+        "(distance, cid) structs — the corpus is scanned once per "
+        "iteration and only k×dim doubles cross the wire in the update "
+        "aggregate (operators/kmeans.py).",
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the engine's key paths\n\n"
