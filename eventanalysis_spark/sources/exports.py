@@ -210,3 +210,49 @@ def export_query_csv(
 ) -> None:
     """§3.2 filtered/ordered/limited header dump to CSV."""
     export_csv(q.apply(df, columns), path)
+
+
+# ---- JSONL corpus shards (the LLM-training interchange format) -------------
+
+
+def export_jsonl(
+    df: DataFrame,
+    path: str,
+    shard_rows: int | None = None,
+    compression: str = "gzip",
+    order_within_shard: list[str] | None = None,
+) -> None:
+    """Sharded JSONL export — the standard interchange format for web-text
+    training corpora (one JSON object per line, gzip shards).
+
+    Spark-first: `df.write.json` IS JSONL (one object per line, one shard
+    per task); `shard_rows` caps shard size via maxRecordsPerFile — a
+    WRITER-side rotation, so no repartition/count job is needed to hit a
+    target shard size at any input scale. Column order in each object
+    follows the frame's schema (fixed, not per-row discovered), and
+    `order_within_shard` makes shard contents deterministic under a
+    deterministic partitioning (sortWithinPartitions — a partition-local
+    sort, no Exchange)."""
+    out = df
+    if order_within_shard:
+        out = out.sortWithinPartitions(*order_within_shard)
+    w = out.write.mode("overwrite")
+    if shard_rows:
+        w = w.option("maxRecordsPerFile", int(shard_rows))
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSONL corpus reader with a FIXED schema (never schema-inference:
+    at 100 TB an inference pass is a full extra scan, and corrupt lines
+    would silently widen types). Malformed lines land in a
+    `_corrupt_record` column instead of killing the scan (PERMISSIVE),
+    mirroring the pipeline's never-throw parse contract."""
+    return (
+        spark.read.schema(schema + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

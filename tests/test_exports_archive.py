@@ -249,3 +249,45 @@ def test_streaming_router_exactly_once(spark, pages_path, tmp_path):
         if t.startswith("stream_sink_")
     )
     assert total2 == total
+
+
+def test_jsonl_roundtrip_sharded(spark, pages, tmp_path):
+    from eventanalysis_spark.sources.exports import export_jsonl, read_jsonl
+
+    src = pages.limit(500).select("url", "warc_ts", "text", "lang")
+    out = str(tmp_path / "jsonl")
+    export_jsonl(
+        src.repartition(4), out, shard_rows=100,
+        order_within_shard=["url"],
+    )
+    import glob
+
+    shards = glob.glob(out + "/part-*.json.gz")
+    assert len(shards) >= 5  # 500 rows / 100-row cap over 4 partitions
+    back = read_jsonl(
+        spark, out, "url string, warc_ts timestamp, text string, lang string"
+    )
+    rows = back.collect()
+    # (filtering on _corrupt_record alone is disallowed by Spark on raw
+    # JSON scans — inspect it post-collect)
+    assert all(r["_corrupt_record"] is None for r in rows)
+    a = {tuple(r) for r in src.collect()}
+    b = {tuple(r)[:-1] for r in rows}
+    assert a == b
+
+
+def test_jsonl_corrupt_lines_quarantined_not_fatal(spark, tmp_path):
+    from eventanalysis_spark.sources.exports import read_jsonl
+
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "a.json").write_text(
+        '{"url": "http://a", "n": 1}\nnot json at all\n{"url": "http://b", "n": 2}\n'
+    )
+    df = read_jsonl(spark, str(p), "url string, n long")
+    rows = df.collect()
+    assert len(rows) == 3
+    assert sum(r["_corrupt_record"] is not None for r in rows) == 1
+    assert {r["url"] for r in rows if r["_corrupt_record"] is None} == {
+        "http://a", "http://b",
+    }
