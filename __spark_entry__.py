@@ -1321,6 +1321,22 @@ def q_prune_prototypes(spark, sf):
     )
 
 
+def q_pack_sequences(spark, sf):
+    """Concat-and-chunk sequence packing at seq_len=512 over the corpus
+    in doc_id order (operators/packing.py): per-doc token-stream
+    coordinates via the two-phase global cumsum (range partitions +
+    broadcast offsets — no single-partition window). The oracle is the
+    straightforward single-window SQL; equality proves the distributed
+    two-phase form computes the exact global running sum."""
+    from eventanalysis_spark.operators.packing import pack_sequences
+    from eventanalysis_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, 512).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -1387,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": q_curate_corpus,
         "pii_scrub": q_pii_scrub,
         "kmeans_assign": q_kmeans_assign,
+        "pack_sequences": q_pack_sequences,
         "semdedup": q_semdedup,
         "prune_prototypes": q_prune_prototypes,
     }
@@ -1614,6 +1631,33 @@ def oracle_sql() -> dict[str, str]:
     return {
         "minhash_signature": _minhash_oracle(),
         "kmeans_assign": _kmeans_assign_oracle(),
+        "pack_sequences": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                          ELSE LENGTH(regexp_split_to_array(TRIM(text), '\\s+'))
+                     END AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS tok_start
+              FROM d
+            )
+            SELECT doc_id, n_tokens, tok_start,
+                   tok_start + n_tokens AS tok_end,
+                   CAST(CASE WHEN n_tokens = 0 THEN -1
+                        ELSE tok_start // 512 END AS BIGINT) AS seq_first,
+                   CAST(CASE WHEN n_tokens = 0 THEN -1
+                        ELSE (tok_start + n_tokens - 1) // 512 END AS BIGINT)
+                     AS seq_last,
+                   CAST(CASE WHEN n_tokens = 0 THEN 0
+                        ELSE ((tok_start + n_tokens - 1) // 512)
+                             - (tok_start // 512) + 1 END AS BIGINT) AS n_seqs
+            FROM c ORDER BY doc_id
+        """,
         "semdedup": _semdedup_oracle(),
         "prune_prototypes": _prune_prototypes_oracle(),
         "fingerprints": _fingerprints_oracle(),

@@ -264,6 +264,7 @@ def timed_queries(spark) -> dict[str, float]:
         "gopher_filter",
         "rep_top2gram",
         "dedup_span_stats",
+        "semdedup",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}
