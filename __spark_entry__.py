@@ -1337,6 +1337,47 @@ def q_pack_sequences(spark, sf):
     return pack_sequences(docs, 512).orderBy("doc_id")
 
 
+def q_shuffle_corpus(spark, sf):
+    """Deterministic global training-order shuffle
+    (operators/sampling.py::shuffle_corpus): dense 0-based rank in the
+    md5(seed ⊕ doc_id) permutation, computed with the two-phase global
+    rank (no single-partition sort). Oracle = the plain single-window
+    row_number over the same hash order."""
+    from eventanalysis_spark.operators.sampling import shuffle_corpus
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.col("doc_id").cast("string").alias("k")
+    )
+    return (
+        shuffle_corpus(docs, key_col="k", seed="0")
+        .select("doc_id", "shuffle_rank")
+        .orderBy("doc_id")
+    )
+
+
+def q_mixture_resample(spark, sf):
+    """Mixture resampling (Dolma/DoReMi weights): src0 ×2.5, src1 ×0.3,
+    src2 ×0 (dropped), everything else ×1 — up- and down-sampling as
+    per-row deterministic multiplicities (floor(w) copies + one more for
+    a hash-chosen frac(w) share)."""
+    from eventanalysis_spark.operators.sampling import mixture_resample
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "source", F.col("doc_id").cast("string").alias("k")
+    )
+    out = mixture_resample(
+        docs,
+        {"src0": 2.5, "src1": 0.3, "src2": 0.0},
+        source_col="source",
+        key_col="k",
+        salt="mix",
+        default_weight=1.0,
+    )
+    return out.select("doc_id", "source", "copy_idx").orderBy(
+        "doc_id", "copy_idx"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -1404,6 +1445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "kmeans_assign": q_kmeans_assign,
         "pack_sequences": q_pack_sequences,
+        "shuffle_corpus": q_shuffle_corpus,
+        "mixture_resample": q_mixture_resample,
         "semdedup": q_semdedup,
         "prune_prototypes": q_prune_prototypes,
     }
@@ -1631,6 +1674,36 @@ def oracle_sql() -> dict[str, str]:
     return {
         "minhash_signature": _minhash_oracle(),
         "kmeans_assign": _kmeans_assign_oracle(),
+        "shuffle_corpus": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                     ORDER BY md5('0' || chr(31) || CAST(doc_id AS VARCHAR)),
+                              CAST(doc_id AS VARCHAR)) - 1 AS BIGINT)
+                     AS shuffle_rank
+            FROM documents ORDER BY doc_id
+        """,
+        "mixture_resample": """
+            WITH w AS (
+              SELECT doc_id, source,
+                     CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                                 WHEN 'src2' THEN 0 ELSE 1 END AS base,
+                     CASE source WHEN 'src0' THEN 500000 WHEN 'src1' THEN 300000
+                                 WHEN 'src2' THEN 0 ELSE 0 END AS thr,
+                     ('0x' || substr(md5('mix' || chr(31)
+                        || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 1000000 AS u
+              FROM documents
+            ),
+            n AS (
+              SELECT doc_id, source,
+                     base + CASE WHEN u < thr THEN 1 ELSE 0 END AS n
+              FROM w
+            )
+            SELECT doc_id, source, CAST(g AS BIGINT) AS copy_idx
+            FROM n, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS g)
+            WHERE n > 0
+            ORDER BY doc_id, copy_idx
+        """,
         "pack_sequences": """
             WITH d AS (
               SELECT doc_id,

@@ -255,3 +255,90 @@ def split_corpus(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    key_col: Column | str = "url",
+    seed: str = "0",
+    rank_col: str = "shuffle_rank",
+) -> DataFrame:
+    """Deterministic global corpus shuffle for training order: every row
+    gets a dense 0-based `rank_col` giving its position in the
+    md5(seed ⊕ key) permutation — reproducible across runs, retries,
+    partitionings, and cluster sizes (no RNG state), and different seeds
+    give independent permutations (epoch reshuffles).
+
+    Scale shape: the rank is the assign_ids two-phase global rank over
+    the hash order (range partitions + broadcast offsets), so no single
+    partition ever sorts the corpus; one shuffle of the hash-key
+    projection. Writers consume it as `orderBy(rank_col)` / range
+    partitioning — the training loader's shard n then reads one
+    contiguous rank range."""
+    from eventanalysis_spark.operators.enrich import assign_ids
+
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    keyed = df.withColumn("__sk", F.md5(F.concat(F.lit(seed + "\x1f"), key)))
+    # rank over (hash, key): the key tie-break pins colliding hashes
+    out = assign_ids(
+        keyed, rank_col,
+        ["__sk"] + ([key_col] if isinstance(key_col, str) else []),
+        start_after=-1,
+    )
+    return out.drop("__sk").withColumn(rank_col, F.col(rank_col).cast("long"))
+
+
+def mixture_resample(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: Column | str = "url",
+    salt: str = "mix",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Data mixing by per-source multiplicity (the Dolma/DoReMi 'sample
+    source s at weight w' step, up- AND down-sampling in one operator):
+    each row is emitted floor(w) + [u < frac(w)] times, where u is the
+    row's deterministic hash uniform — so a weight of 2.5 repeats every
+    doc twice and a hash-chosen half of them a third time, and a weight
+    of 0.3 keeps a 30% subset. Expected multiplicity is exactly w per
+    source; the decision is per-row reproducible (same rows, same
+    copies, any partitioning).
+
+    Output adds `copy_idx` (0-based) so downstream shuffles can separate
+    the copies. Scale shape: one broadcast-joinable weight literal (a
+    CASE over sources), one narrow explode(sequence) projection — no
+    shuffle; the blow-up factor is exactly the mixture's design total."""
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {s!r}: {w}")
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    u_bucket = sample_bucket(F.concat(F.lit(salt + "\x1f"), key))
+
+    def _parts(w: float) -> tuple[int, int]:
+        base = int(w)  # w >= 0, so int() == floor()
+        return base, int(round((w - base) * BUCKETS))
+
+    base_expr = thr_expr = None
+    for s, w in sorted(weights.items()):
+        cond = F.col(source_col) == s
+        base, thr = _parts(float(w))
+        base_expr = (
+            F.when(cond, base) if base_expr is None else base_expr.when(cond, base)
+        )
+        thr_expr = (
+            F.when(cond, thr) if thr_expr is None else thr_expr.when(cond, thr)
+        )
+    dbase, dthr = _parts(float(default_weight))
+    base_expr = F.lit(dbase) if base_expr is None else base_expr.otherwise(dbase)
+    thr_expr = F.lit(dthr) if thr_expr is None else thr_expr.otherwise(dthr)
+    n_copies = base_expr.cast("long") + (u_bucket < thr_expr).cast("long")
+    return (
+        df.withColumn("__n", n_copies)
+        .where(F.col("__n") > 0)
+        .withColumn(
+            "copy_idx",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("__n") - 1)),
+        )
+        .drop("__n")
+    )

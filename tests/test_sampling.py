@@ -232,3 +232,65 @@ def test_split_corpus_plan_is_narrow(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_shuffle_corpus_is_dense_deterministic_permutation(spark):
+    from eventanalysis_spark.operators.sampling import shuffle_corpus
+
+    df = spark.range(1000).select(F.col("id").cast("string").alias("k"))
+    a = {r["k"]: r["shuffle_rank"] for r in shuffle_corpus(df, "k").collect()}
+    b = {
+        r["k"]: r["shuffle_rank"]
+        for r in shuffle_corpus(df.repartition(7), "k").collect()
+    }
+    assert a == b  # partition-invariant
+    assert sorted(a.values()) == list(range(1000))  # dense 0-based permutation
+    # different seed -> genuinely different order
+    c = {r["k"]: r["shuffle_rank"] for r in shuffle_corpus(df, "k", seed="1").collect()}
+    assert c != a
+    # matches the single-window reference order
+    import hashlib
+
+    want = sorted(a, key=lambda k: (hashlib.md5(("0\x1f" + k).encode()).hexdigest(), k))
+    got = sorted(a, key=a.get)
+    assert got == want
+
+
+def test_mixture_resample_multiplicities(spark):
+    from eventanalysis_spark.operators.sampling import mixture_resample
+
+    rows = [(i, "a" if i % 3 == 0 else ("b" if i % 3 == 1 else "c"), str(i))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, k string")
+    out = mixture_resample(
+        df, {"a": 2.5, "b": 0.25, "c": 0.0}, source_col="source", key_col="k"
+    )
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert "c" not in per  # weight 0 drops the source entirely
+    assert per["a"] / 1000 == pytest.approx(2.5, abs=0.15)
+    assert per["b"] / 1000 == pytest.approx(0.25, abs=0.1)
+    # copy indexes are 0..n-1 per doc and deterministic across partitionings
+    a = sorted(map(tuple, out.select("doc_id", "copy_idx").collect()))
+    b = sorted(map(tuple, mixture_resample(
+        df.repartition(11), {"a": 2.5, "b": 0.25, "c": 0.0},
+        source_col="source", key_col="k").select("doc_id", "copy_idx").collect()))
+    assert a == b
+    copies = {}
+    for did, idx in a:
+        copies.setdefault(did, []).append(idx)
+    assert all(v == list(range(len(v))) for v in copies.values())
+    # every doc of an up-sampled source appears at least floor(w) times
+    assert all(len(v) >= 2 for d, v in copies.items() if d % 3 == 0)
+
+
+def test_mixture_resample_default_weight(spark):
+    from eventanalysis_spark.operators.sampling import mixture_resample
+
+    df = spark.createDataFrame(
+        [(1, "x", "1"), (2, "y", "2")], "doc_id long, source string, k string"
+    )
+    out = mixture_resample(df, {"x": 3.0}, source_col="source", key_col="k")
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got == {"x": 3, "y": 1}
