@@ -1597,16 +1597,21 @@ def _kmeans_cte(dim: int = 64, k: int = _KM_K) -> str:
     Spark fallback."""
 
     def assign(cents: str, name: str) -> str:
-        d = (
-            "list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c)"
+        # the shifted argmin score (−2·v·c + ‖c‖², per-row ‖v‖² dropped)
+        # mirrors kmeans.py::_assign_best; the full distance is recovered
+        # as score + ‖v‖² — SAME add order as the Spark expression
+        s = (
+            "-2 * list_dot_product(e.v, c.c)"
             " + list_dot_product(c.c, c.c)"
         )
         return f"""
         {name} AS (
-          SELECT vec_id, cid, v, d FROM (
-            SELECT e.vec_id, c.cid, e.v, {d} AS d,
+          SELECT vec_id, cid, v,
+                 score + list_dot_product(v, v) AS d
+          FROM (
+            SELECT e.vec_id, c.cid, e.v, {s} AS score,
                    row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY {d} ASC, c.cid ASC) AS r
+                     ORDER BY {s} ASC, c.cid ASC) AS r
             FROM ev e CROSS JOIN {cents} c
           ) WHERE r = 1
         )"""

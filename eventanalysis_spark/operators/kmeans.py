@@ -56,20 +56,42 @@ from .similarity import _as_double, dot, ivf_centroids
 Centroids = list[tuple[int, list[float]]]
 
 
-def _assign_best(vec_col, centroids: Centroids):
-    """(d, cid) struct of the argmin-L2 centroid for `vec_col` (already
-    double-cast). Ties break to the smaller cid via struct comparison."""
-    vv = dot(vec_col, vec_col)
-    structs = []
+def _dbl(x: float) -> str:
+    # repr() round-trips doubles exactly; string→double cast parses the
+    # same IEEE value, so SQL-built literals == F.lit(float) literals
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _dot_sql(a_sql: str, b_sql: str) -> str:
+    """SQL-string twin of similarity.dot — same aggregate/zip_with left
+    fold, so values are bit-identical to both the Column form and
+    DuckDB's list_dot_product."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> x * y), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _assign_best_sql(vec_sql: str, centroids: Centroids) -> str:
+    """(score, cid) struct of the argmin-L2 centroid, where score =
+    −2·v·c + ‖c‖² — the L2 argmin with the per-row-constant ‖v‖²
+    dropped, so each row folds ONE dot per centroid instead of two
+    (argmin and tie order unchanged: identical centroids give identical
+    scores; ties break to the smaller cid via struct comparison). Built
+    as ONE SQL string parsed JVM-side: the Column-API form spends ~1 s
+    of py4j round-trips per call constructing the k×dim literal tree."""
+    parts = []
     for cid, cvec in centroids:
-        c = F.array(*[F.lit(float(x)) for x in cvec])
-        # driver-side left fold == list_dot_product == F.aggregate fold
+        arr = "array(" + ",".join(_dbl(x) for x in cvec) + ")"
+        # driver-side left fold == list_dot_product == the SQL fold
         cc = 0.0
         for x in cvec:
             cc += float(x) * float(x)
-        d = vv - 2 * dot(vec_col, c) + F.lit(cc)
-        structs.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
-    return structs[0] if len(structs) == 1 else F.least(*structs)
+        parts.append(
+            f"named_struct('score', -2 * {_dot_sql(vec_sql, arr)}"
+            f" + {_dbl(cc)}, 'cid', {int(cid)}L)"
+        )
+    return parts[0] if len(parts) == 1 else f"least({', '.join(parts)})"
 
 
 def kmeans_assign(
@@ -77,18 +99,27 @@ def kmeans_assign(
     centroids: Centroids,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_dist: bool = True,
 ) -> DataFrame:
-    """(id, __v, cid, __d): nearest centroid + squared-L2 distance for
-    every vector — a single narrow projection (centroids are literals),
-    zero Exchange, zero Python."""
-    v = _as_double(F.col(vec_col))
-    best = _assign_best(v, centroids)
-    return emb.select(
+    """(id, __v, cid[, __d]): nearest centroid (+ squared-L2 distance,
+    recovered as score + ‖v‖²) for every vector — a single narrow
+    projection (centroids are inlined literals), zero Exchange, zero
+    Python. with_dist=False (the fit loop's mode) skips the distance
+    output, shrinking the expression tree per iteration."""
+    vec_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    best = _assign_best_sql(vec_sql, centroids)
+    cols = [
         F.col(id_col),
-        v.alias("__v"),
-        best["cid"].alias("cid"),
-        best["d"].alias("__d"),
-    )
+        F.expr(vec_sql).alias("__v"),
+        F.expr(f"({best}).cid").alias("cid"),
+    ]
+    if with_dist:
+        cols.append(
+            F.expr(
+                f"({best}).score + {_dot_sql(vec_sql, vec_sql)}"
+            ).alias("__d")
+        )
+    return emb.select(*cols)
 
 
 def kmeans_fit(
@@ -112,10 +143,12 @@ def kmeans_fit(
         raise ValueError("kmeans_fit: empty input")
     dim = len(cents[0][1])
     for _ in range(iterations):
-        assigned = kmeans_assign(emb, cents, id_col, vec_col)
+        assigned = kmeans_assign(emb, cents, id_col, vec_col, with_dist=False)
         means = assigned.groupBy("cid").agg(
             *[
-                F.round(F.avg(F.col("__v")[i]), round_decimals).alias(f"c{i}")
+                F.expr(f"round(avg(__v[{i}]), {int(round_decimals)})").alias(
+                    f"c{i}"
+                )
                 for i in range(dim)
             ]
         )
@@ -150,19 +183,21 @@ def semdedup(
     cosine use the same left-fold dot.
     """
     cents = centroids or kmeans_fit(emb, k, iterations, id_col, vec_col)
-    a = kmeans_assign(emb, cents, id_col, vec_col).select(
+    # norms are precomputed ONCE per row (n lambda folds), not once per
+    # candidate pair (Σ|c|² folds) — same value as the per-pair form
+    # (identical fold + multiplication order), 3× less lambda work
+    a = kmeans_assign(emb, cents, id_col, vec_col, with_dist=False).select(
         F.col(id_col).alias("__id"), "cid", "__v"
-    )
+    ).withColumn("__nrm", F.sqrt(dot(F.col("__v"), F.col("__v"))))
     left = a.select(
-        F.col("__id").alias("__il"), F.col("cid").alias("__cl"), F.col("__v").alias("__vl")
+        F.col("__id").alias("__il"), F.col("cid").alias("__cl"),
+        F.col("__v").alias("__vl"), F.col("__nrm").alias("__nl"),
     )
     right = a.select(
-        F.col("__id").alias("__ir"), F.col("cid").alias("__cr"), F.col("__v").alias("__vr")
+        F.col("__id").alias("__ir"), F.col("cid").alias("__cr"),
+        F.col("__v").alias("__vr"), F.col("__nrm").alias("__nr"),
     )
-    cos = dot(F.col("__vl"), F.col("__vr")) / (
-        F.sqrt(dot(F.col("__vl"), F.col("__vl")))
-        * F.sqrt(dot(F.col("__vr"), F.col("__vr")))
-    )
+    cos = dot(F.col("__vl"), F.col("__vr")) / (F.col("__nl") * F.col("__nr"))
     dropped = (
         left.join(
             right,
