@@ -1378,6 +1378,46 @@ def q_mixture_resample(spark, sf):
     )
 
 
+def q_budget_select(spark, sf):
+    """Token-budget prefix selection (operators/selection.py): walk the
+    corpus by (n_chars DESC, doc_id ASC) and keep docs until 60% of the
+    total char mass is selected — the "best N tokens" cut every
+    pre-training data build ends with. Distributed two-phase exact
+    cumsum (range partitions + broadcast offsets); the oracle is the
+    single-window SQL form."""
+    from eventanalysis_spark.operators.selection import budget_select
+
+    docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    total = docs.agg(F.sum("n_chars").alias("s")).collect()[0]["s"]
+    budget = int(total) * 6 // 10
+    out = budget_select(
+        docs, budget, weight_col="n_chars", tie_cols=["doc_id"]
+    )
+    return out.select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"), "cum_before"
+    ).orderBy("doc_id")
+
+
+def q_dsir_sample(spark, sf):
+    """DSIR-style importance resampling (operators/selection.py): a 5%
+    exemplar slice (doc_id % 20 == 0) defines the target unigram LM;
+    every doc gets logw = sum ln p_tgt/p_src (Laplace-smoothed, shared
+    vocab), then Gumbel top-k (k=25) picks a deterministic weighted
+    sample via the SQL-replicable md5 uniform. Two partial-agg token
+    counts + one dictionary join + TakeOrdered — no global sort."""
+    from eventanalysis_spark.operators.selection import (
+        dsir_logweights,
+        gumbel_topk,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    tgt = docs.where(F.col("doc_id") % 20 == 0)
+    w = dsir_logweights(docs, tgt)
+    return gumbel_topk(w, 25).select(
+        "doc_id", "n_tokens", "logw", "gumbel_key"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -1449,6 +1489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_resample": q_mixture_resample,
         "semdedup": q_semdedup,
         "prune_prototypes": q_prune_prototypes,
+        "budget_select": q_budget_select,
+        "dsir_sample": q_dsir_sample,
     }
 
 
@@ -1735,6 +1777,61 @@ def oracle_sql() -> dict[str, str]:
                         ELSE ((tok_start + n_tokens - 1) // 512)
                              - (tok_start // 512) + 1 END AS BIGINT) AS n_seqs
             FROM c ORDER BY doc_id
+        """,
+        "budget_select": """
+            WITH tot AS (
+              SELECT CAST(6 * sum(n_chars) AS BIGINT) // 10 AS b
+              FROM documents
+            ),
+            ord AS (
+              SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                     CAST(COALESCE(SUM(n_chars) OVER (
+                          ORDER BY n_chars DESC, doc_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS cum_before
+              FROM documents
+            )
+            SELECT doc_id, n_chars, cum_before
+            FROM ord, tot WHERE cum_before < tot.b
+            ORDER BY doc_id
+        """,
+        "dsir_sample": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            src AS (SELECT tok, count(*) AS cs FROM toks GROUP BY tok),
+            tgt AS (
+              SELECT tok, count(*) AS ct FROM toks
+              WHERE doc_id % 20 = 0 GROUP BY tok
+            ),
+            tot AS (
+              SELECT (SELECT sum(cs) FROM src) AS ns,
+                     (SELECT COALESCE(sum(ct), 0) FROM tgt) AS nt,
+                     (SELECT count(*) FROM src) AS v
+            ),
+            lr AS (
+              SELECT s.tok,
+                     ln((COALESCE(t.ct, 0) + 1)::DOUBLE / (tot.nt + tot.v))
+                   - ln((s.cs + 1)::DOUBLE / (tot.ns + tot.v)) AS lr
+              FROM src s LEFT JOIN tgt t USING (tok), tot
+            ),
+            w AS (
+              SELECT k.doc_id, count(*) AS n_tokens,
+                     ROUND(sum(lr.lr), 6) AS logw
+              FROM toks k JOIN lr USING (tok)
+              GROUP BY k.doc_id
+            ),
+            g AS (
+              SELECT doc_id, n_tokens, logw,
+                     ROUND(logw - ln(-ln(
+                       ({_H60.format(x="CAST(doc_id AS VARCHAR)")} % 1000000
+                        + 0.5) / 1000000.0)), 6) AS gumbel_key
+              FROM w
+            )
+            SELECT doc_id, n_tokens, logw, gumbel_key
+            FROM g ORDER BY gumbel_key DESC, doc_id ASC LIMIT 25
         """,
         "semdedup": _semdedup_oracle(),
         "prune_prototypes": _prune_prototypes_oracle(),

@@ -1,0 +1,219 @@
+"""Training-data selection: token-budget prefix selection, DSIR-style
+importance weighting, and deterministic weighted sampling.
+
+A pre-training corpus is rarely "everything that survived filtering" —
+the last step picks a SUBSET to a token budget ("the best 1T tokens")
+or resamples toward a target distribution (DSIR, Xie et al. 2023:
+importance weights from an n-gram LM ratio between a small target
+corpus and the raw source pool). These operators are that step.
+
+Spark-first shapes:
+  - `budget_select` is the same two-phase exact running sum as
+    `packing.pack_sequences` (range-partition on the selection order,
+    per-partition totals -> broadcast offsets -> partition-local
+    window): ONE shuffle of the (order key, weight) projection, no
+    single-partition window, exact at any partition count.
+  - `dsir_logweights` builds the token->log-ratio dictionary with two
+    partial-aggregatable token counts (target side is tiny by
+    construction; DSIR's whole point is a small exemplar corpus), then
+    scores docs with ONE explode + broadcast join + per-doc sum. The
+    optional `hash_buckets` bounds the dictionary (DSIR's hashed
+    features) so the broadcast stays small at any vocabulary size.
+  - `gumbel_topk` turns weights into a deterministic sample: Gumbel
+    top-k (Kool et al. 2019) with the uniform drawn from the
+    SQL-replicable md5 bucket (sampling.sample_bucket), so the SAME k
+    rows are chosen at any parallelism, on task retry, and by the
+    DuckDB oracle. Selection is orderBy(key).limit(k) -> Spark plans
+    TakeOrderedAndProject (per-partition heap + driver merge of k).
+
+The reference engine has no comparable operator family; this extends
+the training-data surface the brief makes first-class (capped batch
+selection O5 `/root/reference/Lcl.EventLog/Jobs/Database/OpenDbV2.cs:887-908`
+is the closest spirit: a bounded, resumable "take this much" step).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from eventanalysis_spark.operators.sampling import BUCKETS, sample_bucket
+
+
+def budget_select(
+    df: DataFrame,
+    budget: int,
+    weight_col: str = "n_tokens",
+    order_cols: list[Column] | None = None,
+    tie_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy prefix selection: walk `df` in `order_cols` order and keep
+    rows while the running `weight_col` total is still below `budget`
+    (the row that crosses the budget IS kept, so the budget is always
+    reached when the corpus can fill it — "select docs until we have
+    1T tokens"). Returns the selected rows plus `cum_before` (exact
+    running total of everything ordered earlier).
+
+    `order_cols` defaults to weight DESC; pass e.g.
+    `[F.col("quality").desc(), F.col("doc_id").asc()]` for
+    quality-ranked selection. The full order must be total (add a
+    unique tie-break column) or the selected SET is still deterministic
+    only up to ties. All arithmetic is integer-exact (no float cumsum).
+
+    Scale shape: one range Exchange on the order keys shared by both
+    plan branches; the only unpartitioned window runs over
+    ~numPartitions rows (per-partition totals), never over data."""
+    if budget < 0:
+        raise ValueError("budget must be non-negative")
+    order_cols = order_cols or [F.col(weight_col).desc()]
+    if tie_cols:
+        order_cols = order_cols + [F.col(c).asc() for c in tie_cols]
+    npart = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.withColumn(
+        "__w", F.col(weight_col).cast("long")
+    ).repartitionByRange(npart, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("__pid").agg(F.sum("__w").alias("__n"))
+    w_cum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__n").over(w_cum), F.lit(0)).alias("__off")
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = (
+        F.coalesce(F.sum("__w").over(w_in), F.lit(0)) + F.col("__off")
+    ).cast("long")
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn("cum_before", cum_before)
+        .where(F.col("cum_before") < F.lit(int(budget)))
+        .drop("__w", "__pid", "__off")
+    )
+
+
+def _tokens(text_col: str) -> Column:
+    """Whitespace tokenization shared with textstats/spans (trim + split
+    on whitespace runs); empty/blank text yields zero tokens."""
+    t = F.trim(F.col(text_col))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    hash_buckets: int | None = None,
+) -> DataFrame:
+    """DSIR-style unigram importance log-weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    per document, logw = sum over tokens of
+    ln p_target(tok) - ln p_source(tok), with each corpus a Laplace
+    (+1) unigram LM over the SHARED vocabulary (union of both corpora;
+    a token unseen in one corpus still gets the +1 floor there, so OOV
+    mass is handled without a special path). High logw = looks like the
+    target; resample with `gumbel_topk` on logw.
+
+    Returns (id_cols..., n_tokens, logw) with logw rounded to 6
+    decimals (cross-engine float reproducibility, same policy as
+    tfidf_topk_terms).
+
+    Scale shape: two token-count aggregates (map-side partial; the
+    target corpus is small by design — DSIR uses an exemplar set), one
+    dictionary join. With `hash_buckets` set, tokens fold into
+    md5-bucket features first (DSIR's hashed n-gram trick): the
+    dictionary is at most `hash_buckets` rows regardless of vocabulary,
+    so it always broadcasts; md5 keeps it SQL-replicable. Without it
+    the dictionary is vocab-sized and the join is left to AQE."""
+    id_cols = id_cols or ["doc_id"]
+
+    def feat(col: Column) -> Column:
+        if hash_buckets:
+            return (
+                F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+                % hash_buckets
+            ).cast("string")
+        return col
+
+    def counts(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.explode(_tokens(text_col)).alias("__t"))
+            .select(feat(F.col("__t")).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    src_c = counts(docs)
+    tgt_c = counts(target)
+    vocab = (
+        src_c.select("tok").unionByName(tgt_c.select("tok")).distinct()
+    )
+    # corpus sizes + shared vocab size: one tiny cross-joinable row
+    totals = (
+        src_c.agg(F.sum("c").alias("ns"))
+        .crossJoin(tgt_c.agg(F.sum("c").alias("nt")))
+        .crossJoin(vocab.agg(F.count(F.lit(1)).alias("v")))
+    )
+    ratio = (
+        vocab.join(src_c.withColumnRenamed("c", "cs"), "tok", "left")
+        .join(tgt_c.withColumnRenamed("c", "ct"), "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "tok",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                      / (F.col("nt") + F.col("v")))
+                - F.log((F.coalesce(F.col("cs"), F.lit(0)) + 1).cast("double")
+                        / (F.col("ns") + F.col("v")))
+            ).alias("lr"),
+        )
+    )
+    per_tok = docs.select(
+        *id_cols, F.explode(_tokens(text_col)).alias("__t")
+    ).select(*id_cols, feat(F.col("__t")).alias("tok"))
+    join_fn = F.broadcast if hash_buckets else (lambda d: d)
+    return (
+        per_tok.join(join_fn(ratio), "tok", "left")
+        .groupBy(*id_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lr"), 6).alias("logw"),
+        )
+    )
+
+
+def gumbel_topk(
+    df: DataFrame,
+    k: int,
+    logweight_col: str = "logw",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sample of k rows WITHOUT replacement,
+    probabilities proportional to exp(logweight): Gumbel top-k — rank
+    by logw + g where g = -ln(-ln(u)) and u is the uniform derived from
+    the SQL-replicable md5 sample bucket of `key_col` (u = (bucket +
+    0.5) / BUCKETS, exactly representable, never 0 or 1). Same sample
+    at any parallelism / on retry / in the DuckDB oracle; distinct
+    `salt` values draw independent samples.
+
+    Plan shape: orderBy(desc).limit(k) -> TakeOrderedAndProject
+    (per-partition top-k heaps, driver merges k rows; no global sort).
+    Output adds `gumbel_key` rounded to 6 decimals."""
+    key = F.col(key_col).cast("string")
+    if salt:
+        key = F.concat(F.lit(salt + "\x1f"), key)
+    u = (sample_bucket(key) + F.lit(0.5)) / F.lit(float(BUCKETS))
+    gkey = F.col(logweight_col) - F.log(-F.log(u))
+    return (
+        df.withColumn("gumbel_key", F.round(gkey, 6))
+        .orderBy(F.col("gumbel_key").desc(), F.col(key_col).asc())
+        .limit(k)
+    )
