@@ -1378,6 +1378,19 @@ def q_mixture_resample(spark, sf):
     )
 
 
+def q_textrank_keywords(spark, sf):
+    """Corpus-level TextRank keywords (operators/textrank.py): weighted
+    PageRank, 5 fixed iterations, over the adjacent-token co-occurrence
+    graph; top-20 terms by (round(rank,6) DESC, term ASC). The oracle
+    unrolls the 5 iterations as CTE layers — equality proves the
+    iterative DataFrame join loop computes the exact fixed-point
+    recurrence."""
+    from eventanalysis_spark.operators.textrank import textrank_keywords
+
+    docs = _t(spark, sf, "documents")
+    return textrank_keywords(docs, k=20, iterations=5)
+
+
 def q_budget_select(spark, sf):
     """Token-budget prefix selection (operators/selection.py): walk the
     corpus by (n_chars DESC, doc_id ASC) and keep docs until 60% of the
@@ -1491,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prune_prototypes": q_prune_prototypes,
         "budget_select": q_budget_select,
         "dsir_sample": q_dsir_sample,
+        "textrank_keywords": q_textrank_keywords,
     }
 
 
@@ -1688,6 +1702,52 @@ def _kmeans_assign_oracle() -> str:
     """
 
 
+def _textrank_oracle(iterations: int = 5, k: int = 20, d: float = 0.85) -> str:
+    """Unrolled-CTE DuckDB twin of q_textrank_keywords: one CTE layer
+    per PageRank iteration (same recurrence the DataFrame loop runs).
+    Damping literals are emitted via repr() so both engines fold the
+    exact same doubles (1 - 0.85 != 0.15 in IEEE754)."""
+    base, damp = repr(1.0 - d), repr(d)
+    layers = []
+    for i in range(1, iterations + 1):
+        layers.append(f"""
+            r{i} AS (
+              SELECT n.term, {base} + {damp} * COALESCE(c.s, 0) AS rank
+              FROM nodes n LEFT JOIN (
+                SELECT ef.dst AS term, sum(r.rank * ef.frac) AS s
+                FROM ef JOIN r{i - 1} r ON r.term = ef.src
+                GROUP BY ef.dst
+              ) c USING (term)
+            )""")
+    return f"""
+            WITH toks AS (
+              SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            pairs AS (
+              SELECT least(t[i], t[i+1]) AS a, greatest(t[i], t[i+1]) AS b
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+              WHERE t[i] <> t[i+1]
+            ),
+            e0 AS (SELECT a, b, count(*) AS w FROM pairs GROUP BY a, b),
+            edges AS (
+              SELECT a AS src, b AS dst, w FROM e0
+              UNION ALL SELECT b, a, w FROM e0
+            ),
+            outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+            ef AS (
+              SELECT e.src, e.dst, e.w::DOUBLE / o.ow AS frac
+              FROM edges e JOIN outw o USING (src)
+            ),
+            nodes AS (SELECT DISTINCT src AS term FROM edges),
+            r0 AS (SELECT term, 1.0::DOUBLE AS rank FROM nodes),
+            {",".join(layers)}
+            SELECT term, ROUND(rank, 6) AS rank FROM r{iterations}
+            ORDER BY rank DESC, term ASC LIMIT {k}
+        """
+
+
 def _semdedup_oracle() -> str:
     return f"""
         WITH {_kmeans_cte()},
@@ -1833,6 +1893,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, logw, gumbel_key
             FROM g ORDER BY gumbel_key DESC, doc_id ASC LIMIT 25
         """,
+        "textrank_keywords": _textrank_oracle(),
         "semdedup": _semdedup_oracle(),
         "prune_prototypes": _prune_prototypes_oracle(),
         "fingerprints": _fingerprints_oracle(),

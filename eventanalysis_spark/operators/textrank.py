@@ -1,0 +1,125 @@
+"""TextRank — PageRank over the corpus word-adjacency graph.
+
+Keyword extraction by graph centrality (Mihalcea & Tarau 2004,
+"TextRank: Bringing Order into Texts"): build an undirected graph whose
+nodes are terms and whose edge weights count adjacent co-occurrence
+(window = 2), then run weighted PageRank
+
+    WS(v) = (1 - d) + d * sum over in-neighbors u of
+            w(u,v) / out_strength(u) * WS(u)
+
+for a fixed number of iterations. Complements tf-idf
+(textstats.tfidf_topk_terms): tf-idf scores terms by rarity, TextRank by
+how central they sit in the co-occurrence structure.
+
+This is also the repo's canonical ITERATIVE GRAPH operator shape (the
+k-means twin for graphs): per iteration one join of the rank vector
+against the normalized edge list + one aggregate — the classic Spark
+PageRank loop, expressed in DataFrames so AQE picks the join strategy
+(rank vector broadcasts while the vocabulary is small; shuffles when it
+isn't). The edge list is built once, narrow, with zero Python.
+
+Scale notes:
+  - Edges come from `arrays_zip(slice, slice)` per doc — no self-join,
+    no window; one shuffle to the (src, dst) grain whose size is the
+    DISTINCT adjacent-pair vocabulary (Zipf-bounded), not the token
+    stream.
+  - Stopword hubs make classic skew: the per-edge `frac` column is
+    pre-divided by out-strength, so a hub's mass spreads in one
+    map-side pass; the per-iteration aggregate is partial-aggregatable
+    (sum), never a collect.
+  - Lineage grows linearly with iterations; for large K, checkpoint the
+    rank vector every ~10 iterations (spark.checkpoint) — at the K<=10
+    TextRank operates with, plan depth is a non-issue.
+
+The reference engine has no comparable operator; part of the
+training-data/text-analysis surface the brief makes first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_adjacency_edges(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Symmetric weighted edge list (src, dst, w) from adjacent token
+    pairs (whitespace tokenization, trim + split on runs — same rule as
+    textstats/spans). Self-loops (immediate repeats) are dropped; each
+    undirected edge appears in both directions with the same weight."""
+    toks = docs.select(
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
+    ).where(F.length(F.trim(F.col(text_col))) > 0)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN"
+                " arrays_zip(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1))"
+                " ELSE array() END"
+            )
+        ).alias("p")
+    ).select(F.col("p")["0"].alias("u"), F.col("p")["1"].alias("v"))
+    canon = pairs.where(F.col("u") != F.col("v")).select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    )
+    e = canon.groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
+    return e.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionByName(e.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+
+
+def textrank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank over a symmetric (src, dst, w) edge list for a
+    fixed iteration count, rank_0 = 1.0 everywhere. Returns (term, rank)
+    for every node, rank UNrounded (callers round for reporting).
+
+    Per iteration: rank ⋈ pre-normalized edges on src, one sum by dst,
+    left-join back onto the node list so isolated-in-degree nodes keep
+    the (1-d) floor. Exactly the oracle's unrolled-CTE semantics."""
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    ef = edges.join(outw, "src").select(
+        "src", "dst", (F.col("w").cast("double") / F.col("ow")).alias("frac")
+    )
+    nodes = edges.select(F.col("src").alias("term")).distinct()
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    base = F.lit(1.0 - damping)
+    for _ in range(iterations):
+        contrib = (
+            ef.join(ranks, ef["src"] == ranks["term"])
+            .groupBy(F.col("dst").alias("term"))
+            .agg(F.sum(F.col("rank") * F.col("frac")).alias("s"))
+        )
+        ranks = nodes.join(contrib, "term", "left").select(
+            "term",
+            (base + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+    return ranks
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    k: int = 20,
+    iterations: int = 5,
+    damping: float = 0.85,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level top-k keywords by TextRank: (term, rank) with rank
+    rounded to 6 decimals, ordered (rank DESC, term ASC) — the rounded
+    value is the ordering key in BOTH engines so the top-k cutoff is
+    cross-engine deterministic (same policy as tfidf_topk_terms)."""
+    r = textrank(word_adjacency_edges(docs, text_col), iterations, damping)
+    return (
+        r.select("term", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("term").asc())
+        .limit(k)
+    )
