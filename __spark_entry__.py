@@ -1378,6 +1378,18 @@ def q_mixture_resample(spark, sf):
     )
 
 
+def q_inverted_index(spark, sf):
+    """Corpus inverted index (operators/corpus.py): exact df for every
+    term via a partial-aggregatable count over distinct (term, doc)
+    pairs; sorted posting lists only for terms under the df<=40 cap
+    (hot/stopword terms keep exact df with NULL postings — the list a
+    single reducer could not hold at web scale is never collected)."""
+    from eventanalysis_spark.operators.corpus import inverted_index
+
+    docs = _t(spark, sf, "documents")
+    return inverted_index(docs, max_postings=40).orderBy("term")
+
+
 def q_textrank_keywords(spark, sf):
     """Corpus-level TextRank keywords (operators/textrank.py): weighted
     PageRank, 5 fixed iterations, over the adjacent-token co-occurrence
@@ -1505,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select": q_budget_select,
         "dsir_sample": q_dsir_sample,
         "textrank_keywords": q_textrank_keywords,
+        "inverted_index": q_inverted_index,
     }
 
 
@@ -1892,6 +1905,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_tokens, logw, gumbel_key
             FROM g ORDER BY gumbel_key DESC, doc_id ASC LIMIT 25
+        """,
+        "inverted_index": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            dfc AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+            post AS (
+              SELECT t.term,
+                     string_agg(CAST(t.doc_id AS VARCHAR), ','
+                                ORDER BY t.doc_id) AS postings
+              FROM toks t JOIN dfc USING (term)
+              WHERE dfc.df <= 40
+              GROUP BY t.term
+            )
+            SELECT dfc.term, CAST(dfc.df AS BIGINT) AS df, post.postings
+            FROM dfc LEFT JOIN post USING (term)
+            ORDER BY term
         """,
         "textrank_keywords": _textrank_oracle(),
         "semdedup": _semdedup_oracle(),

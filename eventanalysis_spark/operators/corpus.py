@@ -161,3 +161,51 @@ def corpus_report(
             "max_chars",
         )
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Corpus inverted index: (term, df, postings) — exact document
+    frequency for EVERY term, plus the sorted posting list (comma-joined
+    doc ids) for terms whose list is small enough to materialize.
+
+    Scale shape (the honest one): df comes from a count aggregate over
+    DISTINCT (term, doc) pairs — fully partial-aggregatable, safe for
+    stopwords with 10^11-doc posting lists. The posting LIST, by
+    contrast, is a per-term collect: a hot term's list cannot fit one
+    reducer at web scale, so lists are only built for terms with
+    df <= `max_postings` (hot terms keep exact df, postings NULL). The
+    df pre-pass bounds every collected group BEFORE collect_list runs —
+    there is no "collect then truncate" step that would still
+    materialize the mega-list. With max_postings=None every list is
+    built (small-corpus / test mode).
+
+    Posting order is numeric by id (sort_array on the typed column,
+    stringified after sorting), so '10' sorts after '2'."""
+    pairs = (
+        docs.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+        )
+        .distinct()
+    )
+    dfc = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    eligible = (
+        dfc.where(F.col("df") <= max_postings) if max_postings is not None else dfc
+    )
+    posts = (
+        pairs.join(eligible.select("term"), "term")
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.expr("transform(sort_array(collect_list(__id)), x -> CAST(x AS STRING))"),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return dfc.join(posts, "term", "left").select("term", "df", "postings")

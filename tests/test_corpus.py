@@ -74,3 +74,49 @@ def test_no_python_in_plans(spark, docs):
     for df in (source_overlap(docs, k=3), corpus_report(docs)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan
+
+
+# ---- inverted_index --------------------------------------------------
+
+def test_inverted_index_hand_computed(spark, docs):
+    from eventanalysis_spark.operators.corpus import inverted_index
+
+    got = {
+        r["term"]: (r["df"], r["postings"])
+        for r in inverted_index(docs).collect()
+    }
+    # "x" appears in docs 1, 2, 4; "ab" only in doc 5
+    assert got["x"] == (3, "1,2,4")
+    assert got["ab"] == (1, "5")
+    assert got["p"] == (1, "3")
+    # within-doc repeats collapse: df counts documents, not occurrences
+    assert got["q"] == (2, "2,3")
+
+
+def test_inverted_index_caps_hot_terms(spark, docs):
+    from eventanalysis_spark.operators.corpus import inverted_index
+
+    got = {
+        r["term"]: (r["df"], r["postings"])
+        for r in inverted_index(docs, max_postings=2).collect()
+    }
+    # df stays exact for hot terms; postings only for df <= 2
+    assert got["x"] == (3, None)
+    assert got["q"] == (2, "2,3")
+
+
+def test_inverted_index_numeric_posting_order(spark):
+    from eventanalysis_spark.operators.corpus import inverted_index
+
+    rows = [(i, "tok") for i in (2, 10, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = inverted_index(df).collect()
+    assert got[0]["postings"] == "1,2,10"  # numeric, not lexicographic
+
+
+def test_inverted_index_partition_invariance(spark, docs):
+    from eventanalysis_spark.operators.corpus import inverted_index
+
+    a = sorted(map(tuple, inverted_index(docs.repartition(1)).collect()))
+    b = sorted(map(tuple, inverted_index(docs.repartition(7)).collect()))
+    assert a == b
