@@ -355,6 +355,104 @@ def main() -> None:
         "aggregate (operators/kmeans.py).",
     )
 
+    # 14. budget_select: two-phase cumsum — range partition, tiny offsets
+    from eventanalysis_spark.operators.selection import (
+        budget_select,
+        dsir_logweights,
+        gumbel_topk,
+    )
+
+    docs14 = pages.select(
+        F.col("url").alias("doc_id"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.col("text"),
+    )
+    q14 = budget_select(docs14.select("doc_id", "n_chars"), 10_000,
+                        weight_col="n_chars", tie_cols=["doc_id"])
+    plan14 = q14._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Token-budget selection: two-phase exact cumsum, no data-sized "
+        "single-partition window",
+        q14,
+        [
+            ("range Exchange on the selection order (the ONE data shuffle)",
+             "rangepartitioning" in plan14),
+            ("at most one SinglePartition Exchange, feeding only the "
+             "~numPartitions offsets frame",
+             plan14.count("Exchange SinglePartition") <= 1),
+            ("offsets re-attach via broadcast join (data side never reshuffles)",
+             "BroadcastHashJoin" in plan14),
+            ("no Python in the plan", "Python" not in plan14),
+        ],
+        "budget_select walks the corpus in selection order and keeps rows "
+        "while the running weight is under budget — the same two-phase "
+        "range-partition + broadcast-offsets construction as sequence "
+        "packing, so the global running sum is exact at any partition "
+        "count (operators/selection.py).",
+    )
+
+    # 15. DSIR weighted sample: TakeOrdered top-k, no global sort
+    tgt15 = docs14.where(F.col("n_chars") % 7 == 0)
+    q15 = gumbel_topk(dsir_logweights(docs14, tgt15), 25)
+    plan15 = q15._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "DSIR importance resampling: partial-agg token counts + "
+        "TakeOrdered sample",
+        q15,
+        [
+            ("top-k is TakeOrderedAndProject (per-partition heaps, no "
+             "global sort)", "TakeOrderedAndProject" in plan15),
+            ("token counts partial-aggregate map-side", "partial_" in plan15),
+            ("no Python in the plan", "Python" not in plan15),
+        ],
+        "Importance log-weights from the Laplace-smoothed unigram LM "
+        "ratio; Gumbel top-k keys from the SQL-replicable md5 uniform — "
+        "the sample is identical at any parallelism and on retry "
+        "(operators/selection.py).",
+    )
+
+    # 16. TextRank: iterative join loop, partial aggs, top-k without sort
+    from eventanalysis_spark.operators.textrank import textrank_keywords
+
+    q16 = textrank_keywords(docs14.limit(500), k=20, iterations=3)
+    plan16 = q16._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "TextRank keywords: iterative rank⋈edges loop stays JVM-side",
+        q16,
+        [
+            ("per-iteration contribution sums partial-aggregate",
+             "partial_sum" in plan16),
+            ("top-k is TakeOrderedAndProject", "TakeOrderedAndProject" in plan16),
+            ("no Python in the plan", "Python" not in plan16),
+        ],
+        "Weighted PageRank over the adjacent-token graph: edges built "
+        "once via arrays_zip (no self-join), per-edge mass pre-divided "
+        "by out-strength so stopword hubs spread map-side "
+        "(operators/textrank.py).",
+    )
+
+    # 17. inverted index: exact df everywhere, collect only under the cap
+    from eventanalysis_spark.operators.corpus import inverted_index
+
+    q17 = inverted_index(docs14, max_postings=40)
+    plan17 = q17._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Inverted index: partial-agg df, posting collect bounded by the "
+        "df cap",
+        q17,
+        [
+            ("df is a partial-aggregatable count", "partial_count" in plan17),
+            ("posting lists collect AFTER the df<=cap semi-filter "
+             "(no mega-list reducer)", "collect_list" in plan17
+             and plan17.index("partial_count") < plan17.index("collect_list")),
+            ("no Python in the plan", "Python" not in plan17),
+        ],
+        "Document frequency is exact for every term (count over distinct "
+        "pairs); the posting list a stopword would need is never "
+        "materialized — the df pre-pass filters terms before collect_list "
+        "runs (operators/corpus.py).",
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the engine's key paths\n\n"
