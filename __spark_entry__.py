@@ -1378,6 +1378,21 @@ def q_mixture_resample(spark, sf):
     )
 
 
+def q_source_overlap_sketch(spark, sf):
+    """Sketched cross-source overlap (operators/corpus.py): per-source
+    mergeable union-MinHash (16 md5-based hashes, elementwise-min
+    aggregate) + |S|² pairwise match-fraction Jaccard estimate. The
+    oracle replays the ENTIRE sketch pipeline in SQL — equality proves
+    the distributed merge computes exactly the sketch it claims (the
+    estimate's accuracy vs exact Jaccard is pytest-bounded)."""
+    from eventanalysis_spark.operators.corpus import source_overlap_sketch
+
+    docs = _t(spark, sf, "documents")
+    return source_overlap_sketch(docs, num_hashes=16, hash_fn="md5").orderBy(
+        "source_a", "source_b"
+    )
+
+
 def q_inverted_index(spark, sf):
     """Corpus inverted index (operators/corpus.py): exact df for every
     term via a partial-aggregatable count over distinct (term, doc)
@@ -1518,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "textrank_keywords": q_textrank_keywords,
         "inverted_index": q_inverted_index,
+        "source_overlap_sketch": q_source_overlap_sketch,
     }
 
 
@@ -1573,6 +1589,48 @@ def _pii_oracle() -> str:
     ]:
         sql = sql.replace(token, val)
     return sql
+
+
+def _overlap_sketch_oracle(num_hashes: int = 16) -> str:
+    """Exact DuckDB twin of q_source_overlap_sketch: same md5-60bit
+    shingle hash and (a,b) universal-hash family as _minhash_oracle,
+    min-merged per source instead of per doc (min over the union of a
+    source's shingles == elementwise min of its per-doc signatures)."""
+    from eventanalysis_spark.operators.dedup import _perm_coeffs
+
+    coeffs = list(_perm_coeffs(num_hashes))
+    mins = ",\n                   ".join(
+        f"min(((x % 2147483647) * {a} + {b}) % 2147483647) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    match = " + ".join(f"(a.m{i} = b.m{i})::INT" for i in range(num_hashes))
+    return f"""
+        WITH t AS (
+          SELECT source,
+                 CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                 END AS toks
+          FROM documents
+        ),
+        s AS (
+          SELECT source,
+                 CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                      ELSE [array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(toks) - 2, 1))]
+                 END AS strs
+          FROM t
+        ),
+        hs AS (
+          SELECT source,
+                 unnest(list_transform(strs, x -> {_H60.format(x='x')})) AS x
+          FROM s
+        ),
+        u AS (SELECT source, {mins} FROM hs GROUP BY source)
+        SELECT a.source AS source_a, b.source AS source_b,
+               ROUND(({match}) / {float(num_hashes)}, 6) AS jaccard_est
+        FROM u a JOIN u b ON a.source < b.source
+        ORDER BY source_a, source_b
+    """
 
 
 def _minhash_oracle() -> str:
@@ -1906,6 +1964,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, logw, gumbel_key
             FROM g ORDER BY gumbel_key DESC, doc_id ASC LIMIT 25
         """,
+        "source_overlap_sketch": _overlap_sketch_oracle(),
         "inverted_index": """
             WITH toks AS (
               SELECT DISTINCT doc_id,

@@ -209,3 +209,62 @@ def inverted_index(
         )
     )
     return dfc.join(posts, "term", "left").select("term", "df", "postings")
+
+
+def source_overlap_sketch(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    k: int = 3,
+    text_col: str = "text",
+    group_col: str = "source",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Sketched `source_overlap` — the 100 TB path this module's
+    docstring promises: each source keeps a UNION MinHash (elementwise
+    min of its documents' signatures — mergeable and fully
+    partial-aggregatable, so a source's sketch is `num_hashes` longs no
+    matter how many petabytes it holds), and pairwise overlap is the
+    Jaccard ESTIMATE = fraction of matching signature positions
+    (standard MinHash identity, E[match frac] = J). Standard error
+    ≈ sqrt(J(1-J)/num_hashes).
+
+    Output: (source_a, source_b, jaccard_est) for every unordered pair
+    of sources that contain at least one shingle (unlike the exact
+    form, 0-overlap pairs ARE present — the sketch join is |S|², a
+    dimension-sized frame). Shingling follows dedup.shingles (short
+    docs yield one whole-text shingle); only EMPTY documents are
+    dropped (their -1 sentinel signature would poison the union min).
+
+    Scale shape: ONE corpus pass (narrow signature projection), one
+    tiny groupBy(source) with per-position min aggregates, and a
+    |S|²-row nested-loop join of two broadcast-sized sketch frames.
+    The distinct shingle set of `source_overlap` is never built.
+    hash_fn='md5' selects the SQL-replicable base hash (exact DuckDB
+    oracle of the full sketch pipeline)."""
+    from eventanalysis_spark.operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(
+        docs, text_col=text_col, id_col=group_col,
+        num_hashes=num_hashes, shingle_k=k, hash_fn=hash_fn,
+    )
+    union = (
+        sigs.where(F.col("sig")[0] != -1)
+        .groupBy(F.col("doc_id").alias(group_col))
+        .agg(*[
+            F.min(F.col("sig")[i]).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ])
+    )
+    a, b = union.alias("a"), union.alias("b")
+    matches = None
+    for i in range(num_hashes):
+        m = (F.col(f"a.__m{i}") == F.col(f"b.__m{i}")).cast("int")
+        matches = m if matches is None else matches + m
+    return (
+        a.join(b, F.col(f"a.{group_col}") < F.col(f"b.{group_col}"))
+        .select(
+            F.col(f"a.{group_col}").alias("source_a"),
+            F.col(f"b.{group_col}").alias("source_b"),
+            F.round(matches / F.lit(float(num_hashes)), 6).alias("jaccard_est"),
+        )
+    )

@@ -120,3 +120,66 @@ def test_inverted_index_partition_invariance(spark, docs):
     a = sorted(map(tuple, inverted_index(docs.repartition(1)).collect()))
     b = sorted(map(tuple, inverted_index(docs.repartition(7)).collect()))
     assert a == b
+
+
+# ---- source_overlap_sketch -------------------------------------------
+
+def test_sketch_identical_sources_estimate_one(spark):
+    from eventanalysis_spark.operators.corpus import source_overlap_sketch
+
+    rows = [(1, "x y z w q r", "A"), (2, "x y z w q r", "B")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = source_overlap_sketch(df, num_hashes=16).collect()
+    assert len(got) == 1
+    assert got[0]["jaccard_est"] == 1.0
+
+
+def test_sketch_disjoint_sources_estimate_near_zero(spark):
+    from eventanalysis_spark.operators.corpus import source_overlap_sketch
+
+    rows = [(1, "a b c d e f g h", "A"), (2, "q r s t u v w x", "B")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = source_overlap_sketch(df, num_hashes=32).collect()[0]
+    assert got["jaccard_est"] <= 0.1
+
+
+def test_sketch_tracks_exact_jaccard(spark, docs):
+    """Estimate within 2/num_hashes-ish of the exact overlap on the
+    module fixture (A∩B share 'x y z'; C disjoint)."""
+    from eventanalysis_spark.operators.corpus import (
+        source_overlap,
+        source_overlap_sketch,
+    )
+
+    exact = {
+        (r["source_a"], r["source_b"]): r["jaccard"]
+        for r in source_overlap(docs).collect()
+    }
+    est = {
+        (r["source_a"], r["source_b"]): r["jaccard_est"]
+        for r in source_overlap_sketch(docs, num_hashes=64).collect()
+    }
+    for pair, j in exact.items():
+        assert abs(est[pair] - j) <= 0.25, (pair, j, est[pair])
+    # pairs absent from exact have ~zero overlap
+    for pair, e in est.items():
+        if pair not in exact:
+            assert e <= 0.15, (pair, e)
+
+
+def test_sketch_merge_invariant_to_partitioning(spark, docs):
+    from eventanalysis_spark.operators.corpus import source_overlap_sketch
+
+    a = sorted(map(tuple, source_overlap_sketch(docs).collect()))
+    b = sorted(map(tuple, source_overlap_sketch(docs.repartition(7)).collect()))
+    assert a == b
+
+
+def test_sketch_sentinels_never_poison_the_merge(spark, docs):
+    """Short docs contribute a whole-text shingle (dedup.shingles), and
+    empty docs are filtered before the union min — either way no -1
+    sentinel reaches the merge, so estimates stay in [0, 1]."""
+    from eventanalysis_spark.operators.corpus import source_overlap_sketch
+
+    for r in source_overlap_sketch(docs).collect():
+        assert 0.0 <= r["jaccard_est"] <= 1.0
