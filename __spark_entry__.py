@@ -1378,6 +1378,25 @@ def q_mixture_resample(spark, sf):
     )
 
 
+def q_snapshot_delta(spark, sf):
+    """Crawl-over-crawl diff (operators/corpus.py): synthesize two
+    snapshots from `documents` (old drops doc_id%10==9; new drops
+    doc_id%10==0 and rewrites text for doc_id%7==0) and report every
+    added/removed/changed key. Content reduces to md5 BEFORE the full
+    outer join — the join ships (key, hash), never payloads."""
+    from eventanalysis_spark.operators.corpus import snapshot_delta
+
+    docs = _t(spark, sf, "documents")
+    old = docs.where(F.col("doc_id") % 10 != 9).select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [v2]"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return snapshot_delta(old, new, key_col="doc_id").orderBy("key")
+
+
 def q_source_overlap_sketch(spark, sf):
     """Sketched cross-source overlap (operators/corpus.py): per-source
     mergeable union-MinHash (16 md5-based hashes, elementwise-min
@@ -1534,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank_keywords,
         "inverted_index": q_inverted_index,
         "source_overlap_sketch": q_source_overlap_sketch,
+        "snapshot_delta": q_snapshot_delta,
     }
 
 
@@ -1963,6 +1983,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_tokens, logw, gumbel_key
             FROM g ORDER BY gumbel_key DESC, doc_id ASC LIMIT 25
+        """,
+        "snapshot_delta": """
+            WITH old AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9
+            ),
+            new AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 10 <> 0
+            ),
+            o AS (SELECT doc_id AS key, md5(text) AS old_hash FROM old),
+            n AS (SELECT doc_id AS key, md5(text) AS new_hash FROM new),
+            j AS (
+              SELECT COALESCE(o.key, n.key) AS key, o.old_hash, n.new_hash,
+                     CASE WHEN o.old_hash IS NULL THEN 'added'
+                          WHEN n.new_hash IS NULL THEN 'removed'
+                          WHEN o.old_hash <> n.new_hash THEN 'changed'
+                          ELSE 'unchanged' END AS status
+              FROM o FULL OUTER JOIN n ON o.key = n.key
+            )
+            SELECT key, status, old_hash, new_hash
+            FROM j WHERE status <> 'unchanged'
+            ORDER BY key
         """,
         "source_overlap_sketch": _overlap_sketch_oracle(),
         "inverted_index": """

@@ -268,3 +268,72 @@ def source_overlap_sketch(
             F.round(matches / F.lit(float(num_hashes)), 6).alias("jaccard_est"),
         )
     )
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    content_col: str = "text",
+) -> DataFrame:
+    """Crawl-over-crawl diff: compare two corpus snapshots by key and
+    report every row whose state changed — status 'added' (key only in
+    the new snapshot), 'removed' (only in the old), 'changed' (present
+    in both, content hash differs). UNCHANGED rows are deliberately
+    absent: at web scale they dominate the corpus and carry no
+    information (use `snapshot_delta_stats` for their count).
+
+    Output: (key, status, old_hash, new_hash), deterministic.
+
+    Scale shape: content reduces to an md5 BEFORE the join, so the full
+    outer join shuffles two (key, 32-byte hash) projections — never the
+    payload. On Iceberg both snapshots are the same table's partitions:
+    bucket both sides by the key and the join is co-located (no
+    shuffle); incremental-scan metadata can pre-prune files shared by
+    both snapshots."""
+    o = old.select(
+        F.col(key_col).alias("key"), F.md5(F.col(content_col)).alias("old_hash")
+    )
+    n = new.select(
+        F.col(key_col).alias("key"), F.md5(F.col(content_col)).alias("new_hash")
+    )
+    j = o.join(n, "key", "full_outer")
+    return j.select(
+        "key",
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        "old_hash",
+        "new_hash",
+    ).where(F.col("status") != "unchanged")
+
+
+def snapshot_delta_stats(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    content_col: str = "text",
+) -> DataFrame:
+    """Corpus-level churn summary of `snapshot_delta`, unchanged
+    included: (status, n) — one partial-aggregatable count over the
+    hash-projected full outer join."""
+    o = old.select(
+        F.col(key_col).alias("key"), F.md5(F.col(content_col)).alias("old_hash")
+    )
+    n = new.select(
+        F.col(key_col).alias("key"), F.md5(F.col(content_col)).alias("new_hash")
+    )
+    return (
+        o.join(n, "key", "full_outer")
+        .select(
+            F.when(F.col("old_hash").isNull(), F.lit("added"))
+            .when(F.col("new_hash").isNull(), F.lit("removed"))
+            .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status")
+        )
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

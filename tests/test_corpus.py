@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from eventanalysis_spark.operators.corpus import (
     corpus_report,
@@ -183,3 +184,44 @@ def test_sketch_sentinels_never_poison_the_merge(spark, docs):
 
     for r in source_overlap_sketch(docs).collect():
         assert 0.0 <= r["jaccard_est"] <= 1.0
+
+
+# ---- snapshot_delta --------------------------------------------------
+
+def test_snapshot_delta_statuses(spark):
+    from eventanalysis_spark.operators.corpus import (
+        snapshot_delta,
+        snapshot_delta_stats,
+    )
+
+    old = spark.createDataFrame(
+        [("u1", "same"), ("u2", "before"), ("u3", "gone")],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "same"), ("u2", "after"), ("u4", "fresh")],
+        "url string, text string",
+    )
+    got = {r["key"]: r["status"] for r in snapshot_delta(old, new).collect()}
+    assert got == {"u2": "changed", "u3": "removed", "u4": "added"}
+    stats = {
+        r["status"]: r["n"] for r in snapshot_delta_stats(old, new).collect()
+    }
+    assert stats == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_snapshot_delta_hashes_present_only_where_defined(spark):
+    from eventanalysis_spark.operators.corpus import snapshot_delta
+
+    old = spark.createDataFrame([("u1", "x")], "url string, text string")
+    new = spark.createDataFrame([("u2", "y")], "url string, text string")
+    rows = {r["key"]: r for r in snapshot_delta(old, new).collect()}
+    assert rows["u1"]["old_hash"] and rows["u1"]["new_hash"] is None
+    assert rows["u2"]["new_hash"] and rows["u2"]["old_hash"] is None
+
+
+def test_snapshot_delta_identical_snapshots_empty(spark, docs):
+    from eventanalysis_spark.operators.corpus import snapshot_delta
+
+    d = docs.select(F.col("doc_id").cast("string").alias("url"), "text")
+    assert snapshot_delta(d, d).count() == 0
