@@ -1997,10 +1997,13 @@ def oracle_sql() -> dict[str, str]:
             o AS (SELECT doc_id AS key, md5(text) AS old_hash FROM old),
             n AS (SELECT doc_id AS key, md5(text) AS new_hash FROM new),
             j AS (
+              -- presence via the join keys, not hash-IS-NULL (NULL
+              -- content must not read as absence); null-safe compare
               SELECT COALESCE(o.key, n.key) AS key, o.old_hash, n.new_hash,
-                     CASE WHEN o.old_hash IS NULL THEN 'added'
-                          WHEN n.new_hash IS NULL THEN 'removed'
-                          WHEN o.old_hash <> n.new_hash THEN 'changed'
+                     CASE WHEN o.key IS NULL THEN 'added'
+                          WHEN n.key IS NULL THEN 'removed'
+                          WHEN o.old_hash IS DISTINCT FROM n.new_hash
+                               THEN 'changed'
                           ELSE 'unchanged' END AS status
               FROM o FULL OUTER JOIN n ON o.key = n.key
             )

@@ -270,6 +270,36 @@ def source_overlap_sketch(
     )
 
 
+def _statused_delta(
+    old: DataFrame, new: DataFrame, key_col: str, content_col: str
+) -> DataFrame:
+    """Shared core of snapshot_delta/_stats: hash-projected full outer
+    join + status column. Presence is tracked with explicit flags, NOT
+    hash-IS-NULL — a row whose content is NULL is still PRESENT (its
+    hash is NULL because md5(NULL) is NULL), and NULL-vs-NULL content
+    compares 'unchanged' via the null-safe equality."""
+    o = old.select(
+        F.col(key_col).alias("key"),
+        F.md5(F.col(content_col)).alias("old_hash"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(key_col).alias("key"),
+        F.md5(F.col(content_col)).alias("new_hash"),
+        F.lit(True).alias("__in_new"),
+    )
+    return o.join(n, "key", "full_outer").select(
+        "key",
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(~F.col("old_hash").eqNullSafe(F.col("new_hash")), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        "old_hash",
+        "new_hash",
+    )
+
+
 def snapshot_delta(
     old: DataFrame,
     new: DataFrame,
@@ -279,7 +309,8 @@ def snapshot_delta(
     """Crawl-over-crawl diff: compare two corpus snapshots by key and
     report every row whose state changed — status 'added' (key only in
     the new snapshot), 'removed' (only in the old), 'changed' (present
-    in both, content hash differs). UNCHANGED rows are deliberately
+    in both, content hash differs; NULL content is null-safely compared,
+    not conflated with absence). UNCHANGED rows are deliberately
     absent: at web scale they dominate the corpus and carry no
     information (use `snapshot_delta_stats` for their count).
 
@@ -291,23 +322,9 @@ def snapshot_delta(
     bucket both sides by the key and the join is co-located (no
     shuffle); incremental-scan metadata can pre-prune files shared by
     both snapshots."""
-    o = old.select(
-        F.col(key_col).alias("key"), F.md5(F.col(content_col)).alias("old_hash")
+    return _statused_delta(old, new, key_col, content_col).where(
+        F.col("status") != "unchanged"
     )
-    n = new.select(
-        F.col(key_col).alias("key"), F.md5(F.col(content_col)).alias("new_hash")
-    )
-    j = o.join(n, "key", "full_outer")
-    return j.select(
-        "key",
-        F.when(F.col("old_hash").isNull(), F.lit("added"))
-        .when(F.col("new_hash").isNull(), F.lit("removed"))
-        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
-        .otherwise(F.lit("unchanged"))
-        .alias("status"),
-        "old_hash",
-        "new_hash",
-    ).where(F.col("status") != "unchanged")
 
 
 def snapshot_delta_stats(
@@ -319,21 +336,8 @@ def snapshot_delta_stats(
     """Corpus-level churn summary of `snapshot_delta`, unchanged
     included: (status, n) — one partial-aggregatable count over the
     hash-projected full outer join."""
-    o = old.select(
-        F.col(key_col).alias("key"), F.md5(F.col(content_col)).alias("old_hash")
-    )
-    n = new.select(
-        F.col(key_col).alias("key"), F.md5(F.col(content_col)).alias("new_hash")
-    )
     return (
-        o.join(n, "key", "full_outer")
-        .select(
-            F.when(F.col("old_hash").isNull(), F.lit("added"))
-            .when(F.col("new_hash").isNull(), F.lit("removed"))
-            .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
-            .otherwise(F.lit("unchanged"))
-            .alias("status")
-        )
+        _statused_delta(old, new, key_col, content_col)
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n"))
     )

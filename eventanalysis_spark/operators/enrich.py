@@ -90,8 +90,10 @@ def assign_ids(
         return new_keys.withColumn(id_col, F.xxhash64(*order_cols))
     cols = [F.col(c) for c in order_cols]
     npart = new_keys.sparkSession.sparkContext.defaultParallelism
-    ranged = new_keys.repartitionByRange(npart, *cols).withColumn(
-        "_pid", F.spark_partition_id()
+    from eventanalysis_spark.operators.ranks import ranged_with_pid
+
+    ranged = ranged_with_pid(new_keys, cols, npart).withColumnRenamed(
+        "__pid", "_pid"
     )
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     w_cum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -13,10 +13,19 @@ Spark-first shape: the global running token sum is the same two-phase
 construction as `enrich.assign_ids` (no single-partition window over
 data): range-partition on the corpus order, per-partition token totals →
 cumulative offsets (a window over ~numPartitions rows), broadcast the
-offsets back, and a partition-LOCAL running sum. The range Exchange is
-shared by both branches of the plan (ReuseExchange), so partition ids
-are consistent by construction. One shuffle of the (id, n_tokens)
-projection, never the text; offsets are exact at any partition count.
+offsets back, and a partition-LOCAL running sum. Offsets are exact at
+any partition count, and only the (id, n_tokens) projection is ever
+shuffled, never the text. Honest plan cost (verified via .explain, not
+assumed): the ranged projection is materialized ONCE
+(ranks.ranged_with_pid — a lazy localCheckpoint that pins one set of
+range boundaries for both the counts and data branches; without it
+Catalyst plans two independently-sampled range exchanges whose
+boundaries can disagree at scale and misalign the offsets join), then
+crosses ONE hash co-cluster Exchange on the partition id — Catalyst
+inserts it because RangePartitioning does not satisfy the local
+window's ClusteredDistribution(__pid). All exchanged frames are
+~16 bytes/row; the construction stays shuffle-light because it is
+narrow.
 
 Arithmetic is all integer (`DIV`, not float division) so coordinates
 stay exact past 2^53 tokens — a 10^12-doc corpus at ~10^3 tokens/doc is
@@ -50,10 +59,12 @@ def pack_sequences(
         num_partitions
         or docs.sparkSession.sparkContext.defaultParallelism
     )
-    ranged = docs.select(
-        *order_cols, F.col(tokens_col).cast("long").alias("__tok")
-    ).repartitionByRange(npart, *cols).withColumn(
-        "__pid", F.spark_partition_id()
+    from eventanalysis_spark.operators.ranks import ranged_with_pid
+
+    ranged = ranged_with_pid(
+        docs.select(*order_cols, F.col(tokens_col).cast("long").alias("__tok")),
+        cols,
+        npart,
     )
     counts = ranged.groupBy("__pid").agg(F.sum("__tok").alias("__n"))
     w_cum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -11,8 +11,16 @@ Spark-first shapes:
   - `budget_select` is the same two-phase exact running sum as
     `packing.pack_sequences` (range-partition on the selection order,
     per-partition totals -> broadcast offsets -> partition-local
-    window): ONE shuffle of the (order key, weight) projection, no
-    single-partition window, exact at any partition count.
+    window). No single-partition window ever sees data, and the
+    result is exact at any partition count. The honest plan cost
+    (read the generated PLANS.md, not the wish): the ranged frame is
+    materialized ONCE (ranks.ranged_with_pid — one set of range
+    boundaries for both branches), then crosses a second narrow
+    exchange: the ENSURE_REQUIREMENTS hash co-cluster on the
+    partition id that the window's ClusteredDistribution demands
+    (range partitioning does not satisfy it). So pass a NARROW
+    (keys, weight) frame and join wide payloads back by key; never
+    ship documents through this operator.
   - `dsir_logweights` builds the token->log-ratio dictionary with two
     partial-aggregatable token counts (target side is tiny by
     construction; DSIR's whole point is a small exemplar corpus), then
@@ -61,19 +69,23 @@ def budget_select(
     unique tie-break column) or the selected SET is still deterministic
     only up to ties. All arithmetic is integer-exact (no float cumsum).
 
-    Scale shape: one range Exchange on the order keys shared by both
-    plan branches; the only unpartitioned window runs over
-    ~numPartitions rows (per-partition totals), never over data."""
+    Scale shape: the input crosses the range exchange and the window's
+    partition-id co-cluster exchange (see module docstring) — both
+    narrow when the caller passes a (keys, weight) projection; the
+    only unpartitioned window runs over ~numPartitions rows
+    (per-partition totals), never over data."""
     if budget < 0:
         raise ValueError("budget must be non-negative")
     order_cols = order_cols or [F.col(weight_col).desc()]
     if tie_cols:
         order_cols = order_cols + [F.col(c).asc() for c in tie_cols]
     npart = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.withColumn(
-        "__w", F.col(weight_col).cast("long")
-    ).repartitionByRange(npart, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    from eventanalysis_spark.operators.ranks import ranged_with_pid
+
+    ranged = ranged_with_pid(
+        df.withColumn("__w", F.col(weight_col).cast("long")),
+        order_cols,
+        npart,
     )
     counts = ranged.groupBy("__pid").agg(F.sum("__w").alias("__n"))
     w_cum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -155,10 +167,13 @@ def dsir_logweights(
     vocab = (
         src_c.select("tok").unionByName(tgt_c.select("tok")).distinct()
     )
-    # corpus sizes + shared vocab size: one tiny cross-joinable row
+    # corpus sizes + shared vocab size: one tiny cross-joinable row.
+    # sum() over an empty side is NULL — coalesce to 0 (same guard the
+    # DuckDB oracle carries) so an empty/all-blank target degrades to
+    # the +1-floor LM instead of poisoning every logw with NULL.
     totals = (
-        src_c.agg(F.sum("c").alias("ns"))
-        .crossJoin(tgt_c.agg(F.sum("c").alias("nt")))
+        src_c.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("ns"))
+        .crossJoin(tgt_c.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("nt")))
         .crossJoin(vocab.agg(F.count(F.lit(1)).alias("v")))
     )
     ratio = (

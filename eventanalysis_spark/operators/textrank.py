@@ -88,7 +88,10 @@ def textrank(
     ef = edges.join(outw, "src").select(
         "src", "dst", (F.col("w").cast("double") / F.col("ow")).alias("frac")
     )
-    nodes = edges.select(F.col("src").alias("term")).distinct()
+    # node set = out-strength keys (the edge list is symmetric, so every
+    # node has out-edges); reusing outw's aggregate instead of a second
+    # distinct() lets ReuseExchange share the shuffle across iterations
+    nodes = outw.select(F.col("src").alias("term"))
     ranks = nodes.withColumn("rank", F.lit(1.0))
     base = F.lit(1.0 - damping)
     for _ in range(iterations):

@@ -225,3 +225,29 @@ def test_snapshot_delta_identical_snapshots_empty(spark, docs):
 
     d = docs.select(F.col("doc_id").cast("string").alias("url"), "text")
     assert snapshot_delta(d, d).count() == 0
+
+
+def test_snapshot_delta_null_content_is_presence_not_absence(spark):
+    """md5(NULL) is NULL: a present row with NULL content must not be
+    classified by hash-nullness — NULL vs 'x' is 'changed', NULL vs
+    NULL is 'unchanged', and a NULL-content row missing from the other
+    side is still 'removed'/'added'."""
+    from eventanalysis_spark.operators.corpus import (
+        snapshot_delta,
+        snapshot_delta_stats,
+    )
+
+    old = spark.createDataFrame(
+        [("u1", None), ("u2", None), ("u3", None)],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "x"), ("u2", None), ("u4", None)],
+        "url string, text string",
+    )
+    got = {r["key"]: r["status"] for r in snapshot_delta(old, new).collect()}
+    assert got == {"u1": "changed", "u3": "removed", "u4": "added"}
+    stats = {
+        r["status"]: r["n"] for r in snapshot_delta_stats(old, new).collect()
+    }
+    assert stats == {"changed": 1, "unchanged": 1, "removed": 1, "added": 1}

@@ -156,12 +156,15 @@ def test_assign_ids_two_phase_no_data_funnel(spark):
     rows = sorted(got.collect(), key=lambda r: r["host"])
     assert [r["host_id"] for r in rows] == list(range(43, 43 + len(rows)))
     plan = got._jdf.queryExecution().executedPlan().toString()
-    # the data side is range-partitioned (parallel), and every
-    # SinglePartition exchange in the plan feeds from the ~numPartitions-row
-    # _pid counts rollup — never from the raw key data. (AQE's toString
-    # prints final+initial plans, so occurrence counts are not stable;
-    # structural child checks are.)
-    assert "rangepartitioning" in plan.lower()
+    # the data side is range-partitioned into ONE checkpoint
+    # materialization (shared boundaries for both branches —
+    # ranks.ranged_with_pid), and every SinglePartition exchange in the
+    # plan feeds from the ~numPartitions-row _pid counts rollup — never
+    # from the raw key data. (AQE's toString prints final+initial
+    # plans, so occurrence counts are not stable; structural child
+    # checks are.)
+    assert "existingrdd" in plan.lower()
+    assert "rangepartitioning" not in plan.lower()
     lines = plan.split("\n")
     sp = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
     assert sp, "expected the offsets rollup exchange"

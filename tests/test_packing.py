@@ -71,7 +71,11 @@ def test_no_single_partition_window_over_data(spark):
     )
     got = pack_sequences(big, 64)
     plan = got._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower()
+    # the ranged frame is a single checkpoint materialization (one set
+    # of range boundaries for both branches — ranks.ranged_with_pid),
+    # so the plan reads a Scan ExistingRDD, not a live range exchange
+    assert "existingrdd" in plan.lower()
+    assert "rangepartitioning" not in plan.lower()
     lines = plan.split("\n")
     sp = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
     assert sp, "expected the offsets rollup exchange"

@@ -375,12 +375,20 @@ def main() -> None:
         "single-partition window",
         q14,
         [
-            ("range Exchange on the selection order (the ONE data shuffle)",
-             "rangepartitioning" in plan14),
+            ("the ranged frame is a single materialization (checkpoint "
+             "scan in the plan; the range exchange runs ONCE, so both "
+             "branches share one set of sampled boundaries — "
+             "ranks.ranged_with_pid)",
+             "ExistingRDD" in plan14 and "rangepartitioning" not in plan14),
+            ("the window's partition-id co-cluster Exchange is present "
+             "and acknowledged (range partitioning does not satisfy "
+             "ClusteredDistribution(__pid)) — input must be a NARROW "
+             "(keys, weight) projection, which this plan's exchanges "
+             "are", "hashpartitioning(__pid" in plan14),
             ("at most one SinglePartition Exchange, feeding only the "
              "~numPartitions offsets frame",
              plan14.count("Exchange SinglePartition") <= 1),
-            ("offsets re-attach via broadcast join (data side never reshuffles)",
+            ("offsets re-attach via broadcast join",
              "BroadcastHashJoin" in plan14),
             ("no Python in the plan", "Python" not in plan14),
         ],
@@ -388,7 +396,10 @@ def main() -> None:
         "while the running weight is under budget — the same two-phase "
         "range-partition + broadcast-offsets construction as sequence "
         "packing, so the global running sum is exact at any partition "
-        "count (operators/selection.py).",
+        "count. Honest cost note (docstring matches): the narrow input "
+        "is range-materialized once, then crosses a hash co-cluster on "
+        "the partition id; pass (keys, weight) only and join payloads "
+        "back by key (operators/selection.py).",
     )
 
     # 15. DSIR weighted sample: TakeOrdered top-k, no global sort
