@@ -265,6 +265,9 @@ def timed_queries(spark) -> dict[str, float]:
         "rep_top2gram",
         "dedup_span_stats",
         "semdedup",
+        "textrank_keywords",
+        "budget_select",
+        "source_overlap_sketch",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}
