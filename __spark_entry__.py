@@ -1406,7 +1406,13 @@ def q_source_overlap_sketch(spark, sf):
     estimate's accuracy vs exact Jaccard is pytest-bounded)."""
     from eventanalysis_spark.operators.corpus import source_overlap_sketch
 
-    docs = _t(spark, sf, "documents")
+    # The sf documents table is one parquet row-group -> one scan task;
+    # spread the signature projection (the only heavy stage) across the
+    # local cores. At corpus scale the input is already thousands of
+    # partitions and the operator itself stays shuffle-free.
+    docs = _t(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return source_overlap_sketch(docs, num_hashes=16, hash_fn="md5").orderBy(
         "source_a", "source_b"
     )

@@ -87,11 +87,17 @@ def textrank(
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     ef = edges.join(outw, "src").select(
         "src", "dst", (F.col("w").cast("double") / F.col("ow")).alias("frac")
-    )
+    # Pin the normalized edge list: the unrolled iteration plan references
+    # it once per iteration, and without a materialization barrier each
+    # reference re-runs the explode + two aggregates that built it (the
+    # classic Spark PageRank "cache the links" move; Zipf-bounded
+    # vocab-pair size, far smaller than the corpus). Lazy localCheckpoint
+    # = computed by the first action, shared by every iteration.
+    ).localCheckpoint(eager=False)
     # node set = out-strength keys (the edge list is symmetric, so every
-    # node has out-edges); reusing outw's aggregate instead of a second
-    # distinct() lets ReuseExchange share the shuffle across iterations
-    nodes = outw.select(F.col("src").alias("term"))
+    # node has out-edges); vocab-sized, pinned for the same reason — it
+    # re-enters the plan once per iteration as the (1-d)-floor left side
+    nodes = outw.select(F.col("src").alias("term")).localCheckpoint(eager=False)
     ranks = nodes.withColumn("rank", F.lit(1.0))
     base = F.lit(1.0 - damping)
     for _ in range(iterations):

@@ -124,12 +124,14 @@ class PipelineConfig:
     # passthrough columns (url, warc_ts, lang) through Arrow both ways;
     # False = pandas_udf struct column (passthroughs stay JVM-side).
     fused_parse: bool = True
-    # Hot-path codec: lz4 writes ~15% faster than zstd AND decompresses
-    # 2-3x faster for the two staged re-reads (stats + lineage); costs
-    # ~30% more bytes. Sink tables adopt the staged files in place, so
-    # cold data is recompressed to zstd by Table.compact (the Iceberg
+    # Hot-path codec: interleaved min-of-4 wide-pass timings at 400k/32c
+    # measured snappy fastest (2.18-2.38s) vs lz4 (2.40-2.86s) and zstd
+    # (2.40-2.83s) at BOTH bench split sizes, with output bytes on par
+    # with lz4 (27.7 vs 29.0 MB). Snappy also decompresses fast for the
+    # staged stats re-read. Sink tables adopt the staged files in place,
+    # so cold data is recompressed to zstd by Table.compact (the Iceberg
     # rewrite_data_files / reference-vacuum maintenance step, S12).
-    staging_codec: str = "lz4"
+    staging_codec: str = "snappy"
     # Files per sink_agg commit. The per-batch aggregate is bounded by
     # group cardinality (hosts x langs x classes x buckets actually seen),
     # ~10^3-10^4 rows at bench scale -> 1 file. On a cluster where a batch

@@ -458,7 +458,7 @@ class Warehouse:
         """S12 at warehouse scope — the reference's VACUUM maintenance pass
         (AppArchive.fs:57 'up to some tens of minutes', OpenDbV2.cs:1086):
         for every data table, compact the live snapshot (many per-batch
-        lz4 staging dirs → one zstd-written dir, the Iceberg
+        snappy staging dirs → one zstd-written dir, the Iceberg
         rewrite_data_files analog) and expire superseded snapshots so
         their directories are physically reclaimed. State/dim/agg tables
         are excluded by default — they are tiny single-file commits.
