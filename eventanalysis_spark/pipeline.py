@@ -69,7 +69,7 @@ QUARANTINE_TABLE = "quarantine"
 # committed — silently skipping the real aggregate append.
 RESERVED_TABLES = frozenset(
     {"_pipeline", "dim_host", "dim_lang", "route_rules",
-     "sink_agg", "observations", QUARANTINE_TABLE}
+     "sink_agg", "observations", "lineage", QUARANTINE_TABLE}
 )
 # sink names follow the reference's job-name grammar (EventJobConfig.cs:58)
 _SINK_NAME_RE = re.compile(r"^[a-z][a-z0-9]*([-_][a-z0-9]+)*$")
@@ -148,6 +148,17 @@ class PipelineConfig:
     # join stops forcing broadcast so AQE picks the join strategy. At
     # web scale hosts exceed 10^7 — a driver cache cannot hold them.
     dim_cache_limit: int = 1_000_000
+    # Per-partition lineage transport. Inline (driver collect at
+    # (sink, part_id, event_class) grain, embedded in the sink manifest
+    # JSON) is exact reference-tag-file parity and free at <=10^3 write
+    # tasks. But at cluster scale a batch can stage 10^5+ tasks x 10
+    # sinks — millions of driver rows and an unboundedly growing manifest
+    # — so above this many staged data files the per-partition lineage is
+    # instead written DISTRIBUTEDLY to the 'lineage' warehouse table
+    # (one bounded rollup of the cached fine-grain aggregate; the driver
+    # only ever holds the (sink, event_class) observation grain) and each
+    # sink commit carries a {"lineage_ref": ...} pointer.
+    lineage_inline_max: int = 4096
     discovery: str = "post"  # "post": new dim keys from the staged batch
     # aggregate (no extra source scan; ids attach from the NEXT batch on) |
     # "pre": strict reference ordering (ProviderInfoCache semantics — ids
@@ -462,12 +473,30 @@ class Pipeline:
         agg_tbl = self.wh.table("sink_agg")
         post_discovery = self.cfg.discovery == "post"
 
+        # Lineage transport decision: the staged file count is a direct
+        # proxy for write tasks x sinks (one data file per task-sink pair),
+        # known from a pure driver-side listing. Above the inline ceiling
+        # the driver must never hold per-partition rows.
+        n_staged_files = sum(
+            1
+            for _r, _d, _fs in _os.walk(stage_dir)
+            for f in _fs
+            if f.endswith(".parquet")
+        )
+        spill_lineage = n_staged_files > self.cfg.lineage_inline_max
+
         # the ONE staged scan: materializes the cache with full parallelism
         # and collects the (sink, part_id, event_class) rollup (lineage +
-        # observation grain). (A grouping-sets form was measured 3x slower
-        # at low parallelism: Expand duplicates every input row per set.)
+        # observation grain) — or, on the spill path, only the bounded
+        # (sink, event_class) observation grain. (A grouping-sets form was
+        # measured 3x slower at low parallelism: Expand duplicates every
+        # input row per set.)
+        _fine_keys = (
+            ["sink", "event_class"] if spill_lineage
+            else ["sink", "part_id", "event_class"]
+        )
         fine = (
-            fine_grain.groupBy("sink", "part_id", "event_class")
+            fine_grain.groupBy(*_fine_keys)
             .agg(
                 F.sum("n").alias("rows"),
                 F.min("__ts_min").cast("string").alias("ts_min"),
@@ -534,40 +563,63 @@ class Pipeline:
             wm_bound_row = stg.select(
                 F.max(F.struct(F.col("warc_ts"), F.col("url"))).alias("mx")
             ).collect()[0]["mx"]
-        lineage_acc: dict = {}
-        obs_rows: list = []
-        for r in fine:
-            k = (r["sink"], r["part_id"])
-            d = lineage_acc.get(k)
-            if d is None:
-                lineage_acc[k] = d = {
-                    "rows": 0, "ts_min": r["ts_min"], "ts_max": r["ts_max"],
-                    "bytes": 0,
-                }
-            d["rows"] += r["rows"]
-            d["bytes"] += r["bytes"] or 0
-            if r["ts_min"] < d["ts_min"]:
-                d["ts_min"] = r["ts_min"]
-            if r["ts_max"] > d["ts_max"]:
-                d["ts_max"] = r["ts_max"]
-            obs_rows.append(r)
-        lineage_rows = [
-            {"sink": k[0], "part_id": k[1], **d} for k, d in lineage_acc.items()
-        ]
-        n_input = sum(r["rows"] for r in lineage_rows)
+        obs_rows: list = list(fine)
+        lineage: dict[str, list] = {}
+        sink_rows: dict[str, int] = {}
+        if not spill_lineage:
+            lineage_acc: dict = {}
+            for r in fine:
+                k = (r["sink"], r["part_id"])
+                d = lineage_acc.get(k)
+                if d is None:
+                    lineage_acc[k] = d = {
+                        "rows": 0, "ts_min": r["ts_min"], "ts_max": r["ts_max"],
+                        "bytes": 0,
+                    }
+                d["rows"] += r["rows"]
+                d["bytes"] += r["bytes"] or 0
+                if r["ts_min"] < d["ts_min"]:
+                    d["ts_min"] = r["ts_min"]
+                if r["ts_max"] > d["ts_max"]:
+                    d["ts_max"] = r["ts_max"]
+            for k, d in lineage_acc.items():
+                lineage.setdefault(k[0], []).append(
+                    {"partition": k[1], "rows": d["rows"],
+                     "ts_min": d["ts_min"], "ts_max": d["ts_max"],
+                     "bytes": d["bytes"]}
+                )
+                sink_rows[k[0]] = sink_rows.get(k[0], 0) + d["rows"]
+        else:
+            for r in fine:
+                sink_rows[r["sink"]] = sink_rows.get(r["sink"], 0) + r["rows"]
+        n_input = n_input_fine
         if n_input == 0:
             agg_thread.join()
             fine_grain.unpersist()
             return None
         bounds = (wm_bound_row["warc_ts"], wm_bound_row["url"])
-        lineage: dict[str, list] = {}
-        sink_rows: dict[str, int] = {}
-        for r in lineage_rows:
-            lineage.setdefault(r["sink"], []).append(
-                {"partition": r["part_id"], "rows": r["rows"],
-                 "ts_min": r["ts_min"], "ts_max": r["ts_max"], "bytes": r["bytes"]}
-            )
-            sink_rows[r["sink"]] = sink_rows.get(r["sink"], 0) + r["rows"]
+        if spill_lineage:
+            # distributed per-partition lineage: one bounded rollup of the
+            # cached fine-grain aggregate, written cluster-side — the
+            # driver holds zero per-partition rows. Idempotent on resume
+            # via the same last_batch guard the sinks use.
+            lineage_tbl = self.wh.table("lineage")
+            if lineage_tbl.state().get("last_batch") != batch_id:
+                parts = (
+                    fine_grain.groupBy("sink", "part_id")
+                    .agg(
+                        F.sum("n").alias("rows"),
+                        F.min("__ts_min").cast("string").alias("ts_min"),
+                        F.max("__ts_max").cast("string").alias("ts_max"),
+                        F.sum("__bytes").alias("bytes"),
+                    )
+                    .withColumn("batch_id", F.lit(batch_id))
+                )
+                lineage_tbl.append(
+                    parts,
+                    meta={"batch": batch_id},
+                    state_update={"last_batch": batch_id},
+                )
 
         timer.lap("observe")
 
@@ -590,6 +642,11 @@ class Pipeline:
                         "rows": n_rows,
                         "watermark_from": wm.to_state(),
                         "lineage": lineage.get(s, []),
+                        **(
+                            {"lineage_ref": {"table": "lineage", "batch": batch_id}}
+                            if spill_lineage
+                            else {}
+                        ),
                     },
                     state_update={"last_batch": batch_id, "last_batch_rows": n_rows},
                     # drop_reason is quarantine-only triage data; routed

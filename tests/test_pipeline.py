@@ -259,3 +259,37 @@ def test_warehouse_maintain_compacts_and_preserves(spark, pages, tmp_path):
     # pipeline state (watermark, batch count) untouched by maintenance
     p2 = _mk(spark, wh_path, cap=1100)
     assert p2.run_batch(pages) is None  # still exhausted, resume intact
+
+
+def test_lineage_spills_to_table_above_inline_max(spark, pages, wh):
+    """Web-scale lineage path: above lineage_inline_max staged files the
+    per-partition lineage is written distributedly to the 'lineage' table
+    (driver never holds per-partition rows) and sink commits carry a
+    pointer. Totals, per-sink counts, and resume idempotence all hold."""
+    p = Pipeline(
+        spark,
+        PipelineConfig(warehouse=wh, cap=None, lineage_inline_max=2, repartition=4),
+    )
+    r = p.run_batch(pages)
+    assert r is not None
+    snap = p.wh.table("sink_content").current_snapshot()
+    assert snap.meta["lineage"] == []  # not inlined in manifest JSON
+    assert snap.meta["lineage_ref"] == {"table": "lineage", "batch": r.batch_id}
+
+    lin = p.wh.table("lineage").read(spark)
+    assert lin.agg(F.sum("rows")).collect()[0][0] == r.n_input
+    by_sink = {
+        x["sink"]: x["n"]
+        for x in lin.groupBy("sink").agg(F.sum("rows").alias("n")).collect()
+    }
+    for s, n in r.sink_counts.items():
+        assert by_sink[s] == n, s
+    # the partition grain survived (all 4 repartition tasks present)
+    assert lin.select("part_id").distinct().count() == 4
+    n_lineage_rows = lin.count()
+
+    # crash-after-sinks-committed resume must not duplicate lineage rows
+    p.state_tbl.set_state(wm_ts=None, wm_url=None, n_batches=0, last_batch=None)
+    r2 = p.run_batch(pages)
+    assert r2 is not None and r2.batch_id == r.batch_id
+    assert p.wh.table("lineage").read(spark).count() == n_lineage_rows
