@@ -1483,6 +1483,53 @@ def q_dsir_sample(spark, sf):
     )
 
 
+def q_kmv_distinct(spark, sf):
+    """K-minimum-values per-source distinct-count sketch
+    (operators/corpus.py::kmv_distinct_sketch, Bar-Yossef et al. 2002):
+    k=8 < the ~25 distinct texts per source at sf0.01, so the
+    (k-1)*SPACE/h_k estimator path (not just the exact small-group
+    path) is oracle-exercised. Shapes: partial-agg (group, hash)
+    distinct, per-group rank window over distinct hashes only, one tiny
+    rollup — no COUNT(DISTINCT) expansion."""
+    from eventanalysis_spark.operators.corpus import kmv_distinct_sketch
+
+    docs = _t(spark, sf, "documents")
+    return kmv_distinct_sketch(
+        docs, key_col="text", group_col="source", k=8
+    ).orderBy("source")
+
+
+def q_canonical_url_dedup(spark, sf):
+    """URL canonicalization + exact canonical-url dedup
+    (operators/webfilter.py::canonical_url / dedup_canonical_urls): four
+    messy variants per page (uppercase scheme/host, explicit :443,
+    trailing slash, utm_*/gclid tracking params, fragments) are
+    synthesized deterministically from doc_id and must all collapse to
+    ONE canonical row keeping the max doc_id (latest-crawl-wins). Narrow
+    regexp/array canonicalization projection + one hash agg."""
+    from eventanalysis_spark.operators.webfilter import dedup_canonical_urls
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 400)
+    g = (F.col("doc_id") / 4).cast("long").cast("string")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("https://www.ex"), g, F.lit(".com/p/"), g, F.lit("?x=1&y=2")))
+        .when(v == 1, F.concat(
+            F.lit("HTTPS://WWW.EX"), g, F.lit(".COM:443/p/"), g,
+            F.lit("?y=2&x=1#frag")))
+        .when(v == 2, F.concat(
+            F.lit("https://www.ex"), g, F.lit(".com/p/"), g,
+            F.lit("/?utm_source=feed&x=1&y=2")))
+        .otherwise(F.concat(
+            F.lit("https://www.ex"), g, F.lit(".com/p/"), g,
+            F.lit("?x=1&gclid=abc&y=2")))
+    )
+    return dedup_canonical_urls(
+        docs.select(F.col("doc_id"), url.alias("url"))
+    ).orderBy("canonical_url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -1560,6 +1607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "source_overlap_sketch": q_source_overlap_sketch,
         "snapshot_delta": q_snapshot_delta,
+        "kmv_distinct": q_kmv_distinct,
+        "canonical_url_dedup": q_canonical_url_dedup,
     }
 
 
@@ -2018,6 +2067,75 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY key
         """,
         "source_overlap_sketch": _overlap_sketch_oracle(),
+        # KMV distinct-count sketch: same 60-bit md5 hash, same rank
+        # window over DISTINCT hashes, same (k-1)*2^60/h_k estimator
+        # (31.0*2^60 exact in double; both engines fold it identically).
+        "kmv_distinct": """
+            WITH h AS (
+              SELECT source AS g, ('0x'||substr(md5(text),1,15))::BIGINT AS hh
+              FROM documents WHERE text IS NOT NULL GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT g, hh, row_number() OVER (PARTITION BY g ORDER BY hh) AS rn
+              FROM h
+            ),
+            t AS (SELECT * FROM r WHERE rn <= 8)
+            SELECT g AS source, COUNT(*)::BIGINT AS n_minima, MAX(hh) AS kth_min,
+                   CASE WHEN COUNT(*) < 8 THEN COUNT(*)::DOUBLE
+                        ELSE ROUND(7.0 * 1152921504606846976.0
+                                   / MAX(hh)::DOUBLE, 4)
+                   END AS distinct_est
+            FROM t GROUP BY g ORDER BY source
+        """,
+        # canonical-url dedup: identical messy-url synthesis (CASE on
+        # doc_id%4), then the full canonicalization replayed step by
+        # step — fragment strip, lower(scheme/authority), default-port
+        # strip, trailing-slash trim, tracking-param filter + sort.
+        "canonical_url_dedup": r"""
+            WITH u AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 4 AS INTEGER)
+                  WHEN 0 THEN 'https://www.ex' || CAST(doc_id // 4 AS VARCHAR)
+                       || '.com/p/' || CAST(doc_id // 4 AS VARCHAR) || '?x=1&y=2'
+                  WHEN 1 THEN 'HTTPS://WWW.EX' || CAST(doc_id // 4 AS VARCHAR)
+                       || '.COM:443/p/' || CAST(doc_id // 4 AS VARCHAR)
+                       || '?y=2&x=1#frag'
+                  WHEN 2 THEN 'https://www.ex' || CAST(doc_id // 4 AS VARCHAR)
+                       || '.com/p/' || CAST(doc_id // 4 AS VARCHAR)
+                       || '/?utm_source=feed&x=1&y=2'
+                  ELSE 'https://www.ex' || CAST(doc_id // 4 AS VARCHAR)
+                       || '.com/p/' || CAST(doc_id // 4 AS VARCHAR)
+                       || '?x=1&gclid=abc&y=2'
+                END AS url
+              FROM documents WHERE doc_id < 400
+            ),
+            c AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nf FROM u),
+            p AS (
+              SELECT doc_id,
+                lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+                lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)', 1)) AS auth0,
+                regexp_replace(regexp_extract(nf,
+                    '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
+                regexp_extract(nf, '\?([^#]*)', 1) AS q
+              FROM c
+            ),
+            p2 AS (
+              SELECT doc_id, scheme,
+                CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+                     WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+                     ELSE auth0 END AS auth,
+                path,
+                array_to_string(list_sort(list_filter(string_split(q, '&'),
+                    p -> len(p) > 0 AND NOT regexp_matches(p,
+                        '^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref)(=|$)'))),
+                    '&') AS qq
+              FROM p
+            )
+            SELECT scheme || '://' || auth || path
+                   || CASE WHEN len(qq) > 0 THEN '?' || qq ELSE '' END AS canonical_url,
+                   MAX(doc_id) AS doc_id, COUNT(*)::BIGINT AS n_variants
+            FROM p2 GROUP BY 1 ORDER BY canonical_url
+        """,
         "inverted_index": """
             WITH toks AS (
               SELECT DISTINCT doc_id,

@@ -354,3 +354,65 @@ def snapshot_delta_stats(
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def kmv_distinct_sketch(
+    df: DataFrame,
+    key_col: str = "url",
+    group_col: str = "source",
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch per group (Bar-Yossef et
+    al., RANDOM 2002): keep the k smallest DISTINCT 60-bit hash values
+    of the key; when a group holds >= k distinct hashes the cardinality
+    estimate is the standard (k-1) * SPACE / h_k, otherwise the count of
+    minima IS the exact distinct count. The k-min set is a monoid —
+    union two sketches and re-take the k smallest — so per-source
+    distinct-url cardinality over a 10^12-row crawl is k longs per
+    source, mergeable across crawls and partitions (the same shape that
+    makes source_overlap_sketch scale).
+
+    Scale shape: the (group, hash) pre-aggregate is partial-aggregatable
+    (map-side combine collapses repeated keys BEFORE the shuffle — a
+    hot url never travels more than once per task), the rank window
+    orders only the distinct hashes within each group, and the final
+    per-group rollup is a tiny hash aggregate. No COUNT(DISTINCT)
+    expansion, no unbounded collect_set. Null keys are excluded (a null
+    hash would rank below/above real minima differently per engine).
+
+    Output: (group_col, n_minima, kth_min, distinct_est) — one row per
+    group; relative error ~ 1/sqrt(k-2). 60-bit md5 hash keeps the
+    whole sketch DuckDB-replicable (dedup.hash60_md5)."""
+    from pyspark.sql import Window
+
+    from eventanalysis_spark.operators.dedup import hash60_md5
+
+    space = float(2**60)
+    dh = (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.col(group_col).alias("__g"), hash60_md5(F.col(key_col)).alias("__h"))
+        .groupBy("__g", "__h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w = Window.partitionBy("__g").orderBy("__h")
+    topk = dh.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= k)
+    return (
+        topk.groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("__m"),
+            F.max("__h").alias("__hk"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__m").cast("long").alias("n_minima"),
+            F.col("__hk").cast("long").alias("kth_min"),
+            F.when(F.col("__m") < k, F.col("__m").cast("double"))
+            .otherwise(
+                F.round(
+                    F.lit(float(k - 1)) * F.lit(space) / F.col("__hk").cast("double"),
+                    4,
+                )
+            )
+            .alias("distinct_est"),
+        )
+    )

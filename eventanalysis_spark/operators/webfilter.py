@@ -274,3 +274,79 @@ def domain_filter(
         )
         .drop("__dom")
     )
+
+
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref)(=|$)"
+
+
+def canonical_url(url: Column) -> Column:
+    """Crawl-dedup URL canonicalization (the normalize-before-dedup step
+    every Common-Crawl-scale pipeline runs before exact URL dedup):
+
+      - strip the fragment,
+      - lowercase the scheme and authority,
+      - drop explicit default ports (http://…:80, https://…:443),
+      - drop tracking query params (utm_*, gclid, fbclid, msclkid,
+        mc_eid, ref),
+      - sort the surviving query params (param order never changes the
+        resource), dropping '?' when none survive,
+      - trim trailing slashes from the path ('/a/' == '/a', root == '').
+
+    Pure Catalyst (regexp + array expressions — narrow, codegen'd, no
+    UDF), and every step is DuckDB-replicable so the whole
+    canonicalization is exact-oracle-checkable. Deliberately NOT done:
+    userinfo stripping, %-decoding, and path-segment resolution ('..'),
+    which can change which resource is fetched."""
+    no_frag = F.regexp_replace(url, r"#.*", "")
+    scheme = F.lower(
+        F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    )
+    auth = F.lower(
+        F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1)
+    )
+    auth = F.when(scheme == "http", F.regexp_replace(auth, r":80$", "")).when(
+        scheme == "https", F.regexp_replace(auth, r":443$", "")
+    ).otherwise(auth)
+    path = F.regexp_replace(
+        F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+([^?#]*)", 1),
+        r"/+$",
+        "",
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split(F.regexp_extract(no_frag, r"\?([^#]*)", 1), "&"),
+            lambda p: (F.length(p) > 0) & ~p.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    q = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(F.length(q) > 0, F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+
+
+def dedup_canonical_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact URL-level dedup on the canonical form: ONE row per canonical
+    url, keeping the max id (latest-crawl-wins, matching snapshot_delta's
+    re-crawl semantics) plus the collapse count. Shape: a narrow
+    canonicalization projection then a single partial-aggregatable hash
+    agg on the canonical string — no window, no sort, no payload
+    shuffle (only (canonical, id) pairs move)."""
+    return (
+        df.select(
+            canonical_url(F.col(url_col)).alias("canonical_url"),
+            F.col(id_col),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.max(id_col).alias(id_col),
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+        )
+    )

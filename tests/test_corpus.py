@@ -251,3 +251,50 @@ def test_snapshot_delta_null_content_is_presence_not_absence(spark):
         r["status"]: r["n"] for r in snapshot_delta_stats(old, new).collect()
     }
     assert stats == {"changed": 1, "unchanged": 1, "removed": 1, "added": 1}
+
+
+def test_kmv_sketch_exact_below_k_and_estimator_above(spark):
+    from eventanalysis_spark.operators.corpus import kmv_distinct_sketch
+
+    rows = (
+        # small: 5 distinct keys, heavy repetition -> exact path
+        [("small", f"k{i % 5}") for i in range(200)]
+        # big: 500 distinct keys -> estimator path
+        + [("big", f"k{i}") for i in range(500)]
+        # nulls are excluded entirely
+        + [("small", None)] * 3
+    )
+    sk = {
+        r["source"]: r
+        for r in kmv_distinct_sketch(
+            spark.createDataFrame(rows, "source string, url string"),
+            key_col="url", group_col="source", k=32,
+        ).collect()
+    }
+    assert sk["small"]["n_minima"] == 5
+    assert sk["small"]["distinct_est"] == 5.0  # exact when < k minima
+    assert sk["big"]["n_minima"] == 32
+    # (k-1)/h_k estimator: within 50% of truth at k=32 (se ~ 18%)
+    assert 250 < sk["big"]["distinct_est"] < 1000
+
+
+def test_kmv_sketch_is_mergeable(spark):
+    """Union-then-re-k-min of two half-corpus sketches equals the whole
+    corpus sketch — the property that makes KMV per-source cardinality
+    fold across crawls/partitions."""
+    from eventanalysis_spark.operators.corpus import kmv_distinct_sketch
+    from eventanalysis_spark.operators.dedup import hash60_md5
+    from pyspark.sql import functions as F
+
+    rows = [("s", f"k{i % 97}") for i in range(400)]
+    df = spark.createDataFrame(rows, "source string, url string")
+    whole = kmv_distinct_sketch(df, key_col="url", group_col="source", k=16).collect()[0]
+
+    # merge by hand: k-min hash SETS from each half, union, re-take k min
+    h = df.select(hash60_md5(F.col("url")).alias("h"), F.col("url"))
+    half_a = {r["h"] for r in h.where(F.crc32(F.col("url")) % 2 == 0).select("h").distinct().collect()}
+    half_b = {r["h"] for r in h.where(F.crc32(F.col("url")) % 2 == 1).select("h").distinct().collect()}
+    merged = sorted(sorted(half_a)[:16] + sorted(half_b)[:16])
+    kmin = sorted(set(merged))[:16]
+    assert kmin[-1] == whole["kth_min"]
+    assert len(kmin) == whole["n_minima"]

@@ -211,3 +211,55 @@ def test_domain_filter_blocks_url_with_port(spark):
     blocked = spark.createDataFrame([("evil.com",)], "domain string")
     kept = [r["i"] for r in domain_filter(df, blocked).collect()]
     assert kept == [1]
+
+
+def test_canonical_url_normalizations(spark):
+    from eventanalysis_spark.operators.webfilter import canonical_url
+
+    cases = [
+        # fragment stripped
+        ("https://ex.com/a#sec", "https://ex.com/a"),
+        # scheme + host lowercased, default https port dropped
+        ("HTTPS://EX.com:443/a", "https://ex.com/a"),
+        # default http port dropped; non-default kept
+        ("http://ex.com:80/a", "http://ex.com/a"),
+        ("http://ex.com:8080/a", "http://ex.com:8080/a"),
+        # :443 is only a default for https
+        ("http://ex.com:443/a", "http://ex.com:443/a"),
+        # tracking params dropped, rest sorted; bare trailing '?' dropped
+        ("https://ex.com/a?utm_source=x&b=2&a=1", "https://ex.com/a?a=1&b=2"),
+        ("https://ex.com/a?gclid=1", "https://ex.com/a"),
+        # trailing slash(es) trimmed; root path == no path
+        ("https://ex.com/a/b//", "https://ex.com/a/b"),
+        ("https://ex.com/", "https://ex.com"),
+        ("https://ex.com", "https://ex.com"),
+        # path is case-SENSITIVE (only scheme/authority lowercase)
+        ("https://ex.com/A", "https://ex.com/A"),
+        # param VALUES containing 'utm_' survive (match is on the name)
+        ("https://ex.com/a?x=utm_source", "https://ex.com/a?x=utm_source"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
+    for (inp, want), g in zip(cases, got):
+        assert g == want, f"{inp!r}: got {g!r}, want {want!r}"
+
+
+def test_dedup_canonical_urls_keeps_max_id(spark):
+    from eventanalysis_spark.operators.webfilter import dedup_canonical_urls
+
+    rows = [
+        ("https://ex.com/a?x=1&y=2", 1),
+        ("HTTPS://EX.com:443/a?y=2&x=1#f", 2),
+        ("https://ex.com/a/?utm_source=s&x=1&y=2", 3),
+        ("https://ex.com/b", 4),
+    ]
+    out = {
+        r["canonical_url"]: (r["doc_id"], r["n_variants"])
+        for r in dedup_canonical_urls(
+            spark.createDataFrame(rows, "url string, doc_id long")
+        ).collect()
+    }
+    assert out == {
+        "https://ex.com/a?x=1&y=2": (3, 3),
+        "https://ex.com/b": (4, 1),
+    }
