@@ -464,6 +464,61 @@ def main() -> None:
         "runs (operators/corpus.py).",
     )
 
+    # 18. KMV distinct sketch: distinct-hash pre-agg, window over distinct only
+    from eventanalysis_spark.operators.corpus import kmv_distinct_sketch
+
+    q18 = kmv_distinct_sketch(
+        docs14.withColumn("source", F.crc32(F.col("doc_id")) % 5), key_col="text",
+        group_col="source", k=16,
+    )
+    plan18 = q18._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "KMV distinct-count sketch: map-side distinct, rank over distinct "
+        "hashes only",
+        q18,
+        [
+            ("(group, hash) distinct partial-aggregates map-side (hot keys "
+             "collapse before the shuffle)", "partial_count" in plan18),
+            ("the rank window runs AFTER the distinct aggregate (orders "
+             "distinct hashes, never raw rows)",
+             "Window" in plan18
+             and plan18.index("HashAggregate") < plan18.index("Window")),
+            ("no Python in the plan", "Python" not in plan18),
+        ],
+        "K-minimum-values cardinality estimation (Bar-Yossef 2002): the "
+        "per-group k-min set is a monoid, so per-source distinct-url "
+        "counts over 10^12 rows are k longs, mergeable across crawls "
+        "(operators/corpus.py).",
+    )
+
+    # 19. canonical-url dedup: narrow canonicalization, one latest-wins agg
+    from eventanalysis_spark.operators.webfilter import dedup_canonical_urls
+
+    q19 = dedup_canonical_urls(
+        docs14.select(
+            F.concat(F.lit("https://EX.com:443/p/"), F.col("doc_id")).alias("url"),
+            F.crc32(F.col("doc_id")).alias("doc_id"),  # long id (real shape)
+        )
+    )
+    plan19 = q19._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Canonical-URL dedup: pure-Catalyst normalization + ONE hash agg",
+        q19,
+        [
+            ("exactly one Exchange (the dedup agg shuffle; canonicalization "
+             "itself is narrow)", plan19.count("Exchange") == 1),
+            ("latest-wins collapses map-side (partial_max before the "
+             "shuffle)", "partial_max" in plan19),
+            ("no window, no sort", "Window" not in plan19
+             and "Sort" not in plan19.replace("TakeOrdered", "")),
+            ("no Python in the plan", "Python" not in plan19),
+        ],
+        "Fragment / default-port / tracking-param stripping and param "
+        "sorting are regexp+array expressions (codegen'd, zero UDF); only "
+        "(canonical, id) pairs move in the shuffle "
+        "(operators/webfilter.py).",
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the engine's key paths\n\n"
