@@ -268,6 +268,8 @@ def timed_queries(spark) -> dict[str, float]:
         "textrank_keywords",
         "budget_select",
         "source_overlap_sketch",
+        "kmv_distinct",
+        "canonical_url_dedup",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}
