@@ -1530,6 +1530,22 @@ def q_canonical_url_dedup(spark, sf):
     ).orderBy("canonical_url")
 
 
+def q_corpus_divergence(spark, sf):
+    """Unigram KL / Jensen-Shannon divergence between the 'en' slice and
+    the rest of the corpus (operators/corpus.py::corpus_divergence) —
+    the domain-shift check run before mixing a new source into a
+    training set. Two dictionary-sized partial-agg token counts, one
+    dictionary full-outer join, one global reduce; corpora never
+    shuffle."""
+    from eventanalysis_spark.operators.corpus import corpus_divergence
+
+    docs = _t(spark, sf, "documents").select("lang", "text")
+    return corpus_divergence(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -1609,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_delta": q_snapshot_delta,
         "kmv_distinct": q_kmv_distinct,
         "canonical_url_dedup": q_canonical_url_dedup,
+        "corpus_divergence": q_corpus_divergence,
     }
 
 
@@ -2086,6 +2103,39 @@ def oracle_sql() -> dict[str, str]:
                                    / MAX(hh)::DOUBLE, 4)
                    END AS distinct_est
             FROM t GROUP BY g ORDER BY source
+        """,
+        # corpus divergence: same tokenization, Laplace(+1) LMs over the
+        # union vocab, same nats formulas; ROUND(,6) absorbs sum-order
+        # ULPs ((pa+pb)/2 == 0.5*(pa+pb) exactly — power-of-two ops).
+        "corpus_divergence": r"""
+            WITH ta AS (
+              SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+              FROM documents WHERE lang = 'en' AND length(trim(text)) > 0
+            ),
+            tb AS (
+              SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+              FROM documents WHERE lang <> 'en' AND length(trim(text)) > 0
+            ),
+            ka AS (SELECT tok, count(*) AS ca FROM ta GROUP BY tok),
+            kb AS (SELECT tok, count(*) AS cb FROM tb GROUP BY tok),
+            j AS (
+              SELECT COALESCE(ka.ca, 0) AS ca, COALESCE(kb.cb, 0) AS cb
+              FROM ka FULL OUTER JOIN kb USING (tok)
+            ),
+            tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM j),
+            p AS (
+              SELECT (j.ca + 1)::DOUBLE / (tot.na + tot.v) AS pa,
+                     (j.cb + 1)::DOUBLE / (tot.nb + tot.v) AS pb
+              FROM j, tot
+            )
+            SELECT (SELECT na FROM tot)::BIGINT AS n_tokens_a,
+                   (SELECT nb FROM tot)::BIGINT AS n_tokens_b,
+                   (SELECT v FROM tot)::BIGINT AS vocab_size,
+                   ROUND(SUM(pa * ln(pa / pb)), 6) AS kl_ab,
+                   ROUND(SUM(pb * ln(pb / pa)), 6) AS kl_ba,
+                   ROUND(SUM(pa * ln(pa / ((pa + pb) / 2))) * 0.5
+                       + SUM(pb * ln(pb / ((pa + pb) / 2))) * 0.5, 6) AS js_div
+            FROM p
         """,
         # canonical-url dedup: identical messy-url synthesis (CASE on
         # doc_id%4), then the full canonicalization replayed step by

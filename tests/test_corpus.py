@@ -298,3 +298,31 @@ def test_kmv_sketch_is_mergeable(spark):
     kmin = sorted(set(merged))[:16]
     assert kmin[-1] == whole["kth_min"]
     assert len(kmin) == whole["n_minima"]
+
+
+def test_corpus_divergence_properties(spark):
+    from eventanalysis_spark.operators.corpus import corpus_divergence
+
+    a = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the dog ran",)], "text string"
+    )
+    b = spark.createDataFrame(
+        [("quantum flux capacitor array",), ("the tensor",)], "text string"
+    )
+    # identical corpora -> all divergences exactly zero
+    same = corpus_divergence(a, a).collect()[0]
+    assert same["kl_ab"] == 0.0 and same["kl_ba"] == 0.0 and same["js_div"] == 0.0
+    assert same["n_tokens_a"] == same["n_tokens_b"] == 9
+
+    d_ab = corpus_divergence(a, b).collect()[0]
+    d_ba = corpus_divergence(b, a).collect()[0]
+    # KL > 0 for different corpora; JS is symmetric and bounded by ln 2
+    assert d_ab["kl_ab"] > 0 and d_ab["kl_ba"] > 0
+    assert d_ab["js_div"] == d_ba["js_div"]
+    assert 0 < d_ab["js_div"] < 0.6931472
+    # KL directions swap under argument swap
+    assert d_ab["kl_ab"] == d_ba["kl_ba"] and d_ab["kl_ba"] == d_ba["kl_ab"]
+    # empty side degrades to the +1 floor, never NULL/inf
+    empty = spark.createDataFrame([("",)], "text string")
+    e = corpus_divergence(a, empty).collect()[0]
+    assert e["n_tokens_b"] == 0 and e["kl_ab"] is not None and e["js_div"] > 0
