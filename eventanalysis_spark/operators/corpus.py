@@ -29,7 +29,7 @@ the exact form here IS the oracle-checkable semantics definition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -361,6 +361,7 @@ def kmv_distinct_sketch(
     key_col: str = "url",
     group_col: str = "source",
     k: int = 64,
+    emit_minima: bool = False,
 ) -> DataFrame:
     """K-minimum-values distinct-count sketch per group (Bar-Yossef et
     al., RANDOM 2002): keep the k smallest DISTINCT 60-bit hash values
@@ -382,12 +383,15 @@ def kmv_distinct_sketch(
 
     Output: (group_col, n_minima, kth_min, distinct_est) — one row per
     group; relative error ~ 1/sqrt(k-2). 60-bit md5 hash keeps the
-    whole sketch DuckDB-replicable (dedup.hash60_md5)."""
+    whole sketch DuckDB-replicable (dedup.hash60_md5). With
+    emit_minima=True the row also carries the k-min SET itself
+    (array<long>, ≤ k elements by construction — collect_list runs on
+    the already-rank-capped frame, so it is bounded, not a mega-list),
+    which is what `kmv_merge` folds across crawls/partitions."""
     from pyspark.sql import Window
 
     from eventanalysis_spark.operators.dedup import hash60_md5
 
-    space = float(2**60)
     dh = (
         df.where(F.col(key_col).isNotNull())
         .select(F.col(group_col).alias("__g"), hash60_md5(F.col(key_col)).alias("__h"))
@@ -396,24 +400,69 @@ def kmv_distinct_sketch(
     )
     w = Window.partitionBy("__g").orderBy("__h")
     topk = dh.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= k)
+    aggs = [
+        F.count(F.lit(1)).alias("__m"),
+        F.max("__h").alias("__hk"),
+    ]
+    if emit_minima:
+        aggs.append(F.array_sort(F.collect_list("__h")).alias("__minima"))
+    out_cols = [
+        F.col("__g").alias(group_col),
+        F.col("__m").cast("long").alias("n_minima"),
+        F.col("__hk").cast("long").alias("kth_min"),
+        _kmv_estimate(F.col("__m"), F.col("__hk"), k).alias("distinct_est"),
+    ]
+    if emit_minima:
+        out_cols.append(F.col("__minima").alias("minima"))
+    return topk.groupBy("__g").agg(*aggs).select(*out_cols)
+
+
+def _kmv_estimate(m: Column, hk: Column, k: int) -> Column:
+    """(k-1)*2^60/h_k when the group reached k minima, else exact m."""
+    return F.when(m < k, m.cast("double")).otherwise(
+        F.round(
+            F.lit(float(k - 1)) * F.lit(float(2**60)) / hk.cast("double"), 4
+        )
+    )
+
+
+def kmv_merge(sketches: DataFrame, k: int, group_col: str = "source") -> DataFrame:
+    """Fold KMV sketches (rows from `kmv_distinct_sketch(...,
+    emit_minima=True)`, possibly from different crawls/partitions of the
+    same group universe) into one sketch per group: union the k-min
+    sets, dedupe, re-take the k smallest, re-estimate. The k-min set is
+    a monoid, so merging per-crawl sketches equals sketching the
+    concatenated corpus — distinct-count tracking across 10^12-row
+    snapshots without ever rescanning old data.
+
+    Shape: explode of ≤k-element arrays → the same bounded
+    (group, hash) distinct + rank-window + rollup as the base sketch;
+    input is dimension-sized (|groups| × k), never corpus-sized."""
+    from pyspark.sql import Window
+
+    dh = (
+        sketches.select(
+            F.col(group_col).alias("__g"), F.explode("minima").alias("__h")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("__g").orderBy("__h")
+    topk = (
+        dh.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= k)
+    )
     return (
         topk.groupBy("__g")
         .agg(
             F.count(F.lit(1)).alias("__m"),
             F.max("__h").alias("__hk"),
+            F.array_sort(F.collect_list("__h")).alias("__minima"),
         )
         .select(
             F.col("__g").alias(group_col),
             F.col("__m").cast("long").alias("n_minima"),
             F.col("__hk").cast("long").alias("kth_min"),
-            F.when(F.col("__m") < k, F.col("__m").cast("double"))
-            .otherwise(
-                F.round(
-                    F.lit(float(k - 1)) * F.lit(space) / F.col("__hk").cast("double"),
-                    4,
-                )
-            )
-            .alias("distinct_est"),
+            _kmv_estimate(F.col("__m"), F.col("__hk"), k).alias("distinct_est"),
+            F.col("__minima").alias("minima"),
         )
     )
 

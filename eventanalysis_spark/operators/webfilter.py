@@ -350,3 +350,29 @@ def dedup_canonical_urls(
             F.count(F.lit(1)).cast("long").alias("n_variants"),
         )
     )
+
+
+def drop_url_duplicates(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY step of canonical-url dedup: the full surviving rows (all
+    columns, latest id wins per canonical url) plus the canonical_url
+    and collapse count. ONE hash aggregate — max_by(struct(*), id) picks
+    the whole winning row map-side, so the payload of losing duplicates
+    is dropped before the shuffle (never a window, never a self-join)."""
+    cols = df.columns
+    return (
+        df.withColumn("canonical_url", canonical_url(F.col(url_col)))
+        .groupBy("canonical_url")
+        .agg(
+            F.max_by(F.struct(*cols), F.col(id_col)).alias("__row"),
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+        )
+        .select(
+            *[F.col(f"__row.{c}").alias(c) for c in cols],
+            "canonical_url",
+            "n_variants",
+        )
+    )

@@ -326,3 +326,30 @@ def test_corpus_divergence_properties(spark):
     empty = spark.createDataFrame([("",)], "text string")
     e = corpus_divergence(a, empty).collect()[0]
     assert e["n_tokens_b"] == 0 and e["kl_ab"] is not None and e["js_div"] > 0
+
+
+def test_kmv_merge_equals_whole_corpus_sketch(spark):
+    """First-class merge API: folding per-slice sketches (emit_minima)
+    equals sketching the concatenated corpus — bit-exact, including the
+    estimate."""
+    from eventanalysis_spark.operators.corpus import kmv_distinct_sketch, kmv_merge
+    from pyspark.sql import functions as F
+
+    rows = [("s%d" % (i % 2), "k%d" % (i % 151)) for i in range(600)]
+    df = spark.createDataFrame(rows, "source string, url string")
+    whole = kmv_distinct_sketch(
+        df, key_col="url", group_col="source", k=16, emit_minima=True
+    )
+    crawl_a = df.where(F.crc32(F.col("url")) % 3 != 0)
+    crawl_b = df.where(F.crc32(F.col("url")) % 3 == 0)
+    parts = kmv_distinct_sketch(
+        crawl_a, key_col="url", group_col="source", k=16, emit_minima=True
+    ).unionByName(
+        kmv_distinct_sketch(
+            crawl_b, key_col="url", group_col="source", k=16, emit_minima=True
+        )
+    )
+    merged = kmv_merge(parts, k=16)
+    a = sorted(tuple(r) for r in whole.collect())
+    b = sorted(tuple(r) for r in merged.collect())
+    assert a == b

@@ -289,3 +289,23 @@ def test_canonical_url_total_and_idempotent(spark):
     ).collect()
     for r in rows:
         assert r["c1"] == r["c2"], f"not idempotent for {r['url']!r}: {r['c1']!r} -> {r['c2']!r}"
+
+
+def test_drop_url_duplicates_keeps_full_winning_row(spark):
+    from eventanalysis_spark.operators.webfilter import drop_url_duplicates
+
+    rows = [
+        ("https://ex.com/a?x=1", 1, "old"),
+        ("HTTPS://EX.com:443/a?x=1#f", 5, "new"),
+        ("https://ex.com/b", 2, "only"),
+    ]
+    out = {
+        r["canonical_url"]: (r["doc_id"], r["payload"], r["n_variants"])
+        for r in drop_url_duplicates(
+            spark.createDataFrame(rows, "url string, doc_id long, payload string")
+        ).collect()
+    }
+    assert out == {
+        "https://ex.com/a?x=1": (5, "new", 2),
+        "https://ex.com/b": (2, "only", 1),
+    }
