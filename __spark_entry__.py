@@ -300,10 +300,21 @@ def q_tpch_q1(spark, sf):
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            # money sums as exact integer cents (x100 / x10000 for the
+            # 4-decimal discount product): LONG sums are codegen-fast AND
+            # partition-ORDER-INDEPENDENT — double sums drift by >1e-6 at
+            # sf>=0.1 magnitudes, where 2.8e9 * double-ULP crosses the
+            # 6-decimal comparator. Per-row doubles are identical in both
+            # engines (same operands, same ops), so only sum order was at
+            # risk; integer accumulation removes it.
+            F.round(F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long"))
+                    / 100.0, 6).alias("sum_qty"),
+            F.round(F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+                    / 100.0, 6).alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+                F.sum(F.round((F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))) * 10000, 0)
+                      .cast("long")) / 10000.0, 6
             ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -321,7 +332,8 @@ def q_j2_dim_chain(spark, sf):
     region = _t(spark, sf, "region")
     per_cust = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+        # money sum as exact integer cents: order-independent (see q_tpch_q1)
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("revenue"),
     )
     return (
         per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
@@ -330,7 +342,7 @@ def q_j2_dim_chain(spark, sf):
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
             F.sum("n_orders").alias("n_orders"),
-            F.round(F.sum("revenue"), 6).alias("revenue"),
+            F.round(F.sum("revenue") / 100.0, 6).alias("revenue"),
         )
         .orderBy("region_name", "nation_name")
     )
@@ -2767,9 +2779,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
-                   ROUND(SUM(l_quantity), 6) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+                   ROUND(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0, 6) AS sum_qty,
+                   ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 6) AS sum_base_price,
+                   ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 6) AS sum_disc_price,
                    ROUND(AVG(l_quantity), 6) AS avg_qty,
                    ROUND(AVG(l_discount), 6) AS avg_disc,
                    COUNT(*) AS count_order
@@ -2780,11 +2792,12 @@ def oracle_sql() -> dict[str, str]:
         "j2_dim_chain": """
             WITH per_cust AS (
               SELECT o_custkey, COUNT(*) AS n_orders,
-                     ROUND(SUM(o_totalprice), 6) AS revenue
+                     SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS revenue
               FROM orders GROUP BY o_custkey
             )
             SELECT r.r_name AS region_name, n.n_name AS nation_name,
-                   CAST(SUM(p.n_orders) AS BIGINT) AS n_orders, ROUND(SUM(p.revenue), 6) AS revenue
+                   CAST(SUM(p.n_orders) AS BIGINT) AS n_orders,
+                   ROUND(SUM(p.revenue) / 100.0, 6) AS revenue
             FROM per_cust p
             JOIN customer c ON p.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
