@@ -156,6 +156,72 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_overview(args) -> int:
+    """AppOverview/AppOverview2.fs analog: per (host, lang, event_class,
+    ever) counts with dimension attributes, deterministic order."""
+    from eventanalysis_spark.operators.aggregate import overview
+    from eventanalysis_spark.pipeline import Pipeline, PipelineConfig
+
+    spark = _spark(args)
+    pipe = Pipeline(spark, PipelineConfig(warehouse=args.warehouse))
+    df = overview(pipe.sink_table(args.sink), pipe._host_df(), pipe._lang_df())
+    if args.out:
+        from eventanalysis_spark.sources.exports import export_csv
+
+        export_csv(df, args.out, single_file=True)
+        print(json.dumps({"rows": df.count(), "out": args.out}))
+    else:
+        for r in df.collect():
+            print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
+def cmd_rollup(args) -> int:
+    """AppDiag.fs analog: day / ISO-week / month rollup of a sink."""
+    from eventanalysis_spark.operators.aggregate import period_rollup
+    from eventanalysis_spark.pipeline import Pipeline, PipelineConfig
+
+    spark = _spark(args)
+    pipe = Pipeline(spark, PipelineConfig(warehouse=args.warehouse))
+    df = period_rollup(pipe.sink_table(args.sink), period=args.period)
+    for r in df.collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
+def cmd_export(args) -> int:
+    """AppDump.fs analog: filtered/ordered/limited header dump to CSV."""
+    from eventanalysis_spark.operators.query import HeaderQuery, query_headers
+    from eventanalysis_spark.pipeline import Pipeline, PipelineConfig
+    from eventanalysis_spark.sources.exports import export_csv
+
+    spark = _spark(args)
+    pipe = Pipeline(spark, PipelineConfig(warehouse=args.warehouse))
+    q = HeaderQuery(
+        ts_min=args.ts_min, ts_max=args.ts_max,
+        event_class=args.event_class, host=args.host, lang=args.lang,
+        limit=args.limit, reverse=args.descending,
+    )
+    df = query_headers(pipe.sink_table(args.sink), q)
+    export_csv(df, args.out, single_file=args.limit is not None)
+    print(json.dumps({"rows": df.count(), "out": args.out}))
+    return 0
+
+
+def cmd_samples(args) -> int:
+    """AppSamples.fs analog: evenly-spread k sample files from a sink."""
+    from eventanalysis_spark.pipeline import Pipeline, PipelineConfig
+    from eventanalysis_spark.sources.exports import export_samples
+
+    spark = _spark(args)
+    pipe = Pipeline(spark, PipelineConfig(warehouse=args.warehouse))
+    paths = export_samples(
+        pipe.sink_table(args.sink), args.out, k=args.k, fmt=args.fmt
+    )
+    print(json.dumps({"files": paths}))
+    return 0
+
+
 def cmd_status(args) -> int:
     from eventanalysis_spark.pipeline import SINK_PREFIX, Pipeline, PipelineConfig
 
@@ -216,6 +282,39 @@ def main(argv=None) -> int:
     s = sub.add_parser("status")
     s.add_argument("--warehouse", required=True)
     s.set_defaults(fn=cmd_status)
+
+    ov = sub.add_parser("overview")
+    ov.add_argument("--warehouse", required=True)
+    ov.add_argument("--sink", required=True)
+    ov.add_argument("--out", default=None, help="CSV dir; omit to print JSONL")
+    ov.set_defaults(fn=cmd_overview)
+
+    ro = sub.add_parser("rollup")
+    ro.add_argument("--warehouse", required=True)
+    ro.add_argument("--sink", required=True)
+    ro.add_argument("--period", default="day", choices=["day", "week", "month"])
+    ro.set_defaults(fn=cmd_rollup)
+
+    ex = sub.add_parser("export")
+    ex.add_argument("--warehouse", required=True)
+    ex.add_argument("--sink", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--ts-min", default=None)
+    ex.add_argument("--ts-max", default=None)
+    ex.add_argument("--event-class", default=None)
+    ex.add_argument("--host", default=None)
+    ex.add_argument("--lang", default=None)
+    ex.add_argument("--limit", type=int, default=None)
+    ex.add_argument("--descending", action="store_true")
+    ex.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser("samples")
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--sink", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--k", type=int, default=5)
+    sp.add_argument("--fmt", default="text", choices=["text", "xml"])
+    sp.set_defaults(fn=cmd_samples)
 
     c = sub.add_parser("curate")
     c.add_argument("--source", required=True)

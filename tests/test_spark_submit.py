@@ -63,3 +63,41 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     for b in batches:
         assert 0 < b["n_routed"] <= b["n_input"]
         assert b["sinks"]
+
+
+def test_report_commands_overview_rollup_export_samples(tmp_path):
+    """The reference eventtool's reporting verbs (AppOverview, AppDiag
+    rollup, AppDump CSV export, AppSamples spread files) exist as CLI
+    subcommands over a real warehouse. Driven in-process via main(argv)
+    — the spark-submit packaging itself is covered by the test above."""
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import spark_submit_main as cli
+
+    wh = str(tmp_path / "wh")
+    pages = str(tmp_path / "pages")
+    base = ["--master", "local[4]"]
+    assert cli.main(base + ["generate", "--out", pages, "--rows", "1500"]) == 0
+    assert cli.main(base + [
+        "run", "--source", pages, "--warehouse", wh, "--cap", "1500",
+    ]) == 0
+
+    assert cli.main(base + ["overview", "--warehouse", wh, "--sink", "content"]) == 0
+    assert cli.main(base + [
+        "rollup", "--warehouse", wh, "--sink", "content", "--period", "week",
+    ]) == 0
+    out_csv = str(tmp_path / "dump")
+    assert cli.main(base + [
+        "export", "--warehouse", wh, "--sink", "content",
+        "--out", out_csv, "--limit", "5",
+    ]) == 0
+    csvs = [f for f in os.listdir(out_csv) if f.endswith(".csv")]
+    assert csvs, "export wrote no csv"
+    out_s = str(tmp_path / "samples")
+    assert cli.main(base + [
+        "samples", "--warehouse", wh, "--sink", "content", "--out", out_s,
+        "--k", "3",
+    ]) == 0
+    assert len(os.listdir(out_s)) == 3
