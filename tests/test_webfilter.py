@@ -309,3 +309,64 @@ def test_drop_url_duplicates_keeps_full_winning_row(spark):
         "https://ex.com/a?x=1": (5, "new", 2),
         "https://ex.com/b": (2, "only", 1),
     }
+
+
+def _canonical_url_py(u):
+    """Pure-python reference twin of canonical_url (test oracle only)."""
+    import re as _re
+
+    if u is None:
+        return None
+    nf = _re.sub(r"#.*", "", u)
+    m = _re.search(r"^([A-Za-z][A-Za-z0-9+.\-]*)://", nf)
+    scheme = m.group(1).lower() if m else ""
+    m = _re.search(r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", nf)
+    auth = m.group(1).lower() if m else ""
+    if scheme == "http":
+        auth = _re.sub(r":80$", "", auth)
+    elif scheme == "https":
+        auth = _re.sub(r":443$", "", auth)
+    m = _re.search(r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+([^?#]*)", nf)
+    path = _re.sub(r"/+$", "", m.group(1) if m else "")
+    m = _re.search(r"\?([^#]*)", nf)
+    q = m.group(1) if m else ""
+    track = _re.compile(r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref)(=|$)")
+    params = sorted(p for p in q.split("&") if p and not track.search(p))
+    qq = "&".join(params)
+    return scheme + "://" + auth + path + ("?" + qq if qq else "")
+
+
+def test_canonical_url_matches_python_twin_on_generated_urls(spark):
+    """600 seeded structured/junk URLs in ONE job: the Catalyst form
+    must byte-match the pure-python reference for every row."""
+    import random
+
+    from eventanalysis_spark.operators.webfilter import canonical_url
+
+    rng = random.Random(20260818)
+    schemes = ["http", "https", "HTTP", "HtTpS", "ftp", ""]
+    hosts = ["Ex.COM", "a.b.co.uk", "ex.com:80", "EX.com:443", "x:8080",
+             "user@ex.com", "u:p@EX.net:443", ""]
+    paths = ["", "/", "/a", "/a/b/", "/A//b///", "/%41%2F", "/p?fake"]
+    params = ["x=1", "y=2", "utm_source=f", "gclid=1", "ref", "ref=x",
+              "a", "", "Z=9", "utm_", "xutm_a=1", "x=utm_b", "mc_eid=7"]
+    frags = ["", "#f", "#", "#a#b", "#?q=1"]
+    urls = []
+    for _ in range(550):
+        s = rng.choice(schemes)
+        u = (s + "://" if s else "") + rng.choice(hosts) + rng.choice(paths)
+        ps = [rng.choice(params) for _ in range(rng.randint(0, 4))]
+        if ps or rng.random() < 0.3:
+            u += "?" + "&".join(ps)
+        u += rng.choice(frags)
+        urls.append(u)
+    junk = ["", "   ", "???", "&&&", "#", "a b c", "://", ":::", "é://x",
+            "http//missing.colon", "https:/one-slash.com", "1http://x.com"]
+    urls += junk * 4
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        (r["url"], r["c"])
+        for r in df.select("url", canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    for u, c in got:
+        assert c == _canonical_url_py(u), f"{u!r}: spark={c!r} py={_canonical_url_py(u)!r}"
