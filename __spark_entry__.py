@@ -1542,6 +1542,28 @@ def q_canonical_url_dedup(spark, sf):
     ).orderBy("canonical_url")
 
 
+def q_perplexity_tiers(spark, sf):
+    """CCNet head/middle/tail (operators/selection.py::score_tiers over
+    unigram_logprob_scores): equal-population tiers by global
+    perplexity-proxy rank, low avg_neg_logprob = head. Two-phase global
+    rank (no single-partition window), broadcast 1-row count, labels via
+    element_at. Empty docs (null score) are excluded — ASC NULLS
+    placement differs between engines."""
+    from eventanalysis_spark.operators.selection import score_tiers
+    from eventanalysis_spark.operators.textstats import unigram_logprob_scores
+
+    docs = _t(spark, sf, "documents")
+    s = unigram_logprob_scores(docs, parallelism=8).where(
+        F.col("n_tokens") > 0
+    )
+    return score_tiers(
+        s, "avg_neg_logprob", tiers=3, ascending=True,
+        labels=["head", "middle", "tail"],
+    ).select(
+        "doc_id", "n_tokens", "avg_neg_logprob", "score_rank", "tier"
+    ).orderBy("doc_id")
+
+
 def q_corpus_divergence(spark, sf):
     """Unigram KL / Jensen-Shannon divergence between the 'en' slice and
     the rest of the corpus (operators/corpus.py::corpus_divergence) —
@@ -1638,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "canonical_url_dedup": q_canonical_url_dedup,
         "corpus_divergence": q_corpus_divergence,
+        "perplexity_tiers": q_perplexity_tiers,
     }
 
 
@@ -2115,6 +2138,41 @@ def oracle_sql() -> dict[str, str]:
                                    / MAX(hh)::DOUBLE, 4)
                    END AS distinct_est
             FROM t GROUP BY g ORDER BY source
+        """,
+        # perplexity tiers: the unigram_logprob oracle extended with the
+        # global (ROUND(score,6), doc_id) rank and floor(rank*3/n) tier.
+        "perplexity_tiers": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+            tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n,
+                           CAST(count(*) AS DOUBLE) AS v FROM counts),
+            lp AS (
+              SELECT token, -ln((cnt + 1.0) / (n + v)) AS nlp
+              FROM counts, tot
+            ),
+            scored AS (
+              SELECT t.doc_id, count(*) AS n_tokens,
+                     ROUND(avg(lp.nlp), 6) AS avg_neg_logprob
+              FROM toks t JOIN lp USING (token) GROUP BY t.doc_id
+            ),
+            ranked AS (
+              SELECT doc_id, n_tokens, avg_neg_logprob,
+                     row_number() OVER (
+                       ORDER BY ROUND(avg_neg_logprob, 6) ASC, doc_id ASC
+                     ) - 1 AS score_rank,
+                     COUNT(*) OVER () AS nn
+              FROM scored
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   avg_neg_logprob, CAST(score_rank AS BIGINT) AS score_rank,
+                   CASE CAST(FLOOR(score_rank * 3 / nn) AS INTEGER)
+                     WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+                   END AS tier
+            FROM ranked ORDER BY doc_id
         """,
         # corpus divergence: same tokenization, Laplace(+1) LMs over the
         # union vocab, same nats formulas; ROUND(,6) absorbs sum-order

@@ -232,3 +232,52 @@ def gumbel_topk(
         .orderBy(F.col("gumbel_key").desc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def score_tiers(
+    scored: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    tiers: int = 3,
+    ascending: bool = True,
+    labels: list[str] | None = None,
+    tier_col: str = "tier",
+) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020 §4.3):
+    every row gets its GLOBAL rank by (round(score, 6), id) and a tier
+    index floor(rank · tiers / n) — equal-population buckets by score
+    order (CCNet keeps the "head" perplexity third of each language and
+    discards or down-weights the tail). ascending=True ranks low scores
+    best (CCNet: low perplexity = fluent); `labels` (len == tiers) maps
+    tier indices to names.
+
+    Scale shape: the rank is the assign_ids two-phase global rank (range
+    partitions + broadcast per-partition offsets) — no single-partition
+    window over data at any corpus size; n rides a broadcast 1-row
+    count. ROUND(,6) makes float score noise TIE (then id breaks it)
+    instead of rank-flip — the tfidf_topk cross-engine determinism rule.
+    Pass a NARROW (id, score) frame and join payloads back by id."""
+    from eventanalysis_spark.operators.enrich import assign_ids
+
+    key = F.round(F.col(score_col), 6)
+    t = scored.withColumn("__ord", key if ascending else -key)
+    ranked = assign_ids(t, "__rank", ["__ord", id_col], start_after=-1)
+    cnt = scored.agg(F.count(F.lit(1)).alias("__n"))
+    out = (
+        ranked.crossJoin(F.broadcast(cnt))
+        .withColumn(
+            tier_col,
+            F.floor(F.col("__rank") * tiers / F.col("__n")).cast("int"),
+        )
+        .withColumn("__rank", F.col("__rank").cast("long"))
+    )
+    if labels is not None:
+        if len(labels) != tiers:
+            raise ValueError(f"labels must have {tiers} entries, got {len(labels)}")
+        out = out.withColumn(
+            tier_col,
+            F.element_at(
+                F.array(*[F.lit(x) for x in labels]), F.col(tier_col) + 1
+            ),
+        )
+    return out.drop("__ord", "__n").withColumnRenamed("__rank", "score_rank")

@@ -156,3 +156,27 @@ def test_gumbel_topk_salt_draws_differ(spark):
     a = {r["doc_id"] for r in gumbel_topk(df, 10, salt="s1").collect()}
     b = {r["doc_id"] for r in gumbel_topk(df, 10, salt="s2").collect()}
     assert a != b
+
+
+def test_score_tiers_equal_population_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from eventanalysis_spark.operators.selection import score_tiers
+
+    rows = [(i, float((i * 37) % 100)) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, s double")
+    out = score_tiers(df, "s", tiers=3, labels=["head", "middle", "tail"])
+    pops = {r["tier"]: r["n"] for r in out.groupBy("tier").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert pops == {"head": 30, "middle": 30, "tail": 30}
+    # best (lowest) score is head rank 0; worst is tail rank n-1
+    got = {r["doc_id"]: (r["score_rank"], r["tier"]) for r in out.collect()}
+    best = min(rows, key=lambda t: (t[1], t[0]))[0]
+    worst = max(rows, key=lambda t: (t[1], t[0]))[0]
+    assert got[best] == (0, "head") and got[worst] == (89, "tail")
+    # partition-count invariance (two-phase rank, not a lucky layout)
+    out8 = score_tiers(df.repartition(8), "s", tiers=3, labels=["head", "middle", "tail"])
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out8.collect()))
+    # descending mode flips the ends
+    d = score_tiers(df, "s", tiers=3, ascending=False, labels=["head", "middle", "tail"])
+    gd = {r["doc_id"]: r["tier"] for r in d.collect()}
+    assert gd[worst] == "head" and gd[best] == "tail"
