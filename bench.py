@@ -270,6 +270,7 @@ def timed_queries(spark) -> dict[str, float]:
         "source_overlap_sketch",
         "kmv_distinct",
         "canonical_url_dedup",
+        "perplexity_tiers",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}
