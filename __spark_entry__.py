@@ -1564,6 +1564,25 @@ def q_perplexity_tiers(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_lang_tiers(spark, sf):
+    """Per-LANGUAGE CCNet tiers (operators/selection.py::
+    score_tiers_by_group): the corpus collapses to a (lang, score)
+    histogram before any window — never a per-language row window (all
+    of 'en' through one reducer) — and ties share a tier, so no id
+    tie-break is needed for cross-engine determinism."""
+    from eventanalysis_spark.operators.selection import score_tiers_by_group
+    from eventanalysis_spark.operators.textstats import unigram_logprob_scores
+
+    docs = _t(spark, sf, "documents")
+    s = unigram_logprob_scores(docs, parallelism=8).where(
+        F.col("n_tokens") > 0
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    return score_tiers_by_group(
+        s, "avg_neg_logprob", "lang", tiers=3, ascending=True,
+        labels=["head", "middle", "tail"],
+    ).select("doc_id", "lang", "avg_neg_logprob", "tier").orderBy("doc_id")
+
+
 def q_corpus_divergence(spark, sf):
     """Unigram KL / Jensen-Shannon divergence between the 'en' slice and
     the rest of the corpus (operators/corpus.py::corpus_divergence) —
@@ -1661,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_url_dedup": q_canonical_url_dedup,
         "corpus_divergence": q_corpus_divergence,
         "perplexity_tiers": q_perplexity_tiers,
+        "lang_tiers": q_lang_tiers,
     }
 
 
@@ -2173,6 +2193,44 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
                    END AS tier
             FROM ranked ORDER BY doc_id
+        """,
+        # per-language tiers: unigram scores + per-lang histogram
+        # cumulative (strictly-smaller counts) → floor(before*3/n_g).
+        "lang_tiers": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+            tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n,
+                           CAST(count(*) AS DOUBLE) AS v FROM counts),
+            lp AS (
+              SELECT token, -ln((cnt + 1.0) / (n + v)) AS nlp
+              FROM counts, tot
+            ),
+            scored AS (
+              SELECT t.doc_id, ROUND(avg(lp.nlp), 6) AS s
+              FROM toks t JOIN lp USING (token) GROUP BY t.doc_id
+            ),
+            sl AS (
+              SELECT d.doc_id, d.lang, sc.s
+              FROM documents d JOIN scored sc USING (doc_id)
+            ),
+            hist AS (SELECT lang, s, count(*) AS c FROM sl GROUP BY 1, 2),
+            cum AS (
+              SELECT lang, s,
+                     COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+                     SUM(c) OVER (PARTITION BY lang) AS ng
+              FROM hist
+            )
+            SELECT sl.doc_id, sl.lang, sl.s AS avg_neg_logprob,
+                   CASE CAST(FLOOR(cum.before * 3 / cum.ng) AS INTEGER)
+                     WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+                   END AS tier
+            FROM sl JOIN cum ON sl.lang = cum.lang AND sl.s = cum.s
+            ORDER BY sl.doc_id
         """,
         # corpus divergence: same tokenization, Laplace(+1) LMs over the
         # union vocab, same nats formulas; ROUND(,6) absorbs sum-order

@@ -281,3 +281,60 @@ def score_tiers(
             ),
         )
     return out.drop("__ord", "__n").withColumnRenamed("__rank", "score_rank")
+
+
+def score_tiers_by_group(
+    scored: DataFrame,
+    score_col: str,
+    group_col: str,
+    tiers: int = 3,
+    ascending: bool = True,
+    labels: list[str] | None = None,
+    tier_col: str = "tier",
+) -> DataFrame:
+    """Per-group CCNet tiers (Wenzek et al. 2020 run head/middle/tail PER
+    LANGUAGE): a row's tier is floor(cum_before · tiers / n_g), where
+    cum_before counts the group's rows with strictly better (ROUND(score,
+    6)) values — all ties share a tier, so the result is deterministic
+    and partition-invariant with no id tie-break needed.
+
+    Scale shape — the reason this is NOT `Window.partitionBy(group)` over
+    rows: that puts all of 'en' (most of a web corpus) through one
+    reducer chain. Instead the corpus collapses to a (group, score)
+    HISTOGRAM first (one partial-aggregatable count — bounded by distinct
+    rounded scores per group, not rows), the cumulative runs over the
+    tiny histogram, and tiers come back via a (group, score) equi-join
+    that AQE can broadcast. The corpus shuffles once, on the join key."""
+    from pyspark.sql import Window
+
+    key = F.round(F.col(score_col), 6)
+    ordk = key if ascending else -key
+    t = scored.withColumn("__k", ordk)
+    hist = t.groupBy(group_col, "__k").agg(F.count(F.lit(1)).alias("__c"))
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("__k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(group_col)
+    ranked = hist.select(
+        group_col,
+        "__k",
+        F.coalesce(F.sum("__c").over(w_cum), F.lit(0)).alias("__before"),
+        F.sum("__c").over(w_all).alias("__ng"),
+    ).withColumn(
+        tier_col,
+        F.floor(F.col("__before") * tiers / F.col("__ng")).cast("int"),
+    )
+    if labels is not None:
+        if len(labels) != tiers:
+            raise ValueError(f"labels must have {tiers} entries, got {len(labels)}")
+        ranked = ranked.withColumn(
+            tier_col,
+            F.element_at(
+                F.array(*[F.lit(x) for x in labels]), F.col(tier_col) + 1
+            ),
+        )
+    return t.join(
+        ranked.select(group_col, "__k", tier_col), [group_col, "__k"]
+    ).drop("__k")

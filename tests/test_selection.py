@@ -180,3 +180,33 @@ def test_score_tiers_equal_population_and_determinism(spark):
     d = score_tiers(df, "s", tiers=3, ascending=False, labels=["head", "middle", "tail"])
     gd = {r["doc_id"]: r["tier"] for r in d.collect()}
     assert gd[worst] == "head" and gd[best] == "tail"
+
+
+def test_score_tiers_by_group_histogram_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from eventanalysis_spark.operators.selection import score_tiers_by_group
+
+    rows = (
+        # lang a: 9 distinct scores -> 3/3/3
+        [(i, "a", float(i)) for i in range(9)]
+        # lang b: all ties -> everyone shares tier 0 (before=0)
+        + [(100 + i, "b", 7.0) for i in range(6)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, s double")
+    out = score_tiers_by_group(
+        df, "s", "lang", tiers=3, labels=["head", "middle", "tail"]
+    )
+    got = {r["doc_id"]: r["tier"] for r in out.collect()}
+    assert [got[i] for i in range(9)] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    assert all(got[100 + i] == "head" for i in range(6))  # ties share a tier
+    # partition invariance (histogram form, no row window)
+    out16 = score_tiers_by_group(
+        df.repartition(16), "s", "lang", tiers=3, labels=["head", "middle", "tail"]
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out16.collect()))
+    # descending flips lang a's ends
+    d = score_tiers_by_group(df, "s", "lang", tiers=3, ascending=False,
+                             labels=["head", "middle", "tail"])
+    gd = {r["doc_id"]: r["tier"] for r in d.collect()}
+    assert gd[8] == "head" and gd[0] == "tail"
