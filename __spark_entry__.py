@@ -1583,6 +1583,18 @@ def q_lang_tiers(spark, sf):
     ).select("doc_id", "lang", "avg_neg_logprob", "tier").orderBy("doc_id")
 
 
+def q_bm25(spark, sf):
+    """BM25 top-20 retrieval for a 3-term query
+    (operators/textstats.py::bm25_topk, Lucene idf form): one token
+    pass for lengths + query-filtered tf, broadcast df/N/avglen,
+    TakeOrdered top-k — the corpus-search primitive behind near-match
+    decontamination triage."""
+    from eventanalysis_spark.operators.textstats import bm25_topk
+
+    docs = _t(spark, sf, "documents")
+    return bm25_topk(docs, ["dup", "merge", "hash"], k=20)
+
+
 def q_corpus_divergence(spark, sf):
     """Unigram KL / Jensen-Shannon divergence between the 'en' slice and
     the rest of the corpus (operators/corpus.py::corpus_divergence) —
@@ -1681,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_divergence": q_corpus_divergence,
         "perplexity_tiers": q_perplexity_tiers,
         "lang_tiers": q_lang_tiers,
+        "bm25": q_bm25,
     }
 
 
@@ -2193,6 +2206,35 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
                    END AS tier
             FROM ranked ORDER BY doc_id
+        """,
+        # bm25: one token pass (lengths + query-filtered tf), Lucene idf,
+        # same normalization formula; rank on (ROUND(bm25,6) DESC, id).
+        "bm25": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+            tf AS (
+              SELECT doc_id, t, count(*) AS tf FROM toks
+              WHERE t IN ('dup', 'merge', 'hash') GROUP BY doc_id, t
+            ),
+            dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+            stats AS (SELECT count(*) AS n, avg(len) AS avglen FROM lens),
+            scored AS (
+              SELECT tf.doc_id,
+                     ROUND(SUM(
+                       ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1.0 - 0.75
+                          + 0.75 * lens.len / stats.avglen))
+                     ), 6) AS bm25
+              FROM tf JOIN dfq USING (t) JOIN lens USING (doc_id), stats
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, bm25 FROM scored
+            ORDER BY bm25 DESC, doc_id LIMIT 20
         """,
         # per-language tiers: unigram scores + per-lang histogram
         # cumulative (strictly-smaller counts) → floor(before*3/n_g).

@@ -281,3 +281,65 @@ def tfidf_topk_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "term", "tf", "tfidf", F.col("rank").cast("long"))
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval: top-k documents for a bag of query terms
+    (Robertson/Spärck Jones; the standard first-stage ranker) — the
+    corpus-search primitive behind near-match decontamination and
+    "find documents like this" curation triage.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avglen)),
+    idf = ln((N − df + 0.5)/(df + 0.5) + 1)  (the Lucene non-negative
+    form). ROUND(,6) + id tie-break for cross-engine rank determinism.
+
+    Scale shape (all Catalyst): doc lengths and per-(doc, queryterm) tf
+    come from ONE token pass — tf rows are FILTERED to the query terms
+    BEFORE the aggregate (the posting stream is |matching docs| ×
+    |query|, never the corpus vocabulary); df and N/avglen are
+    dimension-sized aggregates broadcast back; final ranking is
+    TakeOrdered top-k, no global sort."""
+    from eventanalysis_spark.operators.dedup import _tokens
+
+    terms = [t.lower() for t in query_terms]
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("__t")
+    )
+    lens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__len"))
+    tf = (
+        toks.where(F.col("__t").isin(terms))
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    df_ = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__len").alias("__avglen"),
+    )
+    idf = F.log(
+        (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0
+    )
+    norm = F.col("__tf") * (k1 + 1) / (
+        F.col("__tf")
+        + k1 * (1.0 - b + b * F.col("__len") / F.col("__avglen"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "__t")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(idf * norm), 6).alias("bm25"))
+    )
+    return (
+        scored.orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "bm25")
+    )

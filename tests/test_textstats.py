@@ -194,3 +194,27 @@ def test_tfidf_plan_shape(spark):
     assert "Python" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_topk_ranking_properties(spark):
+    from eventanalysis_spark.operators.textstats import bm25_topk
+
+    rows = [
+        (1, "apple apple apple banana"),     # tf(apple)=3, short
+        (2, "apple banana cherry date egg"), # tf(apple)=1
+        (3, "banana cherry date egg fig"),   # no apple
+        (4, "apple " * 2 + "x " * 46),       # tf=2 but long doc (len norm)
+        (5, ""),                              # empty: never scored
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["doc_id"], r["bm25"]) for r in bm25_topk(df, ["apple"], k=10).collect()]
+    ids = [d for d, _ in got]
+    assert 3 not in ids and 5 not in ids          # only matching docs
+    assert ids[0] == 1                            # highest tf, short doc wins
+    assert got == sorted(got, key=lambda t: (-t[1], t[0]))
+    # length normalization: doc 2 (tf=1, len 5) beats doc 4 (tf=2, len 48)
+    d = dict(got)
+    assert d[2] > d[4] or ids.index(2) < ids.index(4)
+    # multi-term query unions scores; k caps output
+    top1 = bm25_topk(df, ["apple", "banana"], k=1).collect()
+    assert len(top1) == 1
