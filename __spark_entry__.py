@@ -1611,6 +1611,102 @@ def q_corpus_divergence(spark, sf):
     )
 
 
+def q_sessionize_stats(spark, sf):
+    """Gap-based sessionization (6h gap) + per-session stats
+    (operators/eventlog.py::sessionize/session_stats) — the classic
+    log-analytics layer over the events stream. ONE shuffle keyed by
+    user_id (lag + running-sum windows share a single sort), then one
+    map-side-partial hash aggregate; ties broken by (ts, event_id)."""
+    from eventanalysis_spark.operators.eventlog import session_stats, sessionize
+
+    ev = _t(spark, sf, "events")
+    s = sessionize(ev, gap_seconds=21600)
+    return session_stats(s).orderBy("user_id", "session_idx")
+
+
+def q_session_paths(spark, sf):
+    """Top-20 session paths (first 4 steps, '>'-joined) over 6h-gap
+    sessions (operators/eventlog.py::session_paths). collect_list is
+    bounded by the session, truncation precedes the count aggregate, and
+    the (n desc, path asc) order is total so LIMIT is deterministic."""
+    from eventanalysis_spark.operators.eventlog import session_paths, sessionize
+
+    ev = _t(spark, sf, "events")
+    return session_paths(sessionize(ev, gap_seconds=21600), k=20, max_len=4)
+
+
+def q_funnel(spark, sf):
+    """Ordered 3-step funnel view→click→purchase
+    (operators/eventlog.py::funnel): chained filtered min-struct
+    aggregates — each stage shuffles only events of that step's type,
+    partial-agg'd map-side; no per-user collect_list, so a mega-user
+    cannot blow a task."""
+    from eventanalysis_spark.operators.eventlog import funnel
+
+    ev = _t(spark, sf, "events")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
+def q_retention_weekly(spark, sf):
+    """Weekly cohort retention matrix
+    (operators/eventlog.py::retention_cohorts): (user, week) distinct →
+    per-user min-window cohort → count distinct per (cohort, offset).
+    Output is #cohorts × #offsets regardless of raw event volume."""
+    from eventanalysis_spark.operators.eventlog import retention_cohorts
+
+    ev = _t(spark, sf, "events")
+    return retention_cohorts(ev, period_days=7)
+
+
+def q_asof_enrich(spark, sf):
+    """As-of state enrichment (operators/eventlog.py::asof_join): every
+    click gets the value of the user's LATEST purchase at-or-before the
+    click ts. Union + keyed-window carry-forward — one shuffle on
+    user_id, no range-join explosion; DuckDB's native ASOF JOIN is the
+    oracle twin."""
+    from eventanalysis_spark.operators.eventlog import asof_join
+
+    ev = _t(spark, sf, "events")
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("purchase_value"))
+    )
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # no-prior-state → -1.0 sentinel, not NULL: the cross-engine value
+    # comparator reads nullable doubles as NaN on the DuckDB/pandas side.
+    return (
+        asof_join(left, right, "user_id", "ts", "purchase_value")
+        .withColumn("asof_value", F.coalesce("asof_value", F.lit(-1.0)))
+        .orderBy("event_id")
+    )
+
+
+def q_rate_anomaly(spark, sf):
+    """Event-rate anomaly detection
+    (operators/eventlog.py::rate_anomaly): per (type, day) counts
+    z-scored against the trailing 7 observed days. One hash aggregate
+    into #types × #days rows, then a type-partitioned window over that
+    tiny frame; z/avg rounded to 6dp for cross-engine hash stability
+    (flag computed on the unrounded z in both engines)."""
+    from eventanalysis_spark.operators.eventlog import rate_anomaly
+
+    ev = _t(spark, sf, "events")
+    r = rate_anomaly(ev, bucket_seconds=86400, trailing=7, z_threshold=2.5)
+    # warm-up buckets have no trailing stats → -1e9 sentinel, not NULL
+    # (nullable doubles read back as NaN through DuckDB/pandas).
+    return r.select(
+        "event_type",
+        "bucket_start",
+        "n_events",
+        F.coalesce(F.round("trail_avg", 6), F.lit(-1000000000.0)).alias("trail_avg"),
+        F.coalesce(F.round("z", 6), F.lit(-1000000000.0)).alias("z"),
+        "is_anomaly",
+    ).orderBy("event_type", "bucket_start")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -1694,6 +1790,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_tiers": q_perplexity_tiers,
         "lang_tiers": q_lang_tiers,
         "bm25": q_bm25,
+        "sessionize_stats": q_sessionize_stats,
+        "session_paths": q_session_paths,
+        "funnel": q_funnel,
+        "retention_weekly": q_retention_weekly,
+        "asof_enrich": q_asof_enrich,
+        "rate_anomaly": q_rate_anomaly,
     }
 
 
@@ -3670,4 +3772,154 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "pii_scrub": _pii_oracle(),
+        # eventlog family: FLOOR(epoch(ts)) mirrors Spark's
+        # unix_timestamp() second-flooring on the sub-second event ts.
+        "sessionize_stats": """
+            WITH s AS (
+              SELECT user_id, event_id, ts, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                               - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT)
+                               > 21600
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s2 AS (
+              SELECT user_id, event_id, ts, event_type,
+                     CAST(SUM(new_s) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                          - 1 AS BIGINT) AS session_idx
+              FROM s
+            )
+            SELECT user_id, session_idx,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   CAST(FLOOR(epoch(MAX(ts))) AS BIGINT)
+                     - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_secs,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT event_type) AS n_types,
+                   (ARRAY_AGG(event_type ORDER BY ts, event_id))[1]
+                     AS first_type,
+                   (ARRAY_AGG(event_type ORDER BY ts DESC, event_id DESC))[1]
+                     AS last_type
+            FROM s2 GROUP BY user_id, session_idx
+            ORDER BY user_id, session_idx
+        """,
+        "session_paths": """
+            WITH s AS (
+              SELECT user_id, event_id, ts, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                               - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT)
+                               > 21600
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s2 AS (
+              SELECT user_id, event_id, ts, event_type,
+                     SUM(new_s) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                       - 1 AS session_idx
+              FROM s
+            ),
+            r AS (
+              SELECT user_id, session_idx, event_type,
+                     row_number() OVER (PARTITION BY user_id, session_idx
+                         ORDER BY ts, event_id) AS rn
+              FROM s2
+            ),
+            p AS (
+              SELECT user_id, session_idx,
+                     string_agg(event_type, '>' ORDER BY rn) AS path,
+                     COUNT(*) AS plen
+              FROM r WHERE rn <= 4 GROUP BY user_id, session_idx
+            )
+            SELECT path, COUNT(*) AS n_sessions,
+                   CAST(MIN(plen) AS INT) AS path_len
+            FROM p GROUP BY path
+            ORDER BY n_sessions DESC, path LIMIT 20
+        """,
+        "funnel": """
+            WITH s1 AS (
+              SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'view'
+              QUALIFY row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) = 1
+            ),
+            s2 AS (
+              SELECT e.user_id, e.ts, e.event_id
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click'
+                AND (e.ts, e.event_id) > (s1.ts, s1.event_id)
+              QUALIFY row_number() OVER (PARTITION BY e.user_id
+                  ORDER BY e.ts, e.event_id) = 1
+            ),
+            s3 AS (
+              SELECT e.user_id, e.ts, e.event_id
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase'
+                AND (e.ts, e.event_id) > (s2.ts, s2.event_id)
+              QUALIFY row_number() OVER (PARTITION BY e.user_id
+                  ORDER BY e.ts, e.event_id) = 1
+            )
+            SELECT * FROM (
+              SELECT 1 AS stage, 'view' AS step, COUNT(*) AS n_keys FROM s1
+              UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+              UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
+            ) ORDER BY stage
+        """,
+        "retention_weekly": """
+            WITH kp AS (
+              SELECT DISTINCT user_id AS k,
+                     CAST(FLOOR(FLOOR(epoch(ts)) / 604800) AS BIGINT) AS p
+              FROM events
+            ),
+            c AS (SELECT k, p, MIN(p) OVER (PARTITION BY k) AS cp FROM kp)
+            SELECT cp AS cohort_period, p - cp AS offset_periods,
+                   COUNT(DISTINCT k) AS n_active
+            FROM c GROUP BY 1, 2 ORDER BY cohort_period, offset_periods
+        """,
+        "asof_enrich": """
+            WITH r AS (
+              SELECT user_id, ts, arg_max(value, event_id) AS purchase_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, ts
+            ),
+            l AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'click'
+            )
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   COALESCE(r.purchase_value, -1.0) AS asof_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id
+        """,
+        "rate_anomaly": """
+            WITH b AS (
+              SELECT event_type,
+                     CAST(FLOOR(FLOOR(epoch(ts)) / 86400) * 86400 AS BIGINT)
+                       AS bucket_start,
+                     COUNT(*) AS n_events
+              FROM events GROUP BY 1, 2
+            ),
+            w AS (
+              SELECT event_type, bucket_start, n_events,
+                     AVG(n_events) OVER tw AS avg_raw,
+                     STDDEV_SAMP(n_events) OVER tw AS std_raw
+              FROM b
+              WINDOW tw AS (PARTITION BY event_type ORDER BY bucket_start
+                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_type, bucket_start, n_events,
+                   COALESCE(ROUND(avg_raw, 6), -1000000000.0) AS trail_avg,
+                   COALESCE(ROUND(CASE WHEN std_raw IS NOT NULL AND std_raw > 0
+                                       THEN (n_events - avg_raw) / std_raw
+                                  END, 6), -1000000000.0) AS z,
+                   COALESCE(CASE WHEN std_raw IS NOT NULL AND std_raw > 0
+                                 THEN (n_events - avg_raw) / std_raw END > 2.5,
+                            FALSE) AS is_anomaly
+            FROM w ORDER BY event_type, bucket_start
+        """,
     }

@@ -519,6 +519,97 @@ def main() -> None:
         "(operators/webfilter.py).",
     )
 
+    # 20. sessionize + stats: ONE keyed shuffle, windows share one sort
+    from eventanalysis_spark.operators.eventlog import session_stats, sessionize
+
+    spark.range(20000).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.crc32(F.col("id").cast("string")) % 2000000
+        ).cast("timestamp_ntz").alias("ts"),
+        (F.col("id") % 500).alias("user_id"),
+        F.concat(F.lit("t"), F.col("id") % 5).alias("event_type"),
+    ).write.mode("overwrite").parquet("/tmp/ea-plans/events")
+    events = spark.read.parquet("/tmp/ea-plans/events")
+
+    q20 = session_stats(sessionize(events, gap_seconds=1800))
+    plan20 = q20._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Sessionize + session stats: one keyed shuffle, shared window sort",
+        q20,
+        [
+            ("exactly one Exchange (hashpartitioning by the session key; "
+             "the stats agg reuses it)",
+             plan20.count("Exchange") == 1),
+            ("lag + running-sum windows share ONE sort (same partition/order "
+             "spec; the only other Sort is the stats agg's local re-sort)",
+             plan20.count("Window") <= 2 and plan20.count("Sort [") <= 2),
+            ("stats aggregate partial-aggregates map-side",
+             "partial_count" in plan20 or "partial_min" in plan20),
+            ("no Python in the plan", "Python" not in plan20),
+        ],
+        "Gap-based sessionization: both windows are PARTITIONED BY user — "
+        "never global — so per-task sort state is one user's history; the "
+        "per-session aggregate lands on the same partitioning, so the whole "
+        "session layer costs a single shuffle (operators/eventlog.py).",
+    )
+
+    # 21. funnel: stage type-filters reach the scan, no arrays, no window
+    from eventanalysis_spark.operators.eventlog import funnel
+
+    q21 = funnel(events, ["t0", "t1", "t2"])
+    plan21 = q21._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Funnel: per-stage filtered min-struct aggregates, no collect_list",
+        q21,
+        [
+            ("stage type filter is pushed into the parquet scan",
+             "PushedFilters" in plan21 and "event_type" in plan21),
+            ("stage tables collapse map-side (partial_min of the (ts,id) "
+             "struct)", "partial_min" in plan21),
+            ("no per-key array materialization", "collect_list" not in plan21),
+            ("no window, no global sort in stage computation",
+             "Window" not in plan21),
+            ("no Python in the plan", "Python" not in plan21),
+        ],
+        "Each funnel stage shuffles ONLY the events of that step's type "
+        "(filter below the shuffle), pre-aggregated per key map-side — a "
+        "mega-user contributes one row per upstream partition, never an "
+        "event array (operators/eventlog.py).",
+    )
+
+    # 22. as-of join: union + keyed carry-forward, no range explosion
+    from eventanalysis_spark.operators.eventlog import asof_join
+
+    state = events.where(F.col("event_type") == "t0").groupBy("user_id", "ts").agg(
+        F.max_by(F.crc32(F.col("event_id").cast("string")).cast("double"), "event_id")
+        .alias("sval")
+    )
+    q22 = asof_join(
+        events.where(F.col("event_type") == "t1").select("event_id", "user_id", "ts"),
+        state, "user_id", "ts", "sval",
+    )
+    plan22 = q22._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "As-of join: union + keyed-window carry-forward, no range join",
+        q22,
+        [
+            ("no nested-loop / cartesian range join",
+             "NestedLoop" not in plan22 and "Cartesian" not in plan22),
+            ("exactly one carry-forward window (last ignorenulls)",
+             plan22.count("Window") == 1),
+            ("the window is keyed (hashpartitioning on the join key), never "
+             "global", "hashpartitioning" in plan22),
+            ("no Python in the plan", "Python" not in plan22),
+        ],
+        "The union-and-carry form turns as-of matching into one keyed "
+        "window: state rows sort before events at equal ts and "
+        "last(ignorenulls) carries the latest state forward — cost is one "
+        "shuffle of left+right on the key, independent of how many state "
+        "rows each key has (operators/eventlog.py; DuckDB's native ASOF "
+        "JOIN is the oracle twin).",
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the engine's key paths\n\n"
