@@ -1707,6 +1707,73 @@ def q_rate_anomaly(spark, sf):
     ).orderBy("event_type", "bucket_start")
 
 
+def _event_windows(ev, etype: str, id_alias: str, length: int, s="s", e="e"):
+    """Per-user half-open windows [epoch(ts), epoch(ts)+length) anchored
+    on one event type. unix_timestamp FLOORS sub-second ts — the DuckDB
+    twin is FLOOR(epoch(ts))."""
+    sec = F.unix_timestamp("ts")
+    return ev.where(F.col("event_type") == etype).select(
+        F.col("event_id").alias(id_alias),
+        "user_id",
+        sec.alias(s),
+        (sec + length).alias(e),
+    )
+
+
+def q_interval_point_join(spark, sf):
+    """Point-in-interval join (operators/intervals.py): every click
+    joined to the purchase window(s) [ts, ts+1h) of the same user that
+    contain it. Binned equi-join on (user_id, bin) — never a
+    BroadcastNestedLoopJoin; a point has one bin so no post-join
+    distinct. Oracle = the plain inequality join."""
+    from eventanalysis_spark.operators.intervals import point_in_interval_join
+
+    ev = _t(spark, sf, "events")
+    iv = _event_windows(ev, "purchase", "purchase_id", 3600)
+    pt = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("p"),
+    )
+    return point_in_interval_join(
+        pt, iv, "p", "s", "e", bin_width=600, keys=("user_id",)
+    ).orderBy("click_id", "purchase_id")
+
+
+def q_interval_overlap(spark, sf):
+    """Interval-overlap join (operators/intervals.py): per-user purchase
+    windows [ts, ts+1h) × view windows [ts, ts+30m) that overlap.
+    Each pair emitted exactly once via the responsibility-bin trick
+    (the bin holding greatest(l.start, r.start)) — zero distinct, one
+    shuffle keyed by (user_id, bin)."""
+    from eventanalysis_spark.operators.intervals import interval_overlap_join
+
+    ev = _t(spark, sf, "events")
+    lv = _event_windows(ev, "purchase", "purchase_id", 3600)
+    rv = _event_windows(ev, "view", "view_id", 1800, s="s2", e="e2")
+    return (
+        interval_overlap_join(lv, rv, ("s", "e", "s2", "e2"), bin_width=600,
+                              keys=("user_id",))
+        .withColumn("overlap_start", F.greatest("s", "s2"))
+        .withColumn("overlap_end", F.least("e", "e2"))
+        .orderBy("purchase_id", "view_id")
+    )
+
+
+def q_interval_merge(spark, sf):
+    """Interval coalescing (operators/intervals.py::merge_intervals):
+    per-user click windows [ts, ts+30m) merged into maximal disjoint
+    spans — gaps-and-islands in one keyed shuffle (running-max window
+    and the island groupBy share the user_id partitioning)."""
+    from eventanalysis_spark.operators.intervals import merge_intervals
+
+    ev = _t(spark, sf, "events")
+    iv = _event_windows(ev, "click", "click_id", 1800).drop("click_id")
+    return merge_intervals(iv, "s", "e", keys=("user_id",)).orderBy(
+        "user_id", "start"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -1796,6 +1863,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_weekly": q_retention_weekly,
         "asof_enrich": q_asof_enrich,
         "rate_anomaly": q_rate_anomaly,
+        "interval_point_join": q_interval_point_join,
+        "interval_overlap": q_interval_overlap,
+        "interval_merge": q_interval_merge,
     }
 
 
@@ -3921,5 +3991,73 @@ def oracle_sql() -> dict[str, str]:
                                  THEN (n_events - avg_raw) / std_raw END > 2.5,
                             FALSE) AS is_anomaly
             FROM w ORDER BY event_type, bucket_start
+        """,
+        "interval_point_join": """
+            WITH iv AS (
+              SELECT event_id AS purchase_id, user_id,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT) + 3600 AS e
+              FROM events WHERE event_type = 'purchase'
+            ),
+            pt AS (
+              SELECT event_id AS click_id, user_id,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT) AS p
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT pt.click_id, pt.user_id, pt.p, iv.purchase_id, iv.s, iv.e
+            FROM pt JOIN iv
+              ON pt.user_id = iv.user_id AND pt.p >= iv.s AND pt.p < iv.e
+            ORDER BY click_id, purchase_id
+        """,
+        "interval_overlap": """
+            WITH l AS (
+              SELECT event_id AS purchase_id, user_id,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT) + 3600 AS e
+              FROM events WHERE event_type = 'purchase'
+            ),
+            r AS (
+              SELECT event_id AS view_id, user_id,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT) AS s2,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT) + 1800 AS e2
+              FROM events WHERE event_type = 'view'
+            )
+            SELECT l.purchase_id, l.user_id, l.s, l.e, r.view_id, r.s2, r.e2,
+                   GREATEST(l.s, r.s2) AS overlap_start,
+                   LEAST(l.e, r.e2) AS overlap_end
+            FROM l JOIN r
+              ON l.user_id = r.user_id AND l.s < r.e2 AND r.s2 < l.e
+            ORDER BY purchase_id, view_id
+        """,
+        "interval_merge": """
+            WITH c AS (
+              SELECT user_id,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT) + 1800 AS e
+              FROM events WHERE event_type = 'click'
+            ),
+            o AS (
+              SELECT user_id, s, e,
+                     MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pmax
+              FROM c
+            ),
+            f AS (
+              SELECT user_id, s, e,
+                     CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS nw
+              FROM o
+            ),
+            g AS (
+              SELECT user_id, s, e,
+                     SUM(nw) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS island
+              FROM f
+            )
+            SELECT user_id, MIN(s) AS start, MAX(e) AS "end",
+                   CAST(COUNT(*) AS BIGINT) AS n_merged
+            FROM g GROUP BY user_id, island
+            ORDER BY user_id, start
         """,
     }

@@ -610,6 +610,93 @@ def main() -> None:
         "JOIN is the oracle twin).",
     )
 
+    # 23. interval joins: binned equi-join, no nested-loop, no distinct
+    from eventanalysis_spark.operators.intervals import (
+        interval_overlap_join,
+        merge_intervals,
+        point_in_interval_join,
+    )
+
+    sec = F.unix_timestamp("ts")
+    iv = events.where(F.col("event_type") == "t0").select(
+        F.col("event_id").alias("iv_id"), "user_id",
+        sec.alias("s"), (sec + 3600).alias("e"),
+    )
+    pts = events.where(F.col("event_type") == "t1").select(
+        F.col("event_id").alias("pt_id"), "user_id", sec.alias("p"),
+    )
+    q23 = point_in_interval_join(pts, iv, "p", "s", "e", bin_width=600,
+                                 keys=("user_id",))
+    plan23 = q23._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Point-in-interval join: binned equi-join, never a nested loop",
+        q23,
+        [
+            ("plans as an equi-join (SortMergeJoin/ShuffledHashJoin on "
+             "(user_id, bin)), not BroadcastNestedLoopJoin/Cartesian",
+             "NestedLoop" not in plan23 and "Cartesian" not in plan23),
+            ("containment predicate is a residual join condition, not a "
+             "post-join filter stage",
+             any((" >= " in ln and " < " in ln)
+                 for ln in plan23.splitlines() if "Join" in ln)
+             and not any("Filter" in ln and " >= " in ln
+                         for ln in plan23.splitlines())),
+            ("event-type filters push into the parquet scan",
+             "PushedFilters" in plan23 and "event_type" in plan23),
+            ("no distinct / post-join aggregation (dedup by construction)",
+             "HashAggregate" not in plan23),
+            ("no Python in the plan", "Python" not in plan23),
+        ],
+        "Intervals replicate to the bins they touch (JVM-side sequence + "
+        "explode, narrow); a point has exactly one bin, so the equi-join on "
+        "(user_id, bin) emits each containment once — no trailing distinct "
+        "shuffle. A plain inequality join would plan as "
+        "BroadcastNestedLoopJoin: O(|L|·|R|) (operators/intervals.py).",
+    )
+
+    rv = iv.select(
+        "user_id", (F.col("iv_id") + 1).alias("r_id"),
+        (F.col("s") + 300).alias("s2"), (F.col("e") + 300).alias("e2"),
+    )
+    q24 = interval_overlap_join(iv, rv, ("s", "e", "s2", "e2"),
+                                bin_width=600, keys=("user_id",))
+    plan24 = q24._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Interval-overlap join: responsibility bin replaces distinct",
+        q24,
+        [
+            ("equi-join on (user_id, bin), no nested loop",
+             "NestedLoop" not in plan24 and "Cartesian" not in plan24),
+            ("NO distinct anywhere (each pair attributed to exactly one "
+             "bin)", "HashAggregate" not in plan24),
+            ("no Python in the plan", "Python" not in plan24),
+        ],
+        "Both sides replicate to touched bins but a pair only matches in "
+        "the bin containing greatest(l.start, r.start) — de-dup by "
+        "construction saves the full-output distinct shuffle "
+        "(operators/intervals.py).",
+    )
+
+    q25 = merge_intervals(iv.drop("iv_id"), "s", "e", keys=("user_id",))
+    plan25 = q25._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Interval merge (gaps-and-islands): one keyed shuffle end-to-end",
+        q25,
+        [
+            ("exactly one Exchange — running-max window, island cumsum and "
+             "the island groupBy all reuse the user_id hash partitioning",
+             plan25.count("Exchange") == 1),
+            ("window is keyed, never global",
+             "hashpartitioning(user_id" in plan25),
+            ("island aggregation collapses map-side (partial_min/partial_max)",
+             "partial_min" in plan25 and "partial_max" in plan25),
+            ("no Python in the plan", "Python" not in plan25),
+        ],
+        "The running-max-of-previous-ends window and the (user_id, island) "
+        "aggregate both cluster by user_id, so Catalyst plans ONE exchange "
+        "for the whole merge (operators/intervals.py).",
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the engine's key paths\n\n"
