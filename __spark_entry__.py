@@ -1774,6 +1774,35 @@ def q_interval_merge(spark, sf):
     )
 
 
+def q_countmin_topk(spark, sf):
+    """Count-min sketch read-out (operators/sketches.py): the 20 exact
+    heavy-hitter tokens of the corpus with their sketch estimates at
+    depth 4 × width 1024 (narrow enough that collisions occur — the
+    oracle replays the identical md5-cell math, so over-estimates match
+    exactly too). Sketch build = one explode + one map-side-partial
+    hash agg; estimates = broadcast lookup of the ≤4096-row grid."""
+    from eventanalysis_spark.operators.sketches import (
+        countmin_lookup,
+        countmin_sketch,
+        heavy_hitters,
+    )
+
+    depth, width = 4, 1024
+    docs = _t(spark, sf, "documents")
+    toks = docs.where(F.length(F.trim("text")) > 0).select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    )
+    top = (
+        heavy_hitters(toks, "term", 20)
+        .withColumnRenamed("key", "term")
+        .withColumnRenamed("cnt", "exact_cnt")
+    )
+    sk = countmin_sketch(toks, "term", depth=depth, width=width)
+    return countmin_lookup(sk, top, "term", depth, width).orderBy(
+        F.desc("exact_cnt"), "term"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -1866,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_point_join": q_interval_point_join,
         "interval_overlap": q_interval_overlap,
         "interval_merge": q_interval_merge,
+        "countmin_topk": q_countmin_topk,
     }
 
 
@@ -4059,5 +4089,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_merged
             FROM g GROUP BY user_id, island
             ORDER BY user_id, start
+        """,
+        "countmin_topk": """
+            -- exact twin of the count-min build + probe: same md5-60bit
+            -- cell hash (d || ':' || term), same depth/width, so even the
+            -- collision over-estimates match bit-for-bit
+            WITH tk AS (
+              SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS term
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            ex AS (
+              SELECT term, COUNT(*) AS exact_cnt FROM tk GROUP BY term
+              ORDER BY exact_cnt DESC, term LIMIT 20
+            ),
+            sk AS (
+              SELECT g.d,
+                     ('0x' || substr(md5(CAST(g.d AS VARCHAR) || ':' || term),
+                                     1, 15))::BIGINT % 1024 AS idx,
+                     COUNT(*) AS cnt
+              FROM tk, generate_series(0, 3) AS g(d)
+              GROUP BY 1, 2
+            ),
+            probe AS (
+              SELECT ex.term, ex.exact_cnt, g.d,
+                     ('0x' || substr(md5(CAST(g.d AS VARCHAR) || ':'
+                                         || ex.term), 1, 15))::BIGINT % 1024
+                       AS idx
+              FROM ex, generate_series(0, 3) AS g(d)
+            )
+            SELECT p.term, MAX(p.exact_cnt) AS exact_cnt,
+                   MIN(COALESCE(sk.cnt, 0)) AS cm_est
+            FROM probe p LEFT JOIN sk ON sk.d = p.d AND sk.idx = p.idx
+            GROUP BY p.term
+            ORDER BY exact_cnt DESC, term
         """,
     }

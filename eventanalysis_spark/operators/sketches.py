@@ -1,0 +1,133 @@
+"""Count-min sketch + exact heavy hitters: frequency estimation whose
+state is O(depth × width), independent of corpus size.
+
+At 100 TB the exact token/URL/host frequency table is itself huge and
+reshuffles with every new crawl slice. A count-min sketch (Cormode &
+Muthukrishnan 2005) compresses it to a fixed depth×width grid with a
+one-sided guarantee (estimate >= true count; overshoot bounded by
+n/width per row, min over depth rows): the right structure for "is this
+n-gram/url/host frequent?" gates in dedup and filtering pipelines.
+
+Spark-first shape: the sketch IS one hash aggregate. Each input row
+expands to `depth` (row, cell) coordinates (a literal-sequence explode,
+JVM-side and narrow); groupBy (d, idx) SUM collapses map-side, so the
+shuffle carries at most depth×width rows per upstream partition no
+matter how skewed the keys are — the classic hot-key problem the exact
+count table has is absorbed by partial aggregation into bounded state.
+Sketches are MERGEABLE by construction (cellwise sum): per-source /
+per-crawl sketches union + re-aggregate into the corpus sketch, bit-equal
+to sketching the union (tested).
+
+Hashing: the d-th hash of key x is hash60_md5(d || ':' || x) mod width —
+the same SQL-replicable 60-bit md5 family as dedup.hash60_md5, so the
+whole sketch (and every estimate read from it) has an EXACT DuckDB
+oracle. Estimates are exact when width >> distinct keys; always an
+upper bound otherwise.
+
+The reference has no sketch machinery (its totals are exact SQLite
+aggregates, Lcl.EventLog/Jobs/EventJob.Queries.cs); this family is part
+of the at-scale pipeline surface the engine adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from eventanalysis_spark.operators.dedup import hash60_md5
+
+
+def _cell(d: Column, key: Column, width: int) -> Column:
+    """Row-d cell index of `key`: md5-60bit of 'd:key' mod width."""
+    return F.pmod(
+        hash60_md5(F.concat(d.cast("string"), F.lit(":"), key.cast("string"))),
+        F.lit(width),
+    )
+
+
+def countmin_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 8192,
+    weight_col: str | None = None,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Build a count-min sketch of `key_col` (optionally weighted,
+    optionally one sketch per `group_cols` value). Output rows
+    (*group_cols, d, idx, cnt) — the sparse cell grid, at most
+    depth×width rows per group.
+
+    One narrow explode (each row → depth coordinates) + ONE hash
+    aggregate with map-side partial — a mega-hot key contributes at
+    most depth rows per upstream partition to the shuffle."""
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    coords = df.select(
+        *group_cols,
+        F.col(key_col).alias("__k"),
+        w.alias("__w"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    )
+    return (
+        coords.select(
+            *group_cols,
+            "d",
+            _cell(F.col("d"), F.col("__k"), width).alias("idx"),
+            "__w",
+        )
+        .groupBy(*group_cols, "d", "idx")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def countmin_merge(
+    sketches: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge per-source sketches (same depth/width) into one by cellwise
+    sum — bit-equal to sketching the concatenated input. Pass the
+    group columns that should SURVIVE the merge; any others (e.g. the
+    source tag) must already be absent or they shard the result."""
+    return sketches.groupBy(*group_cols, "d", "idx").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def countmin_lookup(
+    sketch: DataFrame,
+    items: DataFrame,
+    key_col: str,
+    depth: int,
+    width: int,
+) -> DataFrame:
+    """Point-query the sketch for every row of `items`: appends
+    `cm_est` = min over the depth cells (0 when a cell is empty —
+    count-min reads absent cells as zero). The sketch side is at most
+    depth×width rows → broadcast join; items never shuffle."""
+    probes = items.withColumn(
+        "__d", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+    ).withColumn("__idx", _cell(F.col("__d"), F.col(key_col), width))
+    joined = probes.join(
+        F.broadcast(sketch),
+        (probes["__d"] == sketch["d"]) & (probes["__idx"] == sketch["idx"]),
+        "left",
+    ).select(*[probes[c] for c in items.columns], F.coalesce(sketch["cnt"], F.lit(0)).alias("__c"))
+    return joined.groupBy(*items.columns).agg(F.min("__c").alias("cm_est"))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k keys by (weighted) count: one hash aggregate with
+    map-side partial, then TakeOrderedAndProject on (cnt DESC, key ASC)
+    — k rows per partition move, never a global sort. Deterministic
+    tie-break on the key."""
+    w = F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+    return (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(w.alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("key"))
+        .limit(k)
+    )

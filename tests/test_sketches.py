@@ -1,0 +1,105 @@
+"""Count-min sketch: overestimate guarantee, exactness at large width,
+mergeability (per-source sketches == whole-corpus sketch), absent-key
+zero reads, weighted counts, exact heavy-hitter top-k with ties."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventanalysis_spark.operators.sketches import (
+    countmin_lookup,
+    countmin_merge,
+    countmin_sketch,
+    heavy_hitters,
+)
+
+DEPTH, WIDTH = 4, 64  # narrow on purpose: collisions must occur
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    # 500 rows over 100 distinct keys with a skewed head (key_0 hot)
+    return spark.range(500).select(
+        F.concat(
+            F.lit("key_"),
+            F.when(F.col("id") % 5 == 0, F.lit(0)).otherwise(F.col("id") % 100),
+        ).alias("k"),
+        (F.col("id") % 3 + 1).alias("w"),
+    )
+
+
+def _exact(df):
+    return {r.k: r.n for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+
+
+def test_overestimate_never_under(keyed):
+    sk = countmin_sketch(keyed, "k", depth=DEPTH, width=WIDTH)
+    items = keyed.select("k").distinct()
+    est = {
+        r.k: r.cm_est
+        for r in countmin_lookup(sk, items, "k", DEPTH, WIDTH).collect()
+    }
+    exact = _exact(keyed)
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+
+
+def test_exact_at_large_width(keyed):
+    sk = countmin_sketch(keyed, "k", depth=DEPTH, width=1 << 16)
+    items = keyed.select("k").distinct()
+    est = {
+        r.k: r.cm_est
+        for r in countmin_lookup(sk, items, "k", DEPTH, 1 << 16).collect()
+    }
+    assert est == _exact(keyed)
+
+
+def test_merge_equals_whole(spark, keyed):
+    half_a = keyed.where(F.col("w") == 1)
+    half_b = keyed.where(F.col("w") != 1)
+    merged = countmin_merge(
+        countmin_sketch(half_a, "k", DEPTH, WIDTH).unionByName(
+            countmin_sketch(half_b, "k", DEPTH, WIDTH)
+        )
+    )
+    whole = countmin_sketch(keyed, "k", DEPTH, WIDTH)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_absent_key_reads_zero_when_wide(spark, keyed):
+    width = 1 << 16
+    sk = countmin_sketch(keyed, "k", DEPTH, width)
+    ghost = spark.createDataFrame([("never_seen_xyz",)], "k string")
+    [row] = countmin_lookup(sk, ghost, "k", DEPTH, width).collect()
+    assert row.cm_est == 0
+
+
+def test_weighted_counts(spark):
+    df = spark.createDataFrame([("a", 10), ("a", 5), ("b", 1)], "k string, w long")
+    sk = countmin_sketch(df, "k", DEPTH, 1 << 16, weight_col="w")
+    items = df.select("k").distinct()
+    est = {r.k: r.cm_est for r in countmin_lookup(sk, items, "k", DEPTH, 1 << 16).collect()}
+    assert est == {"a": 15, "b": 1}
+
+
+def test_grouped_sketches_independent(keyed):
+    grouped = countmin_sketch(
+        keyed.withColumn("src", F.col("w") % 2), "k", DEPTH, WIDTH,
+        group_cols=("src",),
+    )
+    # collapsing the group dim == ungrouped sketch
+    collapsed = countmin_merge(grouped)
+    whole = countmin_sketch(keyed, "k", DEPTH, WIDTH)
+    assert sorted(map(tuple, collapsed.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_heavy_hitters_exact_and_tiebreak(spark):
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 3 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    got = [(r.key, r.cnt) for r in heavy_hitters(df, "k", 3).collect()]
+    assert got == [("a", 5), ("b", 3), ("c", 3)]  # b before c: key tiebreak

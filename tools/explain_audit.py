@@ -697,6 +697,36 @@ def main() -> None:
         "for the whole merge (operators/intervals.py).",
     )
 
+    # 26. count-min sketch: bounded-state agg + broadcast lookup
+    from eventanalysis_spark.operators.sketches import (
+        countmin_lookup,
+        countmin_sketch,
+    )
+
+    toks26 = events.select(F.concat(F.lit("t"), F.col("user_id")).alias("term"))
+    sk26 = countmin_sketch(toks26, "term", depth=4, width=1024)
+    q26 = countmin_lookup(sk26, toks26.distinct(), "term", 4, 1024)
+    plan26a = sk26._jdf.queryExecution().executedPlan().toString()
+    plan26b = q26._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Count-min sketch: map-side partial into bounded state, broadcast probe",
+        q26,
+        [
+            ("sketch build collapses map-side (partial_sum before its one "
+             "exchange) — a hot key adds ≤depth rows per upstream partition",
+             "partial_sum" in plan26a and plan26a.count("Exchange") == 1),
+            ("cell hash is pure Catalyst (md5/conv), no Python in either plan",
+             "Python" not in plan26a and "Python" not in plan26b),
+            ("probe joins the ≤depth×width grid as a BroadcastHashJoin — "
+             "items never shuffle for the join",
+             "BroadcastHashJoin" in plan26b),
+            ("no sort anywhere", "Sort" not in plan26a),
+        ],
+        "The sketch is ONE hash aggregate whose result is O(depth×width) "
+        "regardless of input size or skew; per-source sketches merge by "
+        "cellwise sum (operators/sketches.py).",
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the engine's key paths\n\n"
