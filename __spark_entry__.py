@@ -1828,6 +1828,23 @@ def q_quantiles_by_lang(spark, sf):
     ).orderBy("lang", "prob")
 
 
+def q_bloom_decontaminate(spark, sf):
+    """Bloom-gated decontamination (operators/sketches.py): same slice
+    as `decontaminate` but the benchmark gram set is a 4096-bit Bloom
+    filter (3 hashes) instead of an exact broadcast array — the shape
+    for eval suites too large to broadcast. Deliberately narrow so
+    false positives occur; the oracle replays the identical md5
+    bit-position math, so over-flagging matches exactly too."""
+    from eventanalysis_spark.operators.sketches import decontaminate_bloom
+
+    base = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    corpus = base.where(F.col("doc_id") % 10 != 0)
+    bench = base.where(F.col("doc_id") % 10 == 0)
+    return decontaminate_bloom(
+        corpus, bench, k=3, num_bits=4096, num_hashes=3, threshold=2
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -1923,6 +1940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_topk": q_countmin_topk,
         "quantiles_global": q_quantiles_global,
         "quantiles_by_lang": q_quantiles_by_lang,
+        "bloom_decontaminate": q_bloom_decontaminate,
     }
 
 
@@ -4202,5 +4220,61 @@ def oracle_sql() -> dict[str, str]:
             WHERE cum.cum >= CEIL(p.prob * cum.n)
               AND cum.cum - cum.cnt < CEIL(p.prob * cum.n)
             ORDER BY lang, prob
+        """,
+        "bloom_decontaminate": """
+            -- exact twin of the bloom build + probe: same md5-60bit bit
+            -- positions (h || '|' || gram), 4096 bits, 3 hashes, 32-bit
+            -- words — false positives reproduce bit-for-bit
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                          ELSE list_distinct([
+                            array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(toks) - 2, 1))
+                          ])
+                     END AS s
+              FROM (
+                SELECT doc_id,
+                       CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                       END AS toks
+                FROM documents WHERE doc_id < 300
+              )
+            ),
+            bench AS (
+              SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 10 = 0
+            ),
+            bpos AS (
+              SELECT ('0x' || substr(md5(CAST(g.h AS VARCHAR) || '|' || gram),
+                                     1, 15))::BIGINT % 4096 AS p
+              FROM bench, generate_series(0, 2) AS g(h)
+            ),
+            bloom AS (
+              SELECT CAST(FLOOR(p / 32) AS BIGINT) AS word,
+                     BIT_OR(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+              FROM bpos GROUP BY 1
+            ),
+            dg AS (
+              SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 10 != 0
+            ),
+            probes AS (
+              SELECT doc_id, gram,
+                     ('0x' || substr(md5(CAST(g.h AS VARCHAR) || '|' || gram),
+                                     1, 15))::BIGINT % 4096 AS p
+              FROM dg, generate_series(0, 2) AS g(h)
+            ),
+            hit AS (
+              SELECT doc_id, gram,
+                     MIN(CASE WHEN b.bits IS NOT NULL
+                              AND (b.bits & (1::BIGINT << CAST(p.p % 32 AS INT)))
+                                  <> 0
+                              THEN 1 ELSE 0 END) AS m
+              FROM probes p
+              LEFT JOIN bloom b ON b.word = CAST(FLOOR(p.p / 32) AS BIGINT)
+              GROUP BY doc_id, gram
+            )
+            SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_flagged_ngrams,
+                   SUM(m) >= 2 AS is_contaminated
+            FROM hit GROUP BY doc_id ORDER BY doc_id
         """,
     }

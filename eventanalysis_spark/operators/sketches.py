@@ -114,6 +114,144 @@ def countmin_lookup(
     return joined.groupBy(*items.columns).agg(F.min("__c").alias("cm_est"))
 
 
+def _bloom_pos(h: Column, key: Column, num_bits: int) -> Column:
+    """h-th bloom bit position of `key`: md5-60bit of 'h|key' mod m."""
+    return F.pmod(
+        hash60_md5(F.concat(h.cast("string"), F.lit("|"), key.cast("string"))),
+        F.lit(num_bits),
+    )
+
+
+# 32-bit words: masks stay in [1, 2^31], positive in BIGINT on both
+# engines (a 64-bit word's bit 63 would need signed-overflow semantics
+# that Spark's ANSI mode and DuckDB both reject)
+_WORD = 32
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Build a Bloom filter of `key_col` as a SPARSE word table
+    (*group_cols, word, bits): word = bit_position // 32, bits = OR of
+    the set bit masks. At most ceil(num_bits/32) rows per group — fixed
+    size no matter how many keys went in; one-sided error (false
+    positives only, never false negatives).
+
+    One narrow explode (row → num_hashes positions) + ONE bit_or hash
+    aggregate with map-side partial. Per-source filters merge by
+    `bloom_merge` (cellwise OR) — bit-equal to building over the union.
+    Probes broadcast the word table: this is the decontamination /
+    membership-gate shape when the exact key set outgrows a broadcast
+    array (sampling.decontaminate's documented limit)."""
+    pos = df.select(
+        *group_cols,
+        F.col(key_col).alias("__k"),
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("__h"),
+    ).select(
+        *group_cols,
+        _bloom_pos(F.col("__h"), F.col("__k"), num_bits).alias("__pos"),
+    )
+    return (
+        pos.select(
+            *group_cols,
+            F.floor(F.col("__pos") / _WORD).cast("long").alias("word"),
+            # python shiftleft() wants a literal shift; the SQL form takes
+            # a column
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(__pos % {_WORD} AS INT))")
+            .alias("__m"),
+        )
+        .groupBy(*group_cols, "word")
+        .agg(F.bit_or("__m").alias("bits"))
+    )
+
+
+def bloom_merge(blooms: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Merge same-shape Bloom filters by cellwise OR — bit-equal to
+    building one filter over the concatenated input."""
+    return blooms.groupBy(*group_cols, "word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    items: DataFrame,
+    key_col: str,
+    num_bits: int,
+    num_hashes: int,
+) -> DataFrame:
+    """Membership-test every row of `items` against the filter: appends
+    `maybe_present` (true = possibly in the set, false = DEFINITELY
+    not). Each item expands to its num_hashes (word, bit) probes, the
+    sparse word table joins as a broadcast, and all-bits-set reduces
+    per item — items never shuffle for the join."""
+    probes = (
+        items.withColumn("__h", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))))
+        .withColumn("__pos", _bloom_pos(F.col("__h"), F.col(key_col), num_bits))
+        .withColumn("__word", F.floor(F.col("__pos") / _WORD).cast("long"))
+        .withColumn("__bit", (F.col("__pos") % _WORD).cast("int"))
+    )
+    joined = probes.join(
+        F.broadcast(bloom), probes["__word"] == bloom["word"], "left"
+    ).select(
+        *[probes[c] for c in items.columns],
+        F.when(
+            bloom["bits"].isNotNull()
+            & (bloom["bits"].bitwiseAND(
+                F.expr("shiftleft(CAST(1 AS BIGINT), __bit)")
+            ) != 0),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("__hit"),
+    )
+    return joined.groupBy(*items.columns).agg(
+        (F.min("__hit") == 1).alias("maybe_present")
+    )
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 13,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+    threshold: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-gated benchmark decontamination: like
+    sampling.decontaminate but the benchmark gram set is a fixed-size
+    Bloom filter instead of an exact broadcast array — the shape for
+    eval suites too big to broadcast exactly. One-sided error means
+    possible OVER-flagging (safe direction: a false positive drops a
+    clean doc, never leaks a contaminated one). Returns (id_col,
+    n_flagged_ngrams, is_contaminated) counting DISTINCT doc grams the
+    filter reports present."""
+    from eventanalysis_spark.operators.sampling import word_shingles
+
+    bench_grams = benchmark.select(
+        F.explode(word_shingles(F.col(text_col), k)).alias("gram")
+    ).distinct()
+    bloom = bloom_build(bench_grams, "gram", num_bits, num_hashes)
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), k)).alias("gram"),
+    )
+    flagged = bloom_probe(bloom, doc_grams, "gram", num_bits, num_hashes)
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("maybe_present"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged_ngrams")
+        )
+        .withColumn("is_contaminated", F.col("n_flagged_ngrams") >= threshold)
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     key_col: str,

@@ -103,3 +103,75 @@ def test_heavy_hitters_exact_and_tiebreak(spark):
     df = spark.createDataFrame(rows, "k string")
     got = [(r.key, r.cnt) for r in heavy_hitters(df, "k", 3).collect()]
     assert got == [("a", 5), ("b", 3), ("c", 3)]  # b before c: key tiebreak
+
+
+# ---- bloom -----------------------------------------------------------------
+
+from eventanalysis_spark.operators.sketches import (  # noqa: E402
+    bloom_build,
+    bloom_merge,
+    bloom_probe,
+    decontaminate_bloom,
+)
+
+BITS, HASHES = 1 << 14, 5
+
+
+def test_bloom_no_false_negatives(keyed):
+    bl = bloom_build(keyed.select("k"), "k", BITS, HASHES)
+    got = bloom_probe(bl, keyed.select("k").distinct(), "k", BITS, HASHES)
+    assert all(r.maybe_present for r in got.collect())
+
+
+def test_bloom_rejects_absent_when_wide(spark, keyed):
+    bl = bloom_build(keyed.select("k"), "k", 1 << 20, HASHES)
+    ghosts = spark.createDataFrame(
+        [("ghost_%d" % i,) for i in range(200)], "k string"
+    )
+    got = bloom_probe(bl, ghosts, "k", 1 << 20, HASHES)
+    # 200 probes vs 100 keys in 2^20 bits: expected FP rate ~ 0
+    assert not any(r.maybe_present for r in got.collect())
+
+
+def test_bloom_fp_rate_bounded_when_narrow(spark, keyed):
+    # 100 keys x 5 hashes in 512 bits -> fill ~0.62, FP rate ~0.62^5 ~ 9%
+    bits = 1 << 9
+    bl = bloom_build(keyed.select("k"), "k", bits, HASHES)
+    ghosts = spark.createDataFrame(
+        [("ghost_%d" % i,) for i in range(300)], "k string"
+    )
+    fp = sum(r.maybe_present for r in bloom_probe(bl, ghosts, "k", bits, HASHES).collect())
+    assert 0 < fp < 150  # one-sided error exists but is bounded
+
+
+def test_bloom_merge_equals_whole(keyed):
+    a = keyed.where(F.col("w") == 1).select("k")
+    b = keyed.where(F.col("w") != 1).select("k")
+    merged = bloom_merge(
+        bloom_build(a, "k", BITS, HASHES).unionByName(
+            bloom_build(b, "k", BITS, HASHES)
+        )
+    )
+    whole = bloom_build(keyed.select("k"), "k", BITS, HASHES)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_decontaminate_bloom_matches_exact_when_wide(spark):
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "epsilon zeta eta theta"),
+        (3, "totally different words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(10, "alpha beta gamma something"), (11, "epsilon zeta eta other")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_flagged_ngrams, r.is_contaminated)
+        for r in decontaminate_bloom(
+            docs, bench, k=3, num_bits=1 << 20, num_hashes=5
+        ).collect()
+    }
+    # doc1 shares 'alpha beta gamma'; doc2 shares 'epsilon zeta eta'
+    assert got[1] == (1, True) and got[2] == (1, True) and got[3] == (0, False)

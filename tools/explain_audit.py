@@ -762,6 +762,33 @@ def main() -> None:
         "(operators/quantiles.py).",
     )
 
+    # 28. bloom filter: bit_or agg into fixed state, broadcast probe
+    from eventanalysis_spark.operators.sketches import bloom_build, bloom_probe
+
+    keys28 = events.select(F.concat(F.lit("k"), F.col("user_id")).alias("k"))
+    bl28 = bloom_build(keys28, "k", num_bits=1 << 14, num_hashes=5)
+    q28 = bloom_probe(bl28, keys28.distinct(), "k", 1 << 14, 5)
+    plan28a = bl28._jdf.queryExecution().executedPlan().toString()
+    plan28b = q28._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Bloom filter: bit_or into fixed-size words, broadcast membership",
+        q28,
+        [
+            ("build collapses map-side (partial_bit_or before its one "
+             "exchange) into ≤ num_bits/32 rows",
+             "partial_bit_or" in plan28a and plan28a.count("Exchange") == 1),
+            ("probe joins the word table as a BroadcastHashJoin — items "
+             "never shuffle for the membership test",
+             "BroadcastHashJoin" in plan28b),
+            ("bit positions are pure Catalyst (md5/conv/shiftleft), no "
+             "Python in either plan",
+             "Python" not in plan28a and "Python" not in plan28b),
+        ],
+        "Fixed-size one-sided membership state: the decontamination gate "
+        "when the exact benchmark gram set outgrows a broadcast array; "
+        "per-source filters merge by cellwise OR (operators/sketches.py).",
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the engine's key paths\n\n"
