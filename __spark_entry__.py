@@ -1845,6 +1845,24 @@ def q_bloom_decontaminate(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_hll_distinct(spark, sf):
+    """HyperLogLog cardinality (operators/sketches.py): per-source
+    distinct-text estimates at p=10 (1024 registers) next to the exact
+    count. The register sum is the exact integer Σ2^(52−M) so the
+    estimate is bit-identical across engines and partitionings; the
+    oracle replays the full bucket/rho/harmonic-mean/linear-counting
+    procedure in SQL."""
+    from eventanalysis_spark.operators.sketches import hll_estimate, hll_sketch
+
+    docs = _t(spark, sf, "documents")
+    sk = hll_sketch(docs, "text", p=10, group_cols=("source",))
+    est = hll_estimate(sk, p=10, group_cols=("source",))
+    exact = docs.groupBy("source").agg(
+        F.countDistinct("text").alias("exact_distinct")
+    )
+    return est.join(exact, "source").orderBy("source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -1941,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_global": q_quantiles_global,
         "quantiles_by_lang": q_quantiles_by_lang,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "hll_distinct": q_hll_distinct,
     }
 
 
@@ -4276,5 +4295,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_flagged_ngrams,
                    SUM(m) >= 2 AS is_contaminated
             FROM hit GROUP BY doc_id ORDER BY doc_id
+        """,
+        "hll_distinct": """
+            -- full HLL replay: bucket = low 10 hash bits, rho from the
+            -- binary-string LENGTH of the high bits (exact — log2 via
+            -- doubles would flip at powers of two), register sum as the
+            -- exact integer sum of 2^(52-M), alpha*m*m*2^52 as the same
+            -- exact double product, linear counting below 2.5m
+            WITH h AS (
+              SELECT source, ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv
+              FROM documents
+            ),
+            reg AS (
+              SELECT source, hv % 1024 AS bucket,
+                     CASE WHEN (hv >> 10) = 0 THEN 51
+                          ELSE 50 - (length(bin(hv >> 10)) - 1) END AS r
+              FROM h
+            ),
+            m AS (SELECT source, bucket, MAX(r) AS mval FROM reg GROUP BY 1, 2),
+            agg AS (
+              SELECT source, COUNT(*) AS v,
+                     CAST(SUM(1::BIGINT << CAST(52 - mval AS INT)) AS BIGINT)
+                       AS sp
+              FROM m GROUP BY source
+            ),
+            est AS (
+              SELECT source, v,
+                     (0.7205407583220416::DOUBLE * 1024 * 1024
+                      * 4503599627370496.0)
+                       / CAST(sp + (1024 - v) * (1::BIGINT << 52) AS DOUBLE)
+                       AS e_raw
+              FROM agg
+            ),
+            ex AS (
+              SELECT source, COUNT(DISTINCT text) AS exact_distinct
+              FROM documents GROUP BY source
+            )
+            SELECT est.source,
+                   ROUND(CASE WHEN est.v < 1024 AND est.e_raw <= 2560.0
+                              THEN 1024.0 * ln(1024.0
+                                               / CAST(1024 - est.v AS DOUBLE))
+                              ELSE est.e_raw END, 6) AS est_distinct,
+                   ex.exact_distinct
+            FROM est JOIN ex ON ex.source = est.source
+            ORDER BY 1
         """,
     }

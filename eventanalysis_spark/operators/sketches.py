@@ -252,6 +252,86 @@ def decontaminate_bloom(
     )
 
 
+# ---- HyperLogLog -----------------------------------------------------------
+#
+# Flajolet et al. 2007. Completes the sketch family: count-min =
+# frequency, bloom = membership, HLL = cardinality. KMV (corpus.py)
+# also estimates cardinality but keeps k hash VALUES; HLL keeps one
+# 6-bit register per bucket — the fixed-and-tiny (2^p rows) mergeable
+# state that per-host / per-crawl distinct counters need at 100 TB.
+#
+# Cross-engine determinism: rho is derived from the binary-string
+# LENGTH of the suffix (exact in both engines; floor(log2(w)) via
+# doubles would flip at powers of two), and the register sum
+# Σ 2^(-M_j) is computed as the exact INTEGER Σ 2^(52-M_j) — dyadic
+# double addition order could round, integer addition cannot.
+
+_HLL_BITS = 60  # usable bits of hash60_md5
+
+
+def hll_sketch(
+    df: DataFrame,
+    key_col: str,
+    p: int = 10,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """HyperLogLog registers of `key_col`: (*group_cols, bucket, mval)
+    with bucket = low p bits of the md5-60bit hash and mval = max over
+    keys of (1 + leading-zero count of the remaining 60-p bits). At
+    most 2^p rows per group; ONE map-side-partial max aggregate;
+    sketches merge with `hll_merge` (registerwise max, bit-equal to
+    sketching the union)."""
+    if not 4 <= p <= 11:
+        raise ValueError("p must be in [4, 11] (register sum fits in long)")
+    m = 1 << p
+    h = hash60_md5(F.col(key_col))
+    # high bits via INTEGER shift — h/m through double division would
+    # round (h has up to 60 bits, doubles carry 53)
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(_HLL_BITS - p + 1)).otherwise(
+        F.lit(_HLL_BITS - p) - (F.length(F.bin(w)) - 1)
+    )
+    return (
+        df.select(*group_cols, F.pmod(h, F.lit(m)).alias("bucket"), rho.alias("__r"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("__r").cast("int").alias("mval"))
+    )
+
+
+def hll_merge(sketches: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Merge same-p HLL sketches by registerwise max."""
+    return sketches.groupBy(*group_cols, "bucket").agg(
+        F.max("mval").alias("mval")
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame,
+    p: int = 10,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Cardinality estimate per group: the standard HLL harmonic-mean
+    formula with linear-counting small-range correction. The register
+    sum is the exact integer Σ 2^(52−M_j) (absent buckets contribute
+    2^52), so the estimate is bit-identical across engines and
+    partitionings; typical error ~1.04/√(2^p) ≈ 3.3% at p=10."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)  # valid for m >= 128
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__v"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(52 - mval AS INT))"))
+        .alias("__s_present"),
+    )
+    s = F.col("__s_present") + (F.lit(m) - F.col("__v")) * F.lit(1 << 52)
+    zeros = (F.lit(m) - F.col("__v")).cast("double")
+    e_raw = F.lit(alpha * m * m * float(1 << 52)) / s.cast("double")
+    est = F.when(
+        (F.col("__v") < m) & (e_raw <= 2.5 * m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(e_raw)
+    return agg.select(*group_cols, F.round(est, 6).alias("est_distinct"))
+
+
 def heavy_hitters(
     df: DataFrame,
     key_col: str,

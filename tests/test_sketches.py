@@ -175,3 +175,61 @@ def test_decontaminate_bloom_matches_exact_when_wide(spark):
     }
     # doc1 shares 'alpha beta gamma'; doc2 shares 'epsilon zeta eta'
     assert got[1] == (1, True) and got[2] == (1, True) and got[3] == (0, False)
+
+
+# ---- hyperloglog ------------------------------------------------------------
+
+from eventanalysis_spark.operators.sketches import (  # noqa: E402
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
+)
+
+
+def test_hll_accuracy_at_p10(spark):
+    # 20k distinct keys, expect ~3.3% standard error at p=10
+    df = spark.range(60000).select((F.col("id") % 20000).cast("string").alias("k"))
+    [r] = hll_estimate(hll_sketch(df, "k", p=10), p=10).collect()
+    assert abs(r.est_distinct - 20000) / 20000 < 0.12
+
+
+def test_hll_small_range_linear_counting(spark):
+    df = spark.range(50).select(F.col("id").cast("string").alias("k"))
+    [r] = hll_estimate(hll_sketch(df, "k", p=10), p=10).collect()
+    assert abs(r.est_distinct - 50) / 50 < 0.15
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    a = spark.range(5000).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(5000).select((F.col("id") % 100).cast("string").alias("k"))
+    ea = hll_estimate(hll_sketch(a.unionAll(a), "k"), p=10).collect()[0].est_distinct
+    eb = hll_estimate(hll_sketch(a, "k"), p=10).collect()[0].est_distinct
+    assert ea == eb  # sketch of a+a == sketch of a
+    del b
+
+
+def test_hll_merge_equals_whole(spark):
+    whole = spark.range(8000).select(F.col("id").cast("string").alias("k"))
+    a = whole.where(F.col("k").cast("long") < 5000)   # overlapping halves
+    b = whole.where(F.col("k").cast("long") >= 3000)
+    merged = hll_merge(
+        hll_sketch(a, "k", p=10).unionByName(hll_sketch(b, "k", p=10))
+    )
+    want = hll_sketch(whole, "k", p=10)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_hll_grouped_and_partition_invariant(spark):
+    df = spark.range(30000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 7000).cast("string").alias("k"),
+    )
+    e1 = sorted(map(tuple, hll_estimate(hll_sketch(df, "k", p=10, group_cols=("g",)), p=10, group_cols=("g",)).collect()))
+    e2 = sorted(map(tuple, hll_estimate(hll_sketch(df.repartition(32), "k", p=10, group_cols=("g",)), p=10, group_cols=("g",)).collect()))
+    assert e1 == e2
+
+
+def test_hll_bad_p_rejected(spark):
+    df = spark.range(5).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError):
+        hll_sketch(df, "k", p=3)

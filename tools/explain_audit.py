@@ -789,6 +789,29 @@ def main() -> None:
         "per-source filters merge by cellwise OR (operators/sketches.py).",
     )
 
+    # 29. hyperloglog: registers via one partial-max agg
+    from eventanalysis_spark.operators.sketches import hll_estimate, hll_sketch
+
+    q29 = hll_estimate(hll_sketch(keys28, "k", p=10), p=10)
+    plan29 = q29._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "HyperLogLog: 2^p registers via one partial-max aggregate",
+        q29,
+        [
+            ("register build collapses map-side (partial_max before the "
+             "bucket exchange) — state is ≤2^p rows regardless of input",
+             "partial_max" in plan29),
+            ("bucket/rho are integer ops (pmod/shiftright/bin), no doubles "
+             "in the hash path and no Python anywhere",
+             "Python" not in plan29),
+            ("no sort anywhere", "Sort" not in plan29),
+        ],
+        "Cardinality companion to count-min (frequency) and bloom "
+        "(membership): registerwise-max mergeable, estimate computed from "
+        "the EXACT integer register sum Σ2^(52−M) so it is bit-identical "
+        "across engines and partitionings (operators/sketches.py).",
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the engine's key paths\n\n"
