@@ -1863,6 +1863,35 @@ def q_hll_distinct(spark, sf):
     return est.join(exact, "source").orderBy("source")
 
 
+def q_weighted_sample(spark, sf):
+    """Weighted sampling WITHOUT replacement (operators/sampling.py::
+    weighted_sample, Efraimidis-Spirakis): exactly 25 docs picked with
+    probability ∝ n_chars. Global form is TakeOrderedAndProject on the
+    rounded E-S key (k rows per partition move); deterministic on any
+    partitioning/engine via the md5-uniform + 6dp-round + id tie-break."""
+    from eventanalysis_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return weighted_sample(
+        docs.withColumn("w", F.col("n_chars").cast("double")), 25, "w"
+    ).drop("w").orderBy("doc_id")
+
+
+def q_decayed_counts(spark, sf):
+    """Exponentially time-decayed volume per event type
+    (operators/eventlog.py::decayed_counts): recency-weighted counts
+    with a 7-day half-life at a fixed reference instant — one map-side-
+    partial hash aggregate, decay factor is a narrow pow projection."""
+    from eventanalysis_spark.operators.eventlog import decayed_counts
+
+    ev = _t(spark, sf, "events")
+    return decayed_counts(
+        ev, "ts", "2024-02-01 00:00:00", 604800.0, keys=("event_type",)
+    ).orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -1960,6 +1989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_by_lang": q_quantiles_by_lang,
         "bloom_decontaminate": q_bloom_decontaminate,
         "hll_distinct": q_hll_distinct,
+        "weighted_sample": q_weighted_sample,
+        "decayed_counts": q_decayed_counts,
     }
 
 
@@ -4339,5 +4370,33 @@ def oracle_sql() -> dict[str, str]:
                    ex.exact_distinct
             FROM est JOIN ex ON ex.source = est.source
             ORDER BY 1
+        """,
+        "weighted_sample": """
+            -- E-S key replay: u = (md5-60bit('es'||US||id) + 1) / 2^60,
+            -- key = ROUND(ln(u)/w, 6), top-25 by (key DESC, id)
+            WITH w AS (
+              SELECT doc_id, lang, source, n_chars,
+                     ROUND(ln((('0x' || substr(md5('es' || chr(31)
+                                || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                               + 1) / 1152921504606846976.0)
+                           / CAST(n_chars AS DOUBLE), 6) AS rkey
+              FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+            ),
+            pick AS (
+              SELECT doc_id, lang, source, n_chars FROM w
+              ORDER BY rkey DESC, doc_id LIMIT 25
+            )
+            SELECT * FROM pick ORDER BY doc_id
+        """,
+        "decayed_counts": """
+            SELECT event_type,
+                   ROUND(SUM(POW(2.0,
+                       -(FLOOR(epoch(TIMESTAMP '2024-02-01 00:00:00'))
+                         - FLOOR(epoch(ts))) / 604800.0)), 6)
+                     AS decayed_count,
+                   COUNT(*) AS n_events
+            FROM events
+            WHERE ts <= TIMESTAMP '2024-02-01 00:00:00'
+            GROUP BY event_type ORDER BY event_type
         """,
     }

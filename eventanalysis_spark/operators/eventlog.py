@@ -303,3 +303,39 @@ def rate_anomaly(
         )
         .orderBy("event_type", "bucket_start")
     )
+
+
+def decayed_counts(
+    df: DataFrame,
+    ts_col: str,
+    ref_ts: str,
+    half_life_seconds: float,
+    keys: tuple[str, ...] = (),
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Exponentially time-decayed (weighted) counts per key:
+    sum over rows of w · 2^(−(ref−t)/half_life) — the recency-weighted
+    volume used for crawl scheduling, host-rate scoring, and trending
+    detection. A row `half_life` seconds old counts half as much.
+
+    `ref_ts` is an explicit ISO timestamp string (never wall-clock:
+    results must be reproducible). Rows after `ref_ts` are excluded —
+    a decayed count is a statement about the past of its reference
+    point. One map-side-partial hash aggregate; the decay factor is a
+    narrow projection (pow), no Python, no window.
+
+    Output (keys…, decayed_count, n_events); decayed_count rounded to
+    6dp (double-sum order + pow ULPs differ across engines at that
+    scale, never above it)."""
+    ref = F.to_timestamp(F.lit(ref_ts))
+    age = F.unix_timestamp(ref) - F.unix_timestamp(F.col(ts_col))
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    decay = w * F.pow(F.lit(2.0), -age.cast("double") / F.lit(float(half_life_seconds)))
+    return (
+        df.where(F.col(ts_col) <= ref)
+        .groupBy(*keys)
+        .agg(
+            F.round(F.sum(decay), 6).alias("decayed_count"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

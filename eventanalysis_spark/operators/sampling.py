@@ -342,3 +342,47 @@ def mixture_resample(
         )
         .drop("__n")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    keys: tuple[str, ...] = (),
+    salt: str = "es",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006): exactly k rows (per `keys` group if given), where a row's
+    inclusion probability is proportional to its weight — the exact-k
+    complement to `mixture_resample`'s with-replacement multiplicities
+    (quality-weighted corpus subsetting, importance-weighted eval
+    picks). Rows with weight <= 0 or null never qualify.
+
+    Deterministic: the E-S rank key is ln(u)/w with u the row's
+    md5-uniform in (0,1] — same rows selected on any partitioning or
+    engine. The key is ROUNDed to 6dp and ties broken by id, so
+    float-noise at the selection boundary TIES (then the id decides)
+    instead of rank-flipping across engines — the tfidf_topk trick.
+
+    Scale shape: global form is orderBy().limit(k) =
+    TakeOrderedAndProject (k rows per partition move, no global sort);
+    grouped form is one keyed window. No Python anywhere."""
+    u = (hash60_md5(F.concat(F.lit(salt + "\x1f"), F.col(id_col).cast("string")))
+         + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    rkey = F.round(F.log(u) / F.col(weight_col), 6)
+    ranked = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__rkey", rkey)
+    if not keys:
+        return (
+            ranked.orderBy(F.col("__rkey").desc(), F.col(id_col))
+            .limit(k)
+            .drop("__rkey")
+        )
+    w = Window.partitionBy(*keys).orderBy(F.col("__rkey").desc(), F.col(id_col))
+    return (
+        ranked.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rkey", "__rn")
+    )

@@ -180,3 +180,33 @@ def test_funnel_empty_step_returns_zero(spark):
     )
     got = {r.stage: r.n_keys for r in funnel(ev, ["A", "missing"]).collect()}
     assert got == {1: 1, 2: 0}
+
+
+# ---- time-decayed counts -----------------------------------------------------
+
+from eventanalysis_spark.operators.eventlog import decayed_counts  # noqa: E402
+
+
+def test_decayed_counts_halving_and_cutoff(spark):
+    rows = [
+        (1, _ts("2024-01-02 00:00:00"), "a"),   # age 0 at ref -> 1.0
+        (2, _ts("2024-01-01 00:00:00"), "a"),   # age 86400 = hl -> 0.5
+        (3, _ts("2023-12-31 00:00:00"), "a"),   # 2 half-lives -> 0.25
+        (4, _ts("2024-01-03 00:00:00"), "a"),   # AFTER ref: excluded
+        (5, _ts("2024-01-02 00:00:00"), "b"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz, k string")
+    got = {
+        r.k: (r.decayed_count, r.n_events)
+        for r in decayed_counts(
+            df, "ts", "2024-01-02 00:00:00", 86400.0, keys=("k",)
+        ).collect()
+    }
+    assert got == {"a": (1.75, 3), "b": (1.0, 1)}
+
+
+def test_decayed_counts_weighted(spark):
+    rows = [(1, _ts("2024-01-02 00:00:00"), 3.0), (2, _ts("2024-01-01 00:00:00"), 4.0)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz, v double")
+    [r] = decayed_counts(df, "ts", "2024-01-02 00:00:00", 86400.0, weight_col="v").collect()
+    assert (r.decayed_count, r.n_events) == (5.0, 2)  # 3 + 4*0.5

@@ -294,3 +294,42 @@ def test_mixture_resample_default_weight(spark):
     got = {r["source"]: r["n"] for r in
            out.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert got == {"x": 3, "y": 1}
+
+
+# ---- weighted sampling without replacement ----------------------------------
+
+from eventanalysis_spark.operators.sampling import weighted_sample  # noqa: E402
+
+
+def test_weighted_sample_exact_k_and_deterministic(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 10 + 1).cast("double").alias("w"),
+    )
+    a = sorted(r.doc_id for r in weighted_sample(df, 50, "w").collect())
+    b = sorted(
+        r.doc_id for r in weighted_sample(df.repartition(32), 50, "w").collect()
+    )
+    assert len(a) == 50 and a == b
+
+
+def test_weighted_sample_bias_follows_weights(spark):
+    # two strata: weight 20 vs weight 1 -> heavy stratum dominates picks
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, 20.0).otherwise(1.0).alias("w"),
+    )
+    picked = [r.doc_id for r in weighted_sample(df, 200, "w").collect()]
+    heavy = sum(1 for d in picked if d < 1000)
+    assert heavy > 150  # ~ w-proportional; uniform would give ~100
+
+
+def test_weighted_sample_grouped_and_zero_weight(spark):
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.when(F.col("id") % 10 == 0, 0.0).otherwise(1.0).alias("w"),
+    )
+    got = weighted_sample(df, 5, "w", keys=("g",)).collect()
+    assert len(got) == 15
+    assert all(r.doc_id % 10 != 0 for r in got)  # zero weights never picked

@@ -812,6 +812,32 @@ def main() -> None:
         "across engines and partitionings (operators/sketches.py).",
     )
 
+    # 30. E-S weighted sample: TakeOrdered, never a global sort
+    from eventanalysis_spark.operators.sampling import weighted_sample
+
+    q30 = weighted_sample(
+        events.select(F.col("event_id").alias("doc_id"),
+                      (F.col("user_id") + 1).cast("double").alias("w")),
+        25, "w",
+    )
+    plan30 = q30._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Weighted sample (E-S): top-k by rank key via TakeOrdered",
+        q30,
+        [
+            ("global form plans as TakeOrderedAndProject — k rows per "
+             "partition move, no global sort",
+             "TakeOrderedAndProject" in plan30),
+            ("rank key (md5-uniform, ln, round) is pure Catalyst, no Python",
+             "Python" not in plan30),
+            ("no shuffle at all in the global form", "Exchange" not in plan30),
+        ],
+        "Exact-k weighted sampling WITHOUT replacement (Efraimidis-"
+        "Spirakis): inclusion probability ∝ weight, deterministic on any "
+        "partitioning via the rounded key + id tie-break "
+        "(operators/sampling.py).",
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the engine's key paths\n\n"
