@@ -1892,6 +1892,19 @@ def q_decayed_counts(spark, sf):
     ).orderBy("event_type")
 
 
+def q_pmi_collocations(spark, sf):
+    """Corpus collocations by PMI (operators/corpus.py): top-20 adjacent
+    token pairs by ln(p(a,b)/(p(a)p(b))). Pair counts keyed by (a,b) —
+    hot single tokens never concentrate; unigram dictionary + totals
+    broadcast; TakeOrdered on the rounded score with token tie-break."""
+    from eventanalysis_spark.operators.corpus import pmi_collocations
+
+    docs = _t(spark, sf, "documents")
+    return pmi_collocations(docs, min_count=5, k=20).orderBy(
+        "term_a", "term_b"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -1991,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "weighted_sample": q_weighted_sample,
         "decayed_counts": q_decayed_counts,
+        "pmi_collocations": q_pmi_collocations,
     }
 
 
@@ -4398,5 +4412,41 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE ts <= TIMESTAMP '2024-02-01 00:00:00'
             GROUP BY event_type ORDER BY event_type
+        """,
+        "pmi_collocations": """
+            -- same log-sum expression shape as the Spark side; ROUND(,6)
+            -- absorbs per-call ln() ULPs, the (term_a, term_b) tie-break
+            -- absorbs boundary rank noise
+            WITH d AS (
+              SELECT CASE WHEN length(trim(lower(text))) = 0
+                          THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(lower(text)),
+                                                     '\\s+') END AS t
+              FROM documents
+            ),
+            uni AS (SELECT unnest(t) AS term FROM d WHERE len(t) > 0),
+            uc AS (SELECT term, COUNT(*) AS c FROM uni GROUP BY term),
+            nu AS (SELECT COUNT(*) AS n_uni FROM uni),
+            bg AS (
+              SELECT unnest([{a: t[i], b: t[i+1]}
+                             for i in generate_series(1, len(t) - 1)]) AS p
+              FROM d WHERE len(t) >= 2
+            ),
+            bc AS (
+              SELECT p.a AS term_a, p.b AS term_b, COUNT(*) AS pair_cnt
+              FROM bg GROUP BY 1, 2
+            ),
+            np AS (SELECT CAST(SUM(pair_cnt) AS BIGINT) AS n_pairs FROM bc),
+            top AS (
+              SELECT term_a, term_b, pair_cnt,
+                     ROUND(LN(pair_cnt) - LN(ua.c) - LN(ub.c)
+                           + 2 * LN(n_uni) - LN(n_pairs), 6) AS pmi
+              FROM bc, nu, np
+              JOIN uc ua ON ua.term = term_a
+              JOIN uc ub ON ub.term = term_b
+              WHERE pair_cnt >= 5
+              ORDER BY pmi DESC, term_a, term_b LIMIT 20
+            )
+            SELECT * FROM top ORDER BY term_a, term_b
         """,
     }

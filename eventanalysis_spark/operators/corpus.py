@@ -527,3 +527,78 @@ def corpus_divergence(
             F.sum(pa * F.log(pa / m)) * 0.5 + F.sum(pb * F.log(pb / m)) * 0.5, 6
         ).alias("js_div"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over ADJACENT
+    token pairs: PMI = ln(p(a,b) / (p(a)·p(b))) with pair probability
+    over the bigram stream and unigram probabilities over the token
+    stream. The corpus-level association miner (phrase detection,
+    tokenizer-merge candidates) next to the per-doc top-ngram stats
+    (webfilter.top_ngram_stats) and per-doc TF-IDF keywords.
+
+    Scale shape: bigram generation is a JVM-side transform/explode
+    (narrow); pair counts are ONE hash aggregate keyed by (a, b) — the
+    key embeds both tokens, so hot single tokens do not concentrate;
+    the unigram dictionary and the two 1-row totals join as broadcasts
+    (the corpus never reshuffles for scoring); min_count prunes the
+    long tail BEFORE the joins; top-k is TakeOrderedAndProject on the
+    6dp-rounded score with (term_a, term_b) tie-break — float noise at
+    the boundary TIES across engines instead of rank-flipping.
+    """
+    from eventanalysis_spark.operators.dedup import _tokens
+
+    td = docs.select(_tokens(F.col(text_col)).alias("__t")).where(
+        F.size("__t") > 0
+    )
+    uni = (
+        td.select(F.explode("__t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    pairs = (
+        td.where(F.size("__t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("__t", i).alias("term_a"),
+                        F.element_at("__t", i + 1).alias("term_b"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.term_a", "p.term_b")
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+    n_pairs = pairs.agg(F.sum("pair_cnt").alias("n_pairs"))
+    ua, ub = uni.alias("ua"), uni.alias("ub")
+    scored = (
+        pairs.where(F.col("pair_cnt") >= min_count)
+        .join(F.broadcast(ua), F.col("term_a") == F.col("ua.term"))
+        .join(F.broadcast(ub), F.col("term_b") == F.col("ub.term"))
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_pairs))
+        .select(
+            "term_a",
+            "term_b",
+            "pair_cnt",
+            F.round(
+                F.log("pair_cnt")
+                - F.log(F.col("ua.c"))
+                - F.log(F.col("ub.c"))
+                + 2 * F.log("n_uni")
+                - F.log("n_pairs"),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "term_a", "term_b").limit(k)

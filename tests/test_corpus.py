@@ -353,3 +353,40 @@ def test_kmv_merge_equals_whole_corpus_sketch(spark):
     a = sorted(tuple(r) for r in whole.collect())
     b = sorted(tuple(r) for r in merged.collect())
     assert a == b
+
+
+# ---- PMI collocations --------------------------------------------------------
+
+from eventanalysis_spark.operators.corpus import pmi_collocations  # noqa: E402
+
+
+def test_pmi_collocations_ranks_exclusive_pair_first(spark):
+    # 'zyx wvu' always co-occur exclusively (5x); 'the cat'/'the dog' share
+    # 'the' with everything -> lower PMI. Fillers push totals up.
+    rows = (
+        [("zyx wvu",)] * 5
+        + [("the cat",)] * 5
+        + [("the dog",)] * 5
+        + [("the end of the line",)] * 10
+    )
+    docs = spark.createDataFrame(rows, "text string")
+    got = pmi_collocations(docs, min_count=5, k=3).collect()
+    assert (got[0].term_a, got[0].term_b) == ("zyx", "wvu")
+    assert got[0].pair_cnt == 5
+    assert got[0].pmi > got[1].pmi
+
+
+def test_pmi_min_count_prunes(spark):
+    docs = spark.createDataFrame([("aa bb",)] * 3 + [("cc dd",)] * 7, "text string")
+    got = pmi_collocations(docs, min_count=5, k=10).collect()
+    assert [(r.term_a, r.term_b) for r in got] == [("cc", "dd")]
+
+
+def test_pmi_math_matches_hand_formula(spark):
+    import math
+    docs = spark.createDataFrame([("aa bb",)] * 4 + [("aa cc",)] * 4, "text string")
+    got = {(r.term_a, r.term_b): (r.pair_cnt, r.pmi) for r in
+           pmi_collocations(docs, min_count=1, k=10).collect()}
+    # tokens: aa=8, bb=4, cc=4, n_uni=16; pairs: (aa,bb)=4,(aa,cc)=4, n_pairs=8
+    want = round(math.log(4) - math.log(8) - math.log(4) + 2 * math.log(16) - math.log(8), 6)
+    assert got[("aa", "bb")] == (4, want)
