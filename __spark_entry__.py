@@ -1905,6 +1905,37 @@ def q_pmi_collocations(spark, sf):
     )
 
 
+def q_char_entropy(spark, sf):
+    """Character-distribution entropy (operators/robust.py): the cheap
+    gibberish screen. One (doc, char) hash agg — doc id in the key, so
+    a mega-doc spreads over its alphabet; ln(n) − Σc·ln(c)/n with the
+    same expression shape in the oracle."""
+    from eventanalysis_spark.operators.robust import char_entropy
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    return char_entropy(docs).orderBy("doc_id")
+
+
+def q_mad_outliers(spark, sf):
+    """Robust length outliers per language (operators/robust.py):
+    median/MAD z-scores via two exact-quantile passes (no global sort,
+    distinct-value shuffles only), broadcast joins back. A boilerplate
+    mega-doc cannot drag the threshold the way it drags a stddev."""
+    from eventanalysis_spark.operators.robust import mad_outliers
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    out = mad_outliers(docs, "n_chars", keys=("lang",))
+    # null z (degenerate MAD) → sentinel: nullable doubles read back as
+    # NaN through DuckDB/pandas in the comparator
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.coalesce("robust_z", F.lit(-1000000000.0)).alias("robust_z"),
+        "is_outlier",
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -2005,6 +2036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "decayed_counts": q_decayed_counts,
         "pmi_collocations": q_pmi_collocations,
+        "char_entropy": q_char_entropy,
+        "mad_outliers": q_mad_outliers,
     }
 
 
@@ -4448,5 +4481,82 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY pmi DESC, term_a, term_b LIMIT 20
             )
             SELECT * FROM top ORDER BY term_a, term_b
+        """,
+        "char_entropy": """
+            WITH cc AS (
+              SELECT doc_id, c, COUNT(*) AS cnt
+              FROM (
+                SELECT doc_id, unnest(string_split(text, '')) AS c
+                FROM documents WHERE length(text) > 0 AND doc_id < 200
+              )
+              GROUP BY doc_id, c
+            )
+            SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars,
+                   ROUND(LN(SUM(cnt)) - SUM(cnt * LN(cnt)) / SUM(cnt), 6)
+                     AS entropy
+            FROM cc GROUP BY doc_id ORDER BY doc_id
+        """,
+        "mad_outliers": """
+            -- two exact type-1 medians (value, then |value - median|)
+            -- replayed with the same cum-count CTE as quantiles_global
+            WITH c1 AS (
+              SELECT lang, n_chars AS v, COUNT(*) AS cnt
+              FROM documents GROUP BY 1, 2
+            ),
+            cum1 AS (
+              SELECT lang, v, cnt,
+                     SUM(cnt) OVER (PARTITION BY lang ORDER BY v
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum,
+                     SUM(cnt) OVER (PARTITION BY lang) AS n
+              FROM c1
+            ),
+            med AS (
+              SELECT lang, v AS med FROM cum1
+              WHERE cum >= CEIL(0.5::DOUBLE * n)
+                AND cum - cnt < CEIL(0.5::DOUBLE * n)
+            ),
+            d AS (
+              SELECT doc_id, documents.lang AS lang, n_chars, med,
+                     ABS(n_chars - med) AS dev
+              FROM documents JOIN med ON med.lang = documents.lang
+            ),
+            c2 AS (SELECT lang, dev AS v, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+            cum2 AS (
+              SELECT lang, v, cnt,
+                     SUM(cnt) OVER (PARTITION BY lang ORDER BY v
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum,
+                     SUM(cnt) OVER (PARTITION BY lang) AS n
+              FROM c2
+            ),
+            mad AS (
+              SELECT lang, v AS mad FROM cum2
+              WHERE cum >= CEIL(0.5::DOUBLE * n)
+                AND cum - cnt < CEIL(0.5::DOUBLE * n)
+            ),
+            z AS (
+              SELECT d.doc_id, d.lang, d.n_chars, mad.mad,
+                     0.6745::DOUBLE * (d.n_chars - d.med)
+                       / CAST(mad.mad AS DOUBLE) AS raw
+              FROM d JOIN mad ON mad.lang = d.lang
+            ),
+            -- manual half-away-from-zero at 6dp (sign * floor(|z|*1e6
+            -- + 0.5) / 1e6): ROUND would disagree across engines on the
+            -- exact decimal midpoints integer diff/MAD produce
+            r AS (
+              SELECT doc_id, lang, n_chars, mad,
+                     CASE WHEN raw >= 0
+                          THEN FLOOR(raw * 1000000.0 + 0.5) / 1000000.0
+                          ELSE -(FLOOR(-raw * 1000000.0 + 0.5) / 1000000.0)
+                     END AS zr
+              FROM z
+            )
+            SELECT doc_id, lang, n_chars,
+                   CASE WHEN mad > 0 THEN zr
+                        ELSE -1000000000.0 END AS robust_z,
+                   CASE WHEN mad > 0 THEN ABS(zr) > 3.5
+                        ELSE FALSE END AS is_outlier
+            FROM r ORDER BY doc_id
         """,
     }

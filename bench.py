@@ -271,6 +271,11 @@ def timed_queries(spark) -> dict[str, float]:
         "kmv_distinct",
         "canonical_url_dedup",
         "perplexity_tiers",
+        "sessionize_stats",
+        "interval_point_join",
+        "quantiles_global",
+        "hll_distinct",
+        "countmin_topk",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}
