@@ -1936,6 +1936,18 @@ def q_mad_outliers(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_rolling_active(spark, sf):
+    """Rolling distinct actives (operators/eventlog.py::rolling_active):
+    DAU + trailing-7-day WAU per day. Sliding distinct doesn't
+    decompose like a sum, so each (day, user) pair — deduped FIRST —
+    replicates to its 7 window-ends (constant-factor narrow explode),
+    then one (window, user) distinct + count."""
+    from eventanalysis_spark.operators.eventlog import rolling_active
+
+    ev = _t(spark, sf, "events")
+    return rolling_active(ev, window_buckets=7).orderBy("bucket_start")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -2038,6 +2050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "char_entropy": q_char_entropy,
         "mad_outliers": q_mad_outliers,
+        "rolling_active": q_rolling_active,
     }
 
 
@@ -4558,5 +4571,27 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN mad > 0 THEN ABS(zr) > 3.5
                         ELSE FALSE END AS is_outlier
             FROM r ORDER BY doc_id
+        """,
+        "rolling_active": """
+            WITH pairs AS (
+              SELECT DISTINCT
+                     CAST(FLOOR(FLOOR(epoch(ts)) / 86400) AS BIGINT) AS b,
+                     user_id
+              FROM events
+            ),
+            days AS (SELECT DISTINCT b FROM pairs),
+            dau AS (SELECT b, COUNT(*) AS n_active FROM pairs GROUP BY b),
+            wau AS (
+              SELECT w, COUNT(*) AS n_active_window FROM (
+                SELECT DISTINCT pairs.b + g.i AS w, user_id
+                FROM pairs, generate_series(0, 6) AS g(i)
+              ) x
+              JOIN days ON days.b = x.w
+              GROUP BY w
+            )
+            SELECT dau.b * 86400 AS bucket_start, dau.n_active,
+                   wau.n_active_window
+            FROM dau JOIN wau ON wau.w = dau.b
+            ORDER BY bucket_start
         """,
     }

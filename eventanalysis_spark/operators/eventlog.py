@@ -339,3 +339,52 @@ def decayed_counts(
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def rolling_active(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_buckets: int = 7,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """DAU/WAU-style rolling distinct actives: for every time bucket
+    present in the data, the distinct `key_col` count in that bucket
+    (n_active) and in the trailing `window_buckets` buckets ending
+    there (n_active_window). The standard engagement rollup.
+
+    Distinct-over-a-sliding-window does NOT decompose like a sum, so
+    the window is materialized by replication: each (bucket, key) pair
+    contributes to the `window_buckets` window-ends it falls in — a
+    narrow JVM-side explode of a ≤window_buckets-element sequence —
+    then ONE distinct aggregate keyed by (window_end, key) and a count
+    per window_end. The replication factor is the window length (a
+    constant), the shuffle key embeds the bucket so hot keys spread,
+    and per-(bucket,key) dedup happens BEFORE replication so a chatty
+    user costs window_buckets rows, not events × window_buckets.
+    Window-ends with no bucket of their own in the data (pure trailing
+    echoes) are dropped by a broadcast semi-join on observed buckets."""
+    b = F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
+    pairs = df.select(b.alias("__b"), F.col(key_col).alias("__k")).distinct()
+    days = pairs.select("__b").distinct()
+    dau = pairs.groupBy("__b").agg(F.count(F.lit(1)).alias("n_active"))
+    wau = (
+        pairs.select(
+            F.explode(
+                F.sequence(F.col("__b"), F.col("__b") + (window_buckets - 1))
+            ).alias("__w"),
+            "__k",
+        )
+        .distinct()
+        .join(F.broadcast(days), F.col("__w") == days["__b"])
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("n_active_window"))
+    )
+    return (
+        dau.join(wau, dau["__b"] == wau["__w"])
+        .select(
+            (dau["__b"] * bucket_seconds).alias("bucket_start"),
+            "n_active",
+            "n_active_window",
+        )
+    )

@@ -210,3 +210,38 @@ def test_decayed_counts_weighted(spark):
     df = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz, v double")
     [r] = decayed_counts(df, "ts", "2024-01-02 00:00:00", 86400.0, weight_col="v").collect()
     assert (r.decayed_count, r.n_events) == (5.0, 2)  # 3 + 4*0.5
+
+
+# ---- rolling distinct actives --------------------------------------------------
+
+from eventanalysis_spark.operators.eventlog import rolling_active  # noqa: E402
+
+
+def test_rolling_active_dau_wau(spark):
+    day = 86400
+    rows = [
+        # day 0: users 1,2 ; day 1: user 1 ; day 3: user 3
+        (1, _ts("2024-01-01 05:00:00"), 1),
+        (2, _ts("2024-01-01 06:00:00"), 2),
+        (3, _ts("2024-01-01 07:00:00"), 1),   # same user same day: dedup
+        (4, _ts("2024-01-02 05:00:00"), 1),
+        (5, _ts("2024-01-04 05:00:00"), 3),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz, user_id long")
+    got = {
+        r.bucket_start // day: (r.n_active, r.n_active_window)
+        for r in rolling_active(df, window_buckets=3).collect()
+    }
+    d0 = 19723  # 2024-01-01 in epoch days
+    # window=3 trailing days incl. current
+    assert got[d0] == (2, 2)          # users {1,2}
+    assert got[d0 + 1] == (1, 2)      # day: {1}; window d-2..d: {1,2}
+    assert got[d0 + 3] == (1, 2)      # day: {3}; window: {1 (day1), 3}
+    assert set(got) == {d0, d0 + 1, d0 + 3}  # no echo-only days
+
+
+def test_rolling_active_window1_equals_dau(spark):
+    rows = [(i, _ts("2024-01-0%d 01:00:00" % (1 + i % 3)), i % 4) for i in range(12)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz, user_id long")
+    got = rolling_active(df, window_buckets=1).collect()
+    assert all(r.n_active == r.n_active_window for r in got)
