@@ -1948,6 +1948,103 @@ def q_rolling_active(spark, sf):
     return rolling_active(ev, window_buckets=7).orderBy("bucket_start")
 
 
+# decomposed suffix injected for the NFC query: combining acute (U+0301),
+# the fi ligature (U+FB01, NFC-stable — only NFKC folds it), combining
+# ring (U+030A). Spark literal and the oracle's chr() construction are
+# the SAME codepoints, so pre-normalization inputs match byte-for-byte.
+_NFC_SUFFIX = " cafe\u0301 \ufb01ne A\u030a"
+
+
+def q_nfc_normalize(spark, sf):
+    """Unicode NFC normalization (operators/normalize.py) over documents
+    with a deterministic decomposed-suffix injection on doc_id % 7 == 0
+    (the synthetic corpus is ASCII, so the injection is what exercises
+    composition). One Arrow-vectorized pandas UDF, narrow projection;
+    output bounded as (doc_id, nfc_changed, md5-of-normalized-utf8)."""
+    from eventanalysis_spark.operators.normalize import normalize_text
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(_NFC_SUFFIX))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return (
+        normalize_text(docs)
+        .select(
+            "doc_id",
+            "nfc_changed",
+            F.md5(F.encode(F.col("text"), "UTF-8")).alias("nfc_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_rrf_hybrid(spark, sf):
+    """Hybrid retrieval: BM25 top-50 (sparse) fused with cosine top-50 vs
+    the vec_id=0 embedding (dense) by reciprocal-rank fusion
+    (operators/fusion.py::rrf_fuse, k=60) — the standard
+    lexical+vector merge, no score calibration. Both inputs are bounded
+    top-k frames, so the fuse stage is constant-sized work; missing-list
+    ranks surface as -1 sentinels (nullable ints don't round-trip)."""
+    from eventanalysis_spark.operators.fusion import rrf_fuse
+    from eventanalysis_spark.operators.textstats import bm25_topk
+
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    q = emb.where(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    dot = F.aggregate(
+        F.zip_with("e", "qe", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.zip_with(c, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    dense = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot / (norm(F.col("e")) * norm(F.col("qe"))), 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+    bm = bm25_topk(docs, ["dup", "merge", "hash"], k=50)
+    return rrf_fuse({"bm25": bm, "dense": dense}, id_col="doc_id", k=60, topk=20)
+
+
+def q_split_leakage_safe(spark, sf):
+    """Near-dup-cluster-aware corpus split
+    (operators/cluster.py::split_leakage_safe): every member of a
+    duplicate cluster (exact collapse → MinHash LSH → Jaccard ≥0.5 →
+    connected components, same setting dedup_clusters proves recall 1.0
+    at) is hashed by its CLUSTER id into train/test 80/20 — a
+    near-duplicate of a training page can never land in test. Oracle =
+    recursive-CTE transitive closure + the split_corpus md5-bucket
+    formula on the cluster label."""
+    from eventanalysis_spark.operators.cluster import split_leakage_safe
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    return (
+        split_leakage_safe(
+            docs,
+            {"train": 0.8, "test": 0.2},
+            text_col="text",
+            id_col="doc_id",
+            num_hashes=64,
+            bands=32,
+            shingle_k=3,
+            threshold=0.5,
+        )
+        .select(F.col("id").alias("doc_id"), "cluster_id", "split")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -2051,6 +2148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "mad_outliers": q_mad_outliers,
         "rolling_active": q_rolling_active,
+        "nfc_normalize": q_nfc_normalize,
+        "rrf_hybrid": q_rrf_hybrid,
+        "split_leakage_safe": q_split_leakage_safe,
     }
 
 
@@ -4593,5 +4693,146 @@ def oracle_sql() -> dict[str, str]:
                    wau.n_active_window
             FROM dau JOIN wau ON wau.w = dau.b
             ORDER BY bucket_start
+        """,
+        # NFC normalization: nfc_normalize() is DuckDB's Unicode canonical
+        # composition — same tables as python unicodedata. The injected
+        # suffix is built from the SAME codepoints as _NFC_SUFFIX
+        # (chr(769)=U+0301, chr(64257)=U+FB01, chr(778)=U+030A).
+        "nfc_normalize": """
+            SELECT doc_id,
+                   nfc_normalize(t) <> t AS nfc_changed,
+                   md5(nfc_normalize(t)) AS nfc_md5
+            FROM (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || ' cafe' || chr(769) || ' '
+                               || chr(64257) || 'ne A' || chr(778)
+                          ELSE text END AS t
+              FROM documents
+            )
+            ORDER BY doc_id
+        """,
+        # RRF hybrid: bm25 CTEs identical to the "bm25" oracle (LIMIT 50),
+        # dense identical to "ann_cosine_topk" (LIMIT 50); fused score =
+        # 1/(60+r) contributions summed bm25-first (same order as the
+        # Spark expression) and rounded with the midpoint-safe manual
+        # floor form (1/(60+4)=1/64 IS a finite decimal — ROUND would
+        # diverge between BigDecimal HALF_UP and double rounding).
+        "rrf_hybrid": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+            tf AS (
+              SELECT doc_id, t, count(*) AS tf FROM toks
+              WHERE t IN ('dup', 'merge', 'hash') GROUP BY doc_id, t
+            ),
+            dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+            stats AS (SELECT count(*) AS n, avg(len) AS avglen FROM lens),
+            scored AS (
+              SELECT tf.doc_id,
+                     ROUND(SUM(
+                       ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1.0 - 0.75
+                          + 0.75 * lens.len / stats.avglen))
+                     ), 6) AS bm25
+              FROM tf JOIN dfq USING (t) JOIN lens USING (doc_id), stats
+              GROUP BY tf.doc_id
+            ),
+            bmtop AS (
+              SELECT doc_id, bm25 FROM scored
+              ORDER BY bm25 DESC, doc_id LIMIT 50
+            ),
+            bm AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rb
+              FROM bmtop
+            ),
+            q AS (
+              SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+            ),
+            dtop AS (
+              SELECT e.vec_id AS doc_id,
+                     ROUND(
+                       list_dot_product(e.embedding::DOUBLE[], q.qe)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(q.qe, q.qe))), 4
+                     ) AS cs
+              FROM embeddings e, q
+              WHERE e.vec_id != 0
+              ORDER BY cs DESC, doc_id ASC LIMIT 50
+            ),
+            dn AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id ASC) AS rd
+              FROM dtop
+            ),
+            fused AS (
+              SELECT COALESCE(bm.doc_id, dn.doc_id) AS doc_id,
+                     COALESCE(1.0 / (60 + rb), 0.0)
+                       + COALESCE(1.0 / (60 + rd), 0.0) AS raw,
+                     COALESCE(rb, -1) AS bm25_rank,
+                     COALESCE(rd, -1) AS dense_rank
+              FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id
+            )
+            SELECT doc_id,
+                   FLOOR(raw * 1e6 + 0.5) / 1e6 AS rrf_score,
+                   bm25_rank, dense_rank
+            FROM fused
+            ORDER BY rrf_score DESC, doc_id ASC LIMIT 20
+        """,
+        # Leakage-safe split: the dedup_clusters recursive-CTE transitive
+        # closure (same ≥0.5 Jaccard pairs) + the split_corpus md5-bucket
+        # CASE applied to the CLUSTER id instead of the row key.
+        "split_leakage_safe": f"""
+            WITH RECURSIVE
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                          ELSE list_distinct([
+                            array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(toks) - 2, 1))
+                          ])
+                     END AS s
+              FROM (
+                SELECT doc_id,
+                       CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                       END AS toks
+                FROM documents WHERE doc_id < 200
+              )
+            ),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE (CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0
+                          THEN 1.0
+                          ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                               / len(list_distinct(list_concat(a.s, b.s)))
+                     END) >= 0.5
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM sh
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+            ),
+            clusters AS (
+              SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+            )
+            SELECT doc_id, cluster_id,
+                   CASE WHEN ({_H60.format(
+                       x="'split' || chr(31) || CAST(cluster_id AS VARCHAR)")}
+                       % 1000000) < 800000
+                        THEN 'train' ELSE 'test' END AS split
+            FROM clusters ORDER BY doc_id
         """,
     }

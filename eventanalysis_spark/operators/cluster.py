@@ -138,3 +138,47 @@ def dedup_cluster_assignments(
         )
         .withColumn("is_representative", F.col("id") == F.col("cluster_id"))
     )
+
+
+def split_leakage_safe(
+    df: DataFrame,
+    fractions: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "url",
+    salt: str = "split",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup-cluster-aware train/val/test split: every member of a
+    duplicate CLUSTER lands in the same split, so a near-duplicate of a
+    training page can never leak into the test set.
+
+    `sampling.split_corpus` already pins exact re-crawls (same content
+    key) to one split; this closes the remaining leak — near duplicates
+    with different keys — by hashing the cluster id (the min member id)
+    instead of the row's own key. Returns (id, cluster_id, split).
+
+    Scale shape: the cluster pass is dedup_cluster_assignments (exact
+    collapse → LSH candidates → verify → pointer-jump components, all
+    linear-size); the split itself stays a narrow projection of the
+    cluster label — one md5 per row, no extra shuffle beyond the cluster
+    join the caller already paid for."""
+    from eventanalysis_spark.operators.sampling import split_corpus
+
+    clusters = dedup_cluster_assignments(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        threshold=threshold,
+    ).select("id", "cluster_id")
+    return split_corpus(
+        clusters,
+        fractions,
+        key_col=F.col("cluster_id").cast("string"),
+        salt=salt,
+    )
