@@ -2045,6 +2045,43 @@ def q_split_leakage_safe(spark, sf):
     )
 
 
+def q_containment_pairs(spark, sf):
+    """Asymmetric shingle containment (operators/dedup.py::
+    containment_verify, PRODUCTION operator end to end — hashed-shingle
+    intersections, proven collision-free at this scale by the LSH
+    oracles): all doc pairs (doc_id < 200) where either direction's
+    |A∩B|/|A| ≥ 0.4 — the quote/sub-document relation Jaccard misses.
+    Candidates here are deliberately all-pairs so the oracle is exact;
+    production chains LSH candidates instead."""
+    from eventanalysis_spark.operators.dedup import containment_verify
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    ids = docs.select(F.col("doc_id").alias("id_a"))
+    pairs = ids.crossJoin(docs.select(F.col("doc_id").alias("id_b"))).where(
+        F.col("id_a") < F.col("id_b")
+    )
+    return (
+        containment_verify(
+            docs, pairs, text_col="text", id_col="doc_id",
+            shingle_k=3, threshold=0.4,
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_chunk_docs(spark, sf):
+    """Within-document overlapping chunking (operators/packing.py::
+    chunk_documents, 64-token windows every 48) — the RAG/embedding prep
+    layout. Pure Catalyst explode-over-sequence, no UDF, no shuffle;
+    trailing windows run short rather than padding."""
+    from eventanalysis_spark.operators.packing import chunk_documents
+
+    docs = _t(spark, sf, "documents")
+    return chunk_documents(docs, chunk_size=64, overlap=16).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -2151,6 +2188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": q_nfc_normalize,
         "rrf_hybrid": q_rrf_hybrid,
         "split_leakage_safe": q_split_leakage_safe,
+        "containment_pairs": q_containment_pairs,
+        "chunk_docs": q_chunk_docs,
     }
 
 
@@ -4834,5 +4873,65 @@ def oracle_sql() -> dict[str, str]:
                        % 1000000) < 800000
                         THEN 'train' ELSE 'test' END AS split
             FROM clusters ORDER BY doc_id
+        """,
+        # Asymmetric containment: same string shingles as the jaccard
+        # oracle; both direction ratios through the midpoint-safe manual
+        # floor round (|A| can be a power of two — 1/128 = 0.0078125 is an
+        # exact ROUND(,6) midpoint).
+        "containment_pairs": """
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                          ELSE list_distinct([
+                            array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(toks) - 2, 1))
+                          ])
+                     END AS s
+              FROM (
+                SELECT doc_id,
+                       CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                       END AS toks
+                FROM documents WHERE doc_id < 200
+              )
+            ),
+            scored AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     FLOOR((CASE WHEN len(a.s) = 0 THEN 1.0
+                                 ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                                      / len(a.s) END) * 1e6 + 0.5) / 1e6
+                       AS containment_a,
+                     FLOOR((CASE WHEN len(b.s) = 0 THEN 1.0
+                                 ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                                      / len(b.s) END) * 1e6 + 0.5) / 1e6
+                       AS containment_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, containment_a, containment_b
+            FROM scored
+            WHERE greatest(containment_a, containment_b) >= 0.4
+            ORDER BY id_a, id_b
+        """,
+        # Chunking: generate_series is end-inclusive in both engines;
+        # integer // for chunk_idx (DuckDB '/' is float division and
+        # BIGINT casts ROUND, not truncate); list slice clamps at the end
+        # exactly like Spark's slice(toks, start+1, 64).
+        "chunk_docs": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents WHERE length(trim(text)) > 0
+            )
+            , ch AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(0, len(t) - 1, 48)) AS s
+              FROM toks
+            )
+            SELECT doc_id,
+                   CAST(s // 48 AS BIGINT) AS chunk_idx,
+                   CAST(s AS BIGINT) AS chunk_start,
+                   CAST(least(64, len(t) - s) AS BIGINT) AS n_chunk_tokens,
+                   array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text
+            FROM ch
+            ORDER BY doc_id, chunk_idx
         """,
     }

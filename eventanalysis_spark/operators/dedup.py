@@ -259,6 +259,60 @@ def jaccard_verify(
     )
 
 
+def containment_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT on candidate pairs:
+    c_a = |A∩B| / |A| (how much of A lies inside B), c_b symmetric.
+    Catches quote/sub-document relations Jaccard misses — a page that
+    fully embeds a short document has high containment but low Jaccard
+    (the Broder resemblance-vs-containment distinction). Keeps pairs
+    where EITHER direction ≥ threshold.
+
+    Same shape as jaccard_verify (candidate-pairs-only join — never
+    all-pairs); ratios are reported through the midpoint-safe manual
+    6-decimal round (|A| can be a power of two, e.g. 1/128 = 0.0078125
+    sits exactly on a ROUND(,6) midpoint). Empty sets count as fully
+    contained (consistent with jaccard_verify's empty==identical rule)."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    j = (
+        pairs.join(
+            sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+
+    def _contain(own: str) -> Column:
+        n = F.size(F.col(own)).cast("double")
+        ratio = F.when(n == 0, F.lit(1.0)).otherwise(inter / n)
+        return F.floor(ratio * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            _contain("sh_a").alias("containment_a"),
+            _contain("sh_b").alias("containment_b"),
+        )
+        .where(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= F.lit(threshold)
+        )
+    )
+
+
 def near_duplicate_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -122,3 +122,55 @@ def packing_stats(packed: DataFrame, seq_len: int) -> DataFrame:
             F.avg((F.col("n_seqs") > 1).cast("double")), 6
         ).alias("boundary_cross_frac"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WITHIN-document fixed-size overlapping chunks — the RAG/embedding
+    prep layout (pack_sequences is the complementary ACROSS-document
+    pre-training layout). Each document's whitespace token stream is cut
+    into windows of `chunk_size` tokens starting every
+    `chunk_size - overlap` tokens; the trailing window may be short.
+    Returns (id, chunk_idx, chunk_start, n_chunk_tokens, chunk_text) —
+    chunk_text re-joined with single spaces (the same token rule every
+    text operator here uses).
+
+    Spark shape: pure Catalyst — one narrow projection, explode over a
+    per-doc `sequence()` of chunk starts (bounded by the doc's own token
+    count), `slice` for the window. No shuffle, no UDF; the explode
+    amplifies rows by ~len/step per doc, which the caller prices exactly
+    like the shingle explode in dedup. Empty documents yield no chunks.
+    """
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(
+            f"overlap must be in [0, chunk_size), got {overlap} vs {chunk_size}"
+        )
+    step = chunk_size - overlap
+    toks = F.expr(f"split(trim({text_col}), '\\\\s+')")
+    base = df.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), toks.alias("__t")
+    )
+    n = F.size(F.col("__t"))
+    starts = F.sequence(F.lit(0), n - 1, F.lit(step))
+    out = (
+        base.select(F.col(id_col), "__t", F.explode(starts).alias("chunk_start"))
+        .select(
+            id_col,
+            (F.col("chunk_start") / step).cast("long").alias("chunk_idx"),
+            F.col("chunk_start").cast("long"),
+            F.least(F.lit(chunk_size), F.size("__t") - F.col("chunk_start"))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.concat_ws(
+                " ", F.slice("__t", F.col("chunk_start") + 1, F.lit(chunk_size))
+            ).alias("chunk_text"),
+        )
+    )
+    return out

@@ -299,3 +299,32 @@ def test_ivf_assignment_plan_is_narrow(spark, embeddings):
     )
     assert "BroadcastHashJoin" in topk_plan
     assert "SortMergeJoin" not in topk_plan
+
+
+def test_containment_asymmetric_quote(spark):
+    """A short doc fully embedded in a long one: containment sees it,
+    Jaccard (at any usual threshold) does not."""
+    from eventanalysis_spark.operators.dedup import (
+        containment_verify,
+        jaccard_verify,
+    )
+
+    quote = "alpha beta gamma delta epsilon"
+    host = quote + " " + " ".join(f"filler{i} word{i} more{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, quote), (2, host), (3, "totally unrelated text body here")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in containment_verify(df, pairs, threshold=0.5).collect()
+    }
+    assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got
+    # every 3-shingle of the quote appears in the host
+    assert got[(1, 2)]["containment_a"] == 1.0
+    assert got[(1, 2)]["containment_b"] < 0.2
+    # jaccard at 0.5 misses the same relation
+    assert jaccard_verify(df, pairs, threshold=0.5).count() == 0

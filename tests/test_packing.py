@@ -87,3 +87,40 @@ def test_no_single_partition_window_over_data(spark):
     assert tail["tok_end"] == 20000 // 7 * (1 + 2 + 3 + 4 + 5 + 6 + 7) + sum(
         i % 7 + 1 for i in range(20000 // 7 * 7, 20000)
     )
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from eventanalysis_spark.operators.packing import chunk_documents
+
+    toks = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, toks), (2, "one two"), (3, "   "), (4, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_size=4, overlap=1).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 10 tokens, step 3 -> starts 0,3,6,9
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_start"] for r in c1] == [0, 3, 6, 9]
+    assert [r["n_chunk_tokens"] for r in c1] == [4, 4, 4, 1]
+    assert c1[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert c1[-1]["chunk_text"] == "t9"  # short tail, no padding
+    # overlap: chunk i repeats the last token of chunk i-1
+    assert c1[1]["chunk_text"].split()[0] == c1[0]["chunk_text"].split()[-1]
+    # doc 2: single short chunk; whitespace-only/empty docs yield nothing
+    assert [r["chunk_text"] for r in by_doc[2]] == ["one two"]
+    assert 3 not in by_doc and 4 not in by_doc
+
+
+def test_chunk_documents_validation(spark):
+    import pytest
+
+    from eventanalysis_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=4, overlap=4)
