@@ -838,6 +838,61 @@ def main() -> None:
         "(operators/sampling.py).",
     )
 
+    # 31. within-doc chunking: pure Catalyst, no shuffle, no UDF
+    from eventanalysis_spark.operators.packing import chunk_documents
+
+    q31 = chunk_documents(
+        pages.select(F.col("url").alias("doc_id"), "text"), 64, 16
+    )
+    plan31 = q31._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Within-doc chunking (RAG prep): explode-over-sequence, narrow",
+        q31,
+        [
+            ("no shuffle (row amplification is partition-local)",
+             "Exchange" not in plan31),
+            ("no Python in the plan (split/sequence/slice are Catalyst)",
+             "Python" not in plan31),
+            ("UDF-free explode (Generate node, whole-stage eligible)",
+             "Generate" in plan31),
+            ("scan pruned to the two used columns",
+             "ReadSchema: struct<url:string,text:string>" in plan31
+             or "ReadSchema: struct<text:string,url:string>" in plan31),
+        ],
+        "Fixed-size overlapping token windows per document "
+        "(operators/packing.py::chunk_documents). The complementary "
+        "ACROSS-doc layout is pack_sequences (§ above); both keep the "
+        "token stream narrow.",
+    )
+
+    # 32. RRF fusion: bounded top-k inputs, fuse stage constant-sized
+    from eventanalysis_spark.operators.fusion import rrf_fuse
+
+    lists = {
+        "a": pages.select(F.col("url").alias("doc_id"),
+                          F.length("text").cast("double").alias("s")).limit(50),
+        "b": pages.select(F.col("url").alias("doc_id"),
+                          F.xxhash64("url").cast("double").alias("s")).limit(50),
+    }
+    q32 = rrf_fuse(lists, id_col="doc_id", topk=20)
+    plan32 = q32._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "RRF hybrid fusion: k-row windows only, top-k output",
+        q32,
+        [
+            ("rank windows run on LIMITed k-row inputs (every window is "
+             "preceded by a LocalLimit in the plan)",
+             plan32.count("Window") >= 1 and plan32.count("LocalLimit") >= 2),
+            ("fused output is TakeOrdered top-k, no global sort",
+             "TakeOrderedAndProject" in plan32),
+            ("no Python in the plan", "Python" not in plan32),
+        ],
+        "Reciprocal-rank fusion of bounded retrieval lists "
+        "(operators/fusion.py). The corpus-sized work happened upstream "
+        "in BM25/ANN; the fuse itself is constant-sized by construction — "
+        "the only acceptable home for a global window.",
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the engine's key paths\n\n"
