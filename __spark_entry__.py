@@ -2082,6 +2082,36 @@ def q_chunk_docs(spark, sf):
     )
 
 
+def q_dedup_incremental(spark, sf):
+    """Cross-crawl incremental dedup (operators/dedup.py::
+    incremental_near_duplicates): docs ≥250 (the 'new crawl') near-dup
+    checked against a PRE-BUILT LSH posting index of docs <250 (the
+    history) — per-crawl cost is O(new postings + candidates), history
+    is never re-signatured. Same r=2/32-band setting whose recall the
+    within-corpus LSH oracles prove exact; oracle is the brute-force
+    cross Jaccard."""
+    from eventanalysis_spark.operators.dedup import (
+        incremental_near_duplicates,
+        lsh_index,
+    )
+
+    docs = _t(spark, sf, "documents")
+    old = docs.where(F.col("doc_id") < 250)
+    new = docs.where(F.col("doc_id") >= 250)
+    idx = lsh_index(
+        old, text_col="text", id_col="doc_id", num_hashes=64, bands=32,
+        shingle_k=3,
+    )
+    return (
+        incremental_near_duplicates(
+            new, old, old_index=idx, text_col="text", id_col="doc_id",
+            num_hashes=64, bands=32, shingle_k=3, threshold=0.5,
+        )
+        .select("new_id", "old_id", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("new_id", "old_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -2190,6 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_safe": q_split_leakage_safe,
         "containment_pairs": q_containment_pairs,
         "chunk_docs": q_chunk_docs,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -4933,5 +4964,41 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text
             FROM ch
             ORDER BY doc_id, chunk_idx
+        """,
+        # Incremental dedup oracle: brute-force cross Jaccard between the
+        # 'new crawl' (doc_id >= 250) and history (doc_id < 250) — LSH
+        # recall is exactly 1.0 at r=2/32 bands, as the within-corpus LSH
+        # oracles prove. Filter on the UNrounded ratio (the operator
+        # thresholds before rounding), report rounded.
+        "dedup_incremental": """
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                          ELSE list_distinct([
+                            array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(toks) - 2, 1))
+                          ])
+                     END AS s
+              FROM (
+                SELECT doc_id,
+                       CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                       END AS toks
+                FROM documents
+              )
+            ),
+            scored AS (
+              SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+                     CASE WHEN len(list_distinct(list_concat(n.s, o.s))) = 0
+                          THEN 1.0
+                          ELSE CAST(len(list_intersect(n.s, o.s)) AS DOUBLE)
+                               / len(list_distinct(list_concat(n.s, o.s)))
+                     END AS j
+              FROM sh n JOIN sh o
+                ON n.doc_id >= 250 AND o.doc_id < 250
+            )
+            SELECT new_id, old_id, ROUND(j, 6) AS jaccard
+            FROM scored WHERE j >= 0.5
+            ORDER BY new_id, old_id
         """,
     }

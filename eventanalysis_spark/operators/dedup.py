@@ -509,3 +509,109 @@ def simhash_near_pairs(
         .distinct()
     )
     return cand.where(F.col("hamming") <= max_hamming)
+
+
+# ---- incremental (cross-crawl) dedup ---------------------------------------
+
+def lsh_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(band, bucket, doc_id) LSH posting table for a corpus — the
+    PERSISTABLE index behind cross-crawl dedup. Build it once per crawl
+    and append to a warehouse table keyed by (band, bucket); each new
+    crawl then dedups against ALL history by joining its own (tiny)
+    postings against the index instead of re-signaturing the history.
+    bands × rows-per-band must match between index builds (the bucket
+    hash embeds the slice), so treat (num_hashes, bands, shingle_k,
+    hash_fn) as index-format metadata."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, hash_fn)
+    r = max(1, num_hashes // bands)
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.struct(
+                    bidx.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.transform(
+                            F.slice("sig", bidx * r + 1, r),
+                            lambda v: v.cast("string"),
+                        ))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"), "doc_id")
+
+
+def incremental_near_duplicates(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    old_index: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "url",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(new_id, old_id, jaccard) — new-crawl documents that near-duplicate
+    the HISTORICAL corpus (the 'dedup this crawl against all previous
+    crawls' path; within-crawl dedup is near_duplicate_pairs).
+
+    Scale shape: the only history-sized inputs are the PRECOMPUTED index
+    (pass `old_index` from the warehouse — when None it is built on the
+    fly for ad-hoc use) and a LEFT-SEMI candidate fetch of old documents,
+    so per-crawl cost is O(new postings + candidates), never a
+    re-signature of history. Candidates join on (band, bucket) — the
+    same bucketed shuffle as lsh_candidate_pairs — then exact shingle
+    Jaccard verifies only fetched pairs."""
+    if old_index is None:
+        old_index = lsh_index(
+            old_docs, text_col, id_col, num_hashes, bands, shingle_k
+        )
+    new_index = lsh_index(
+        new_docs, text_col, id_col, num_hashes, bands, shingle_k
+    )
+    cands = (
+        new_index.alias("n")
+        .join(
+            old_index.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.bucket") == F.col("o.bucket")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id")
+        )
+        .distinct()
+    )
+    # fetch ONLY candidate history docs before computing their shingles
+    old_c = old_docs.join(
+        cands.select(F.col("old_id").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    sh_new = new_docs.select(
+        F.col(id_col).alias("new_id"),
+        shingles(F.col(text_col), shingle_k).alias("sh_n"),
+    )
+    sh_old = old_c.select(
+        F.col(id_col).alias("old_id"),
+        shingles(F.col(text_col), shingle_k).alias("sh_o"),
+    )
+    j = cands.join(sh_new, "new_id").join(sh_old, "old_id")
+    inter = F.size(F.array_intersect("sh_n", "sh_o")).cast("double")
+    union = F.size(F.array_union("sh_n", "sh_o")).cast("double")
+    return (
+        j.select(
+            "new_id",
+            "old_id",
+            F.when(union == 0, F.lit(1.0)).otherwise(inter / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

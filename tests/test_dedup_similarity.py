@@ -328,3 +328,40 @@ def test_containment_asymmetric_quote(spark):
     assert got[(1, 2)]["containment_b"] < 0.2
     # jaccard at 0.5 misses the same relation
     assert jaccard_verify(df, pairs, threshold=0.5).count() == 0
+
+
+def test_incremental_near_duplicates_with_persisted_index(spark, tmp_path):
+    """Cross-crawl dedup: the LSH index round-trips through parquet (the
+    warehouse path) and finds new->old near-dups without touching
+    non-candidate history text."""
+    from eventanalysis_spark.operators.dedup import (
+        incremental_near_duplicates,
+        lsh_index,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    old_rows = [(i, base + f"old tail {i}") for i in range(10)] + [
+        (i, f"history only document {i} with its own words " * 3)
+        for i in range(10, 20)
+    ]
+    new_rows = [(100, base + "old tail 3"), (101, "fresh unseen content " * 5)]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    idx_path = str(tmp_path / "lsh_index")
+    lsh_index(old, id_col="doc_id", num_hashes=32, bands=16).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    got = incremental_near_duplicates(
+        new, old, old_index=idx, id_col="doc_id",
+        num_hashes=32, bands=16, threshold=0.5,
+    ).collect()
+    pairs = {(r["new_id"], r["old_id"]) for r in got}
+    # doc 100 duplicates the base-family history; 101 matches nothing
+    assert (100, 3) in pairs
+    assert all(n != 101 for n, _ in pairs)
+    assert all(o < 20 for _, o in pairs)
+    # exact duplicate of old doc 3 scores jaccard 1.0
+    j = {p: r["jaccard"] for p, r in zip(pairs, got)}
+    full = [r["jaccard"] for r in got if r["new_id"] == 100 and r["old_id"] == 3]
+    assert full and full[0] == 1.0
