@@ -276,6 +276,10 @@ def timed_queries(spark) -> dict[str, float]:
         "quantiles_global",
         "hll_distinct",
         "countmin_topk",
+        "nfc_normalize",
+        "rrf_hybrid",
+        "chunk_docs",
+        "dedup_incremental",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}
