@@ -156,6 +156,73 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_dedup_index(args) -> int:
+    """Build (or extend) the persistent cross-crawl LSH posting index:
+    one append per crawl, keyed (band, bucket, doc_id). Index format
+    parameters are recorded alongside so later crawls can't silently
+    join against an incompatible banding."""
+    import os
+
+    from eventanalysis_spark.operators.dedup import lsh_index
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.source)
+    idx = lsh_index(
+        docs, text_col=args.text_col, id_col=args.id_col,
+        num_hashes=args.num_hashes, bands=args.bands, shingle_k=args.shingle_k,
+    )
+    meta_path = os.path.join(args.index, "_index_format.json")
+    fmt = {
+        "num_hashes": args.num_hashes, "bands": args.bands,
+        "shingle_k": args.shingle_k, "hash_fn": "xxhash64",
+    }
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            existing = json.load(f)
+        if existing != fmt:
+            print(json.dumps({"error": "index format mismatch",
+                              "existing": existing, "requested": fmt}))
+            return 1
+    n = idx.count()
+    idx.write.mode("append").parquet(args.index)
+    if not os.path.exists(meta_path):
+        with open(meta_path, "w") as f:
+            json.dump(fmt, f)
+    print(json.dumps({"postings_appended": n, "index": args.index}))
+    return 0
+
+
+def cmd_dedup_incremental(args) -> int:
+    """Dedup a new crawl against the persisted index + history corpus:
+    prints (new_id, old_id, jaccard) matches as JSON lines and optionally
+    writes the SURVIVING new docs (left_anti on matched ids)."""
+    from pyspark.sql import functions as F
+
+    from eventanalysis_spark.operators.dedup import incremental_near_duplicates
+
+    spark = _spark(args)
+    new = spark.read.parquet(args.source)
+    old = spark.read.parquet(args.history)
+    idx = spark.read.parquet(args.index) if args.index else None
+    pairs = incremental_near_duplicates(
+        new, old, old_index=idx, text_col=args.text_col, id_col=args.id_col,
+        num_hashes=args.num_hashes, bands=args.bands,
+        shingle_k=args.shingle_k, threshold=args.threshold,
+    ).persist()
+    n_pairs = pairs.count()
+    if args.out:
+        survivors = new.join(
+            pairs.select(F.col("new_id").alias(args.id_col)).distinct(),
+            args.id_col, "left_anti",
+        )
+        survivors.write.mode("overwrite").parquet(args.out)
+    n_dup_docs = pairs.select("new_id").distinct().count()
+    pairs.unpersist()
+    print(json.dumps({"candidate_matches": n_pairs, "new_docs_deduped": n_dup_docs,
+                      "out": args.out}))
+    return 0
+
+
 def cmd_overview(args) -> int:
     """AppOverview/AppOverview2.fs analog: per (host, lang, event_class,
     ever) counts with dimension attributes, deterministic order."""
@@ -331,6 +398,31 @@ def main(argv=None) -> int:
     c.add_argument("--no-quality", action="store_true")
     c.add_argument("--no-dedup", action="store_true")
     c.set_defaults(fn=cmd_curate)
+
+    di = sub.add_parser("dedup-index")
+    di.add_argument("--source", required=True)
+    di.add_argument("--index", required=True)
+    di.add_argument("--text-col", default="text")
+    di.add_argument("--id-col", default="doc_id")
+    di.add_argument("--num-hashes", type=int, default=64)
+    di.add_argument("--bands", type=int, default=32)
+    di.add_argument("--shingle-k", type=int, default=3)
+    di.set_defaults(fn=cmd_dedup_index)
+
+    dd = sub.add_parser("dedup-incremental")
+    dd.add_argument("--source", required=True, help="new crawl parquet")
+    dd.add_argument("--history", required=True, help="historical corpus parquet")
+    dd.add_argument("--index", default=None,
+                    help="persisted lsh index (built on the fly if absent)")
+    dd.add_argument("--out", default=None,
+                    help="write surviving new docs here")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--num-hashes", type=int, default=64)
+    dd.add_argument("--bands", type=int, default=32)
+    dd.add_argument("--shingle-k", type=int, default=3)
+    dd.add_argument("--threshold", type=float, default=0.8)
+    dd.set_defaults(fn=cmd_dedup_incremental)
 
     args = p.parse_args(argv)
     return args.fn(args)

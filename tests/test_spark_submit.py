@@ -101,3 +101,46 @@ def test_report_commands_overview_rollup_export_samples(tmp_path):
         "--k", "3",
     ]) == 0
     assert len(os.listdir(out_s)) == 3
+
+
+def test_dedup_index_and_incremental_cli(tmp_path, spark):
+    """Cross-crawl dedup CLI: build the index from crawl 1, dedup crawl 2
+    against it, survivors written; format-mismatch append is refused."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import spark_submit_main as cli
+
+    base_text = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    old = spark.createDataFrame(
+        [(i, base_text + f"tail {i}") for i in range(5)]
+        + [(i, f"history doc {i} distinct words here " * 3) for i in range(5, 10)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, base_text + "tail 2"), (101, "completely new material " * 5)],
+        "doc_id long, text string",
+    )
+    p_old = str(tmp_path / "old")
+    p_new = str(tmp_path / "new")
+    old.write.parquet(p_old)
+    new.write.parquet(p_new)
+    idx = str(tmp_path / "idx")
+    base = ["--master", "local[4]"]
+    assert cli.main(base + [
+        "dedup-index", "--source", p_old, "--index", idx,
+        "--num-hashes", "32", "--bands", "16",
+    ]) == 0
+    # incompatible banding refused (exit 1), index untouched
+    assert cli.main(base + [
+        "dedup-index", "--source", p_old, "--index", idx,
+        "--num-hashes", "32", "--bands", "8",
+    ]) == 1
+    out = str(tmp_path / "survivors")
+    assert cli.main(base + [
+        "dedup-incremental", "--source", p_new, "--history", p_old,
+        "--index", idx, "--out", out,
+        "--num-hashes", "32", "--bands", "16", "--threshold", "0.5",
+    ]) == 0
+    survivors = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert survivors == {101}
