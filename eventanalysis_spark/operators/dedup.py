@@ -49,17 +49,30 @@ def _base_hasher(hash_fn: str):
 
 def shingles(text: Column, k: int = 3, hash_fn: str = "xxhash64") -> Column:
     """Word k-shingles as 64-bit hashes (distinct). Fewer than k words →
-    one shingle of the whole text (so short docs still participate)."""
+    one shingle of the whole text (so short docs still participate).
+
+    Let-binding note (measured ~30× on the shingle hot path): the token
+    array MUST be bound once per row. Referencing the `_tokens(text)`
+    expression directly inside the window lambda inlines the full
+    lower+trim+regex-split tree into EVERY `slice(toks, i+1, k)` — the
+    tokenizer re-runs once per window, turning an O(tokens) pass into
+    O(tokens²) regex work (4750 sf0.1 docs: 4.7 s → 0.15 s). Spark has no
+    `let`, so the binding is the standard HOF trick: transform over a
+    one-element array makes `t` a bound lambda VARIABLE, evaluated once."""
     hasher = _base_hasher(hash_fn)
-    toks = _tokens(text)
-    n = F.size(toks)
-    windows = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: hasher(F.concat_ws(" ", F.slice(toks, i + 1, k))),
-    )
-    return F.array_distinct(
-        F.when(n == 0, F.array().cast("array<bigint>")).otherwise(windows)
-    )
+
+    def _windows(t: Column) -> Column:
+        n = F.size(t)
+        return F.array_distinct(
+            F.when(n == 0, F.array().cast("array<bigint>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+                    lambda i: hasher(F.concat_ws(" ", F.slice(t, i + 1, k))),
+                )
+            )
+        )
+
+    return F.get(F.transform(F.array(_tokens(text)), _windows), 0)
 
 
 # ---- exact ---------------------------------------------------------------
@@ -112,25 +125,50 @@ def minhash_signatures(
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """id + MinHash signature array<long>[num_hashes]. Entirely JVM-side:
-    array_min over a universal-hash transform of the shingle hashes.
-    hash_fn='md5' selects the SQL-replicable 60-bit base hash (exact
-    DuckDB oracle); 'xxhash64' (default) is the production fast path."""
-    sh = shingles(F.col(text_col), shingle_k, hash_fn).alias("__sh")
-    out = df.select(F.col(id_col).alias("doc_id") if id_col != "doc_id" else F.col(id_col), sh)
-    def _universal(a: int, b: int):
-        # (a·x + b) mod p over non-negative x (pmod of xxhash64); factory
-        # closure keeps the HOF lambda single-argument for Spark's arity check
-        return lambda x: F.pmod(F.pmod(x, F.lit(_P)) * F.lit(a) + F.lit(b), F.lit(_P))
+    ONE aggregate() fold over the shingle array whose accumulator is the
+    64-wide minima vector (zip_with + least per element), h_i(x) =
+    (a_i·x + b_i) mod p. hash_fn='md5' selects the SQL-replicable 60-bit
+    base hash (exact DuckDB oracle); 'xxhash64' (default) is the
+    production fast path.
 
-    mins = [
-        F.array_min(F.transform(F.col("__sh"), _universal(a, b)))
-        for a, b in _perm_coeffs(num_hashes)
-    ]
-    return out.select(
-        "doc_id",
-        F.when(F.size("__sh") == 0, F.array(*[F.lit(-1)] * num_hashes))
-        .otherwise(F.array(*mins))
-        .alias("sig"),
+    Expression-shape note (measured, not cosmetic): the obvious form —
+    64 separate array_min(transform(__sh, h_i)) projections — inlines the
+    shingle expression tree 129× after CollapseProject, and the analyzer/
+    codegen pays multi-second plan compiles for EVERY downstream plan that
+    embeds a signature (banding, bucket joins). The fold form references
+    __sh twice, compiles ~3-7× faster, and produces byte-identical
+    signatures (min over the same h_i images; unit + oracle checked)."""
+    coeffs = _perm_coeffs(num_hashes)
+    ab = F.array(
+        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in coeffs]
+    )
+    init = F.array(*[F.lit(_P).cast("long")] * num_hashes)
+
+    def _sig(sh: Column) -> Column:
+        # sh is a bound lambda variable (let-binding via transform over a
+        # one-element array, same trick as shingles): the shingle tree is
+        # evaluated ONCE per row even though referenced twice below
+        fold = F.aggregate(
+            sh,
+            init,
+            lambda acc, x: F.zip_with(
+                acc,
+                ab,
+                lambda acci, c: F.least(
+                    acci, F.pmod(F.pmod(x, F.lit(_P)) * c["a"] + c["b"], F.lit(_P))
+                ),
+            ),
+        )
+        return F.when(
+            F.size(sh) == 0, F.array(*[F.lit(-1).cast("long")] * num_hashes)
+        ).otherwise(fold)
+
+    sig = F.get(
+        F.transform(F.array(shingles(F.col(text_col), shingle_k, hash_fn)), _sig), 0
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id") if id_col != "doc_id" else F.col(id_col),
+        sig.alias("sig"),
     )
 
 
@@ -166,6 +204,13 @@ def lsh_candidate_pairs(
             num_hashes = first[0]["n"] if first else 0
         rows_per_band = max(1, num_hashes // bands)
     r = rows_per_band
+    # Pin the signatures: the 64-way array_min expression tree otherwise
+    # INLINES into the banding projection AND both sides of the bucket
+    # self-join (CollapseProject), so every signature is recomputed 2×
+    # at runtime and the optimizer chews a multi-second plan. Lazy
+    # localCheckpoint = computed once by the first action, shared by both
+    # join sides; measured ~4× end-to-end on the LSH paths.
+    sigs = sigs.localCheckpoint(eager=False)
     banded = sigs.select(
         "doc_id",
         # leading signature coords = sorted-neighborhood key for capped
@@ -530,7 +575,11 @@ def lsh_index(
     bands × rows-per-band must match between index builds (the bucket
     hash embeds the slice), so treat (num_hashes, bands, shingle_k,
     hash_fn) as index-format metadata."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, hash_fn)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, hash_fn
+    # same pinning rationale as lsh_candidate_pairs: stop the 64-min
+    # signature tree from inlining into the banding explode
+    ).localCheckpoint(eager=False)
     r = max(1, num_hashes // bands)
     return sigs.select(
         "doc_id",
@@ -591,6 +640,9 @@ def incremental_near_duplicates(
             F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id")
         )
         .distinct()
+        # referenced twice below (candidate fetch + verify join): pin so
+        # the bucket join runs once, not per reference
+        .localCheckpoint(eager=False)
     )
     # fetch ONLY candidate history docs before computing their shingles
     old_c = old_docs.join(
