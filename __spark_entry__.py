@@ -620,8 +620,9 @@ def _paragraphized(spark, sf):
         F.concat_ws(
             "\n",
             F.expr(
-                "transform(sequence(1, cast(ceil(size(t)/8.0) as int)),"
-                " i -> concat_ws(' ', slice(t, (i-1)*8+1, 8)))"
+                "get(transform(array(t), u ->"
+                " transform(sequence(1, cast(ceil(size(u)/8.0) as int)),"
+                " i -> concat_ws(' ', slice(u, (i-1)*8+1, 8)))), 0)"
             ),
         ).alias("text"),
     )
@@ -805,15 +806,20 @@ def _word_shingles(text, k=3):
     toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )
-    n = F.size(toks)
-    return F.array_distinct(
-        F.when(n == 0, F.array().cast("array<string>")).otherwise(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+
+    # let-binding: tokenize once per row, not once per window (NOTES rule)
+    def _windows(tt):
+        n = F.size(tt)
+        return F.array_distinct(
+            F.when(n == 0, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice(tt, i + 1, k)),
+                )
             )
         )
-    )
+
+    return F.get(F.transform(F.array(toks), _windows), 0)
 
 
 def q_dedup_jaccard_pairs(spark, sf):

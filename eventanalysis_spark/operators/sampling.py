@@ -141,15 +141,22 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )
-    n = F.size(toks)
-    return F.array_distinct(
-        F.when(n == 0, F.array().cast("array<string>")).otherwise(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+
+    # let-binding (transform over a 1-element array): binds the token
+    # array once so the tokenizer doesn't re-run per window (the
+    # shingles() O(tokens²) bug)
+    def _windows(tt: Column) -> Column:
+        n = F.size(tt)
+        return F.array_distinct(
+            F.when(n == 0, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice(tt, i + 1, k)),
+                )
             )
         )
-    )
+
+    return F.get(F.transform(F.array(toks), _windows), 0)
 
 
 def decontaminate(

@@ -65,12 +65,17 @@ def ngram_windows(
     grams = toks.select(
         id_col,
         F.posexplode(
-            # Spark sequence(1, 0) DESCENDS — gate short docs explicitly
+            # Spark sequence(1, 0) DESCENDS — gate short docs explicitly.
+            # let-binding (transform over a 1-element array): CollapseProject
+            # inlines the upstream split into every `t` reference, so without
+            # the binding the tokenizer re-runs once PER WINDOW (the shingles()
+            # O(tokens²) bug); `u` is a bound lambda variable, split runs once.
             F.expr(
-                f"CASE WHEN size(t) >= {k} THEN"
-                f" transform(sequence(1, size(t) - {k - 1}),"
-                f" i -> concat_ws(' ', slice(t, i, {k})))"
-                f" ELSE array() END"
+                f"get(transform(array(t), u ->"
+                f" CASE WHEN size(u) >= {k} THEN"
+                f" transform(sequence(1, size(u) - {k - 1}),"
+                f" i -> concat_ws(' ', slice(u, i, {k})))"
+                f" ELSE array() END), 0)"
             )
         ).alias("pos0", "gram"),
     )

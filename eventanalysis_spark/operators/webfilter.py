@@ -31,14 +31,19 @@ def _gram_counts(
     doc. Shuffle key is (doc_id, gram) — per-doc cardinality bounded by
     doc length, so partial (map-side) aggregation absorbs all in-doc
     repetition before the exchange."""
-    toks = _tokens(F.col(text_col))
-    nn = F.size(toks)
-    grams = F.when(nn < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(nn - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    # let-binding (transform over a 1-element array): without it the
+    # tokenizer expression inlines into every slice() and re-runs once
+    # per gram window — the shingles() O(tokens²) bug
+    def _grams(t: Column) -> Column:
+        nn = F.size(t)
+        return F.when(nn < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(nn - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+            )
         )
-    )
+
+    grams = F.get(F.transform(F.array(_tokens(F.col(text_col))), _grams), 0)
     return (
         df.select(
             F.col(id_col).alias("doc_id"),
