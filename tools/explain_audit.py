@@ -893,6 +893,40 @@ def main() -> None:
         "the only acceptable home for a global window.",
     )
 
+    # 33. incremental cross-crawl dedup: bucketed candidates, semi fetch
+    from eventanalysis_spark.operators.dedup import (
+        incremental_near_duplicates,
+        lsh_index,
+    )
+
+    docs33 = pages.select(F.col("url").alias("doc_id"), "text")
+    old33 = docs33.limit(3000)
+    new33 = docs33.limit(3500)
+    idx33 = lsh_index(old33, id_col="doc_id", num_hashes=32, bands=16)
+    q33 = incremental_near_duplicates(
+        new33, old33, old_index=idx33, id_col="doc_id",
+        num_hashes=32, bands=16, threshold=0.8,
+    )
+    plan33 = q33._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Incremental cross-crawl dedup: bucketed candidates, never all-pairs",
+        q33,
+        [
+            ("candidate generation is an equi-join on (band, bucket) — no "
+             "cartesian / BroadcastNestedLoopJoin anywhere",
+             "Cartesian" not in plan33 and "NestedLoop" not in plan33),
+            ("history docs are fetched by LeftSemi join on candidate ids "
+             "(only candidates' shingles are ever computed)",
+             "LeftSemi" in plan33),
+            ("no Python in the plan (shingles/minhash/banding are Catalyst)",
+             "Python" not in plan33),
+        ],
+        "New-crawl postings join the PERSISTED history index "
+        "(operators/dedup.py::lsh_index + incremental_near_duplicates); "
+        "per-crawl cost is O(new postings + candidates) — history is "
+        "never re-signatured.",
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the engine's key paths\n\n"
