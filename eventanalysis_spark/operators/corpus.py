@@ -562,17 +562,23 @@ def pmi_collocations(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    # let-binding (NOTES rule): __t's tokenizer tree inlines into every
+    # lambda-body reference after filter pushdown + project collapse —
+    # bind once so the split doesn't re-run per bigram position
+    def _bigrams(t):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("term_a"),
+                F.element_at(t, i + 1).alias("term_b"),
+            ),
+        )
+
     pairs = (
         td.where(F.size("__t") >= 2)
         .select(
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("__t") - 1),
-                    lambda i: F.struct(
-                        F.element_at("__t", i).alias("term_a"),
-                        F.element_at("__t", i + 1).alias("term_b"),
-                    ),
-                )
+                F.get(F.transform(F.array(F.col("__t")), _bigrams), 0)
             ).alias("p")
         )
         .select("p.term_a", "p.term_b")

@@ -54,10 +54,13 @@ def word_adjacency_edges(
     ).where(F.length(F.trim(F.col(text_col))) > 0)
     pairs = toks.select(
         F.explode(
+            # let-binding (NOTES rule): `t`'s split tree otherwise inlines
+            # into all four references (2 slices + 2 sizes)
             F.expr(
-                "CASE WHEN size(t) >= 2 THEN"
-                " arrays_zip(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1))"
-                " ELSE array() END"
+                "get(transform(array(t), u ->"
+                " CASE WHEN size(u) >= 2 THEN"
+                " arrays_zip(slice(u, 1, size(u) - 1), slice(u, 2, size(u) - 1))"
+                " ELSE array() END), 0)"
             )
         ).alias("p")
     ).select(F.col("p")["0"].alias("u"), F.col("p")["1"].alias("v"))
