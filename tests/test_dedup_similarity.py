@@ -365,3 +365,30 @@ def test_incremental_near_duplicates_with_persisted_index(spark, tmp_path):
     j = {p: r["jaccard"] for p, r in zip(pairs, got)}
     full = [r["jaccard"] for r in got if r["new_id"] == 100 and r["old_id"] == 3]
     assert full and full[0] == 1.0
+
+
+def test_tokenizer_evaluated_once_in_window_generators(spark):
+    """Regression guard for the O(tokens²) inlining bug (NOTES rule):
+    the regex tokenizer must appear exactly once in each window
+    generator's optimized plan — lambda-body references inline the whole
+    upstream tree, and codegen CSE does not cross HOF boundaries."""
+    from pyspark.sql import functions as F
+
+    from eventanalysis_spark.operators.dedup import minhash_signatures, shingles
+    from eventanalysis_spark.operators.sampling import word_shingles
+    from eventanalysis_spark.operators.spans import ngram_windows
+    from eventanalysis_spark.operators.webfilter import top_ngram_stats
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+
+    def n_splits(frame):
+        # Aliases below keep Spark's auto-generated column names (which
+        # embed the pretty-printed expression) out of the count.
+        return frame._jdf.queryExecution().optimizedPlan().toString().count("split(")
+
+    assert n_splits(df.select(shingles(F.col("text"), 3).alias("s"))) == 1
+    assert n_splits(minhash_signatures(df, "text", "doc_id", 16, 3)) == 1
+    assert n_splits(df.select(word_shingles(F.col("text"), 3).alias("w"))) == 1
+    assert n_splits(ngram_windows(df, 3, "text", "doc_id")) == 1
+    # top_ngram_stats runs two gram passes (counts + mode) — once each
+    assert n_splits(top_ngram_stats(df, 2, id_col="doc_id")) <= 2
