@@ -2118,6 +2118,102 @@ def q_dedup_incremental(spark, sf):
     )
 
 
+# ---- hyperlink graph (operators/linkgraph.py) -----------------------------
+
+_LG_NH = 48  # dst host space: h00..h47
+_LG_SRC = 40  # hosts with out-links; h40..h47 are pure sinks (dangling)
+_LG_ITERS = 5
+
+
+def _lg_edges(spark, sf):
+    """Deterministic synthetic host link graph from `documents`: every
+    doc lives on host h{hash60(doc_id) % 40} and links to 3 hosts
+    h{hash60(doc_id || ':' || j) % 48} — hosts h40..h47 receive links
+    but never emit any, so the PageRank dangling-mass path is actually
+    exercised. Same md5-60bit bucket recipe in both engines."""
+    from eventanalysis_spark.operators.dedup import hash60_md5
+    from eventanalysis_spark.operators.linkgraph import host_edges
+
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id").cast("string")
+
+    def h(col, mod):
+        return F.concat(
+            F.lit("h"), F.lpad((hash60_md5(col) % mod).cast("string"), 2, "0")
+        )
+
+    links = docs.select(
+        h(d, _LG_SRC).alias("src_host"),
+        F.explode(
+            F.array(
+                *[h(F.concat(d, F.lit(f":{j}")), _LG_NH) for j in (1, 2, 3)]
+            )
+        ).alias("dst_host"),
+    )
+    return host_edges(links)
+
+
+def q_host_pagerank(spark, sf):
+    """Directed weighted PageRank over the host link graph
+    (operators/linkgraph.py::host_pagerank): 5 fixed iterations,
+    d=0.85, uniform dangling-mass redistribution (h40..h47 are pure
+    sinks by construction), per-iteration floor-round at 9 dp — the
+    kmeans policy that makes the whole recurrence SQL-replicable. The
+    oracle unrolls all 5 iterations incl. the dangling share as CTE
+    layers, so equality proves the iterative loop computes the exact
+    random-surfer recurrence."""
+    from eventanalysis_spark.operators.linkgraph import host_pagerank
+
+    ranks = host_pagerank(_lg_edges(spark, sf), iterations=_LG_ITERS)
+    return ranks.select(
+        "host", (F.floor(F.col("rank") * 1e6 + F.lit(0.5)) / 1e6).alias("rank")
+    ).orderBy("host")
+
+
+def q_link_degree_stats(spark, sf):
+    """Host link-graph degree profile
+    (operators/linkgraph.py::host_degree_stats): distinct-neighbor
+    in/out degree, weighted in/out link mass, and reciprocity (fraction
+    of out-neighbors that link back; -1.0 sentinel for pure sinks)."""
+    from eventanalysis_spark.operators.linkgraph import host_degree_stats
+
+    return host_degree_stats(_lg_edges(spark, sf)).orderBy("host")
+
+
+def q_link_extract(spark, sf):
+    """Anchor-href extraction from raw html payload
+    (operators/linkgraph.py::extract_links — one JVM
+    regexp_extract_all pass, zero Python): pages are synthesized from
+    doc_id with one absolute link each plus a rotating relative /
+    protocol-relative / mailto: variant and an always-dropped
+    fragment-only link. The oracle does NOT re-run the regex — it
+    derives the expected rows analytically from the same doc_id
+    formulas, so equality proves the extraction/resolution rules
+    (absolute → own host lowered, relative → source host,
+    //cdn → protocol-relative host, mailto/# → dropped)."""
+    from eventanalysis_spark.operators.linkgraph import extract_links
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 600)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    url = F.concat(F.lit("https://src"), (d % 5).cast("string"),
+                   F.lit(".example/page/"), ds)
+    variant = (
+        F.when(d % 3 == 0, F.concat(F.lit("<a href='/rel/"), ds, F.lit("'>r</a>")))
+        .when(d % 3 == 1, F.lit('<a href="//CDN.example/lib.js">c</a>'))
+        .otherwise(F.lit('<a href="mailto:a@b.c">m</a>'))
+    )
+    html = F.concat(
+        F.lit('<html><body><a class="x" href="HTTPS://Out'),
+        (d % 7).cast("string"),
+        F.lit('.example/p">t</a>'),
+        variant,
+        F.lit('<a href="#sec">s</a></body></html>'),
+    )
+    pages = docs.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+    return extract_links(pages).orderBy("url", "href")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -2227,10 +2323,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "chunk_docs": q_chunk_docs,
         "dedup_incremental": q_dedup_incremental,
+        "host_pagerank": q_host_pagerank,
+        "link_degree_stats": q_link_degree_stats,
+        "link_extract": q_link_extract,
     }
 
 
 _H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _lg_edges_cte() -> str:
+    """DuckDB twin of _lg_edges: same md5-60bit host buckets, same
+    fan-out, same self-edge drop. Constant-arg generate_series is the
+    scalar-unnest form NOTES.md prescribes."""
+    h_src = _H60.format(x="CAST(doc_id AS VARCHAR)")
+    h_dst = _H60.format(x="CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
+    return f"""
+            links AS (
+              SELECT 'h' || lpad(CAST(({h_src} % {_LG_SRC}) AS VARCHAR), 2, '0')
+                       AS src,
+                     'h' || lpad(CAST(({h_dst} % {_LG_NH}) AS VARCHAR), 2, '0')
+                       AS dst
+              FROM documents,
+                   (SELECT unnest(generate_series(1, 3)) AS j) g
+            ),
+            e AS (
+              SELECT src, dst, count(*)::BIGINT AS w
+              FROM links WHERE src <> dst GROUP BY src, dst
+            )"""
+
+
+def _host_pagerank_oracle(iterations: int = _LG_ITERS, d: float = 0.85) -> str:
+    """Unrolled-CTE DuckDB twin of q_host_pagerank: one (dangling share,
+    rank) CTE layer pair per iteration — the exact random-surfer
+    recurrence host_pagerank's DataFrame loop runs, including the
+    per-iteration 9-dp floor-round. Damping literals via repr() so both
+    engines fold the same IEEE doubles."""
+    base, damp = repr(1.0 - d), repr(d)
+    layers = []
+    for i in range(1, iterations + 1):
+        layers.append(f"""
+            d{i} AS (
+              SELECT sum(CASE WHEN NOT has_out THEN rank ELSE 0.0 END)
+                     / (SELECT count(*)::DOUBLE FROM nodes) AS dshare
+              FROM r{i - 1}
+            ),
+            r{i} AS (
+              SELECT o.host, o.has_out,
+                     floor(({base} + {damp} * (COALESCE(c.s, 0.0)
+                            + (SELECT dshare FROM d{i}))) * 1e9 + 0.5) / 1e9
+                       AS rank
+              FROM nout o LEFT JOIN (
+                SELECT ef.dst AS host, sum(r.rank * ef.frac) AS s
+                FROM ef JOIN r{i - 1} r ON r.host = ef.src
+                GROUP BY ef.dst
+              ) c USING (host)
+            )""")
+    return f"""
+            WITH {_lg_edges_cte()},
+            nodes AS (
+              SELECT src AS host FROM e UNION SELECT dst FROM e
+            ),
+            outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+            ef AS (
+              SELECT e.src, e.dst, e.w::DOUBLE / o.ow AS frac
+              FROM e JOIN outw o USING (src)
+            ),
+            nout AS (
+              SELECT n.host, (o.src IS NOT NULL) AS has_out
+              FROM nodes n LEFT JOIN outw o ON o.src = n.host
+            ),
+            r0 AS (SELECT host, has_out, 1.0::DOUBLE AS rank FROM nout),
+            {",".join(layers)}
+            SELECT host, floor(rank * 1e6 + 0.5) / 1e6 AS rank
+            FROM r{iterations} ORDER BY host
+        """
 
 
 def _pii_oracle() -> str:
@@ -2909,6 +3076,64 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY term
         """,
         "textrank_keywords": _textrank_oracle(),
+        "host_pagerank": _host_pagerank_oracle(),
+        "link_degree_stats": f"""
+            WITH {_lg_edges_cte()},
+            pairs AS (SELECT DISTINCT src, dst FROM e),
+            recip AS (
+              SELECT a.src AS host, count(*)::BIGINT AS n_recip
+              FROM pairs a JOIN pairs b ON b.src = a.dst AND b.dst = a.src
+              GROUP BY a.src
+            ),
+            o AS (
+              SELECT src AS host, count(*)::BIGINT AS out_deg,
+                     sum(w)::BIGINT AS out_links
+              FROM e GROUP BY src
+            ),
+            i AS (
+              SELECT dst AS host, count(*)::BIGINT AS in_deg,
+                     sum(w)::BIGINT AS in_links
+              FROM e GROUP BY dst
+            )
+            SELECT COALESCE(o.host, i.host) AS host,
+                   COALESCE(out_deg, 0) AS out_deg,
+                   COALESCE(in_deg, 0) AS in_deg,
+                   COALESCE(out_links, 0) AS out_links,
+                   COALESCE(in_links, 0) AS in_links,
+                   CASE WHEN COALESCE(out_deg, 0) = 0 THEN -1.0
+                        ELSE floor(COALESCE(n_recip, 0)::DOUBLE / out_deg
+                                   * 1e6 + 0.5) / 1e6 END AS reciprocity
+            FROM o FULL OUTER JOIN i ON i.host = o.host
+            LEFT JOIN recip r ON r.host = COALESCE(o.host, i.host)
+            ORDER BY host
+        """,
+        "link_extract": """
+            WITH base AS (
+              SELECT doc_id,
+                     'https://src' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.example/page/' || CAST(doc_id AS VARCHAR) AS url,
+                     'src' || CAST(doc_id % 5 AS VARCHAR) || '.example'
+                       AS src_host
+              FROM documents WHERE doc_id < 600
+            ),
+            rows_ AS (
+              SELECT url, src_host,
+                     'HTTPS://Out' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example/p' AS href,
+                     'out' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+                       AS dst_host
+              FROM base
+              UNION ALL
+              SELECT url, src_host, '/rel/' || CAST(doc_id AS VARCHAR),
+                     src_host
+              FROM base WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT url, src_host, '//CDN.example/lib.js', 'cdn.example'
+              FROM base WHERE doc_id % 3 = 1
+            )
+            SELECT url, src_host, href, dst_host
+            FROM rows_ ORDER BY url, href
+        """,
         "semdedup": _semdedup_oracle(),
         "prune_prototypes": _prune_prototypes_oracle(),
         "fingerprints": _fingerprints_oracle(),

@@ -280,6 +280,8 @@ def timed_queries(spark) -> dict[str, float]:
         "rrf_hybrid",
         "chunk_docs",
         "dedup_incremental",
+        "host_pagerank",
+        "link_degree_stats",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

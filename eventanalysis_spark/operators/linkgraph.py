@@ -1,0 +1,251 @@
+"""Hyperlink graph analytics — href extraction, host graph, PageRank.
+
+The web-crawl counterpart of textrank.py's word graph: extract anchor
+links from the raw html payload (JVM regexp, zero Python), collapse them
+to a weighted host→host edge list, and score hosts by PageRank (Page,
+Brin, Motwani & Winograd 1999, "The PageRank Citation Ranking") — the
+classic crawl-prioritization / source-quality signal every web-scale
+training-data pipeline computes (host authority feeds both crawl
+frontiers and quality-weighted mixture sampling).
+
+Differences from textrank.textrank, which this deliberately does NOT
+reuse: a real link graph is DIRECTED and has DANGLING nodes (hosts that
+are linked to but have no outgoing links, or whose pages we never
+crawled). textrank's symmetric word graph guarantees every node has
+out-edges, so it can skip dangling handling entirely; here dangling mass
+is redistributed uniformly each iteration (the standard random-surfer
+fix):
+
+    r_{i+1}(v) = (1 - d) + d * (Σ_{u→v} r_i(u) · w(u,v)/out(u)
+                                + dangling_i / N)
+    dangling_i = Σ_{u: out(u)=0} r_i(u)
+
+Scale notes (10^12-page crawl → ~10^8 hosts):
+  - The edge list is built by ONE hash aggregate at (src_host, dst_host)
+    grain — Zipf-bounded far below the page count — and pinned with a
+    lazy localCheckpoint so the unrolled iteration plan reuses it instead
+    of re-running extraction per iteration (the canonical "cache the
+    links" Spark PageRank move).
+  - Each iteration is one shuffle: join ranks⋈edges on src (AQE
+    broadcasts the rank vector while it fits, shuffles when it does
+    not), one partial-aggregatable sum by dst. The dangling term is a
+    1-row aggregate crossJoin-broadcast — never a collect.
+  - Hub skew (everyone links to the same CDN host) lands on the SUM
+    side, which partial-aggregates map-side; the divide-by-out-strength
+    is pre-applied per edge so hub out-mass spreads in one map pass.
+  - Per-iteration ranks are floor-rounded at ROUND_DP decimals — the
+    same policy that makes kmeans.kmeans_fit exactly SQL-replicable:
+    double-sum partition-order noise (last-ULP) is absorbed by the
+    rounding, so a fixed iteration count is a deterministic,
+    cross-engine-exact recurrence.
+
+The reference engine has no comparable operator; this extends the
+web-scale analysis surface the brief makes first-class (its closest
+analog is the provider/task classification maps the reference joins
+against — here the "dimension" is learned from the data itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# href="..." with an optional single/double quote, capturing the target.
+# Deliberately tolerant: attribute order varies, but ALL extraction stays
+# in one JVM regexp_extract_all pass over the decoded payload.
+_HREF_RE = r'<a\s[^>]*href\s*=\s*["\']([^"\'#]+)'
+_ABS_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+_SRC_HOST_RE = r"^[a-z]+://([^/?#]+)"
+
+# Per-iteration rank rounding (see module docstring). 9 dp keeps ~3
+# guard digits above the 6-dp reporting grain.
+ROUND_DP = 9
+
+
+def _floor_round(c, dp: int):
+    # HALF_UP at dp decimals, identical in Spark and DuckDB (NOTES.md
+    # rounding rule: never ROUND() a rational-valued double cross-engine).
+    scale = F.lit(float(10**dp))
+    return F.floor(c * scale + F.lit(0.5)) / scale
+
+
+def extract_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, html) → exploded (url, src_host, href, dst_host) link rows.
+
+    Zero-Python path: decode + regexp_extract_all + explode. Absolute
+    http(s)/protocol-relative hrefs resolve to their own host; relative
+    hrefs (path-only) resolve to the source host; mailto:/javascript:/
+    data: and fragment-only targets are dropped. Host comparison is
+    case-insensitive (lowered both sides)."""
+    doc = F.decode(F.col(html_col), "utf-8")
+    src_host = F.lower(F.regexp_extract(F.col(url_col), _SRC_HOST_RE, 1))
+    links = pages.select(
+        F.col(url_col).alias("url"),
+        src_host.alias("src_host"),
+        F.explode(F.regexp_extract_all(doc, F.lit(_HREF_RE), F.lit(1))).alias(
+            "href"
+        ),
+    )
+    abs_host = F.lower(F.regexp_extract("href", _ABS_HOST_RE, 1))
+    proto_rel = F.col("href").startswith("//")
+    proto_rel_host = F.lower(
+        F.regexp_extract("href", r"^//([^/?#]+)", 1)
+    )
+    scheme = F.regexp_extract("href", r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    dst = (
+        F.when(proto_rel, proto_rel_host)
+        .when(F.lower(scheme).isin("http", "https"), abs_host)
+        .when(scheme == "", F.col("src_host"))  # relative path
+        .otherwise(F.lit(None))  # mailto:, javascript:, data:, ...
+    )
+    return links.withColumn("dst_host", dst).where(
+        F.col("dst_host").isNotNull() & (F.col("dst_host") != "")
+    )
+
+
+def host_edges(
+    links: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    keep_self: bool = False,
+) -> DataFrame:
+    """Link rows → weighted host edge list (src, dst, w). One hash
+    aggregate at the (src, dst) grain; self-edges (intra-host nav links)
+    are dropped by default — they only recycle rank mass."""
+    e = links.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not keep_self:
+        e = e.where(F.col("src") != F.col("dst"))
+    return e.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+
+
+def host_pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    round_dp: int = ROUND_DP,
+) -> DataFrame:
+    """Directed weighted PageRank with uniform dangling-mass
+    redistribution over an (src, dst, w) edge list; fixed iteration
+    count, rank_0 = 1.0 for every node. Returns (host, rank), rank
+    floor-rounded at `round_dp` (the recurrence's own grain; callers
+    re-round for reporting)."""
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    # node set = src ∪ dst; pinned — it re-enters the plan every
+    # iteration as the (1-d) floor left side AND the dangling filter
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    ef = (
+        edges.join(outw, "src")
+        .select(
+            "src", "dst", (F.col("w").cast("double") / F.col("ow")).alias("frac")
+        )
+        .localCheckpoint(eager=False)
+    )
+    # dangling detection once: nodes with no out-edges
+    node_out = nodes.join(
+        outw.withColumnRenamed("src", "host"), "host", "left"
+    ).select("host", F.col("ow").isNotNull().alias("has_out"))
+    node_out = node_out.localCheckpoint(eager=False)
+
+    n_nodes = F.lit(1.0) * F.count(F.lit(1))  # used inside the agg below
+    ranks = node_out.select("host", "has_out").withColumn("rank", F.lit(1.0))
+    base = F.lit(1.0 - damping)
+    d = F.lit(damping)
+    for it in range(iterations):
+        # dangling_i / N as a 1-row frame, broadcast by the crossJoin
+        dang = ranks.agg(
+            (
+                F.sum(F.when(~F.col("has_out"), F.col("rank")).otherwise(F.lit(0.0)))
+                / n_nodes
+            ).alias("dshare")
+        )
+        contrib = (
+            ef.join(ranks.select(F.col("host").alias("src"), "rank"), "src")
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum(F.col("rank") * F.col("frac")).alias("s"))
+        )
+        ranks = (
+            node_out.join(contrib, "host", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "host",
+                "has_out",
+                _floor_round(
+                    base
+                    + d * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("dshare")),
+                    round_dp,
+                ).alias("rank"),
+            )
+        )
+        # Pin each iteration's rank vector: it is referenced TWICE by the
+        # next iteration (dangling aggregate + contribution join), so an
+        # unpinned loop doubles the plan per iteration (2^k subtree
+        # copies, each re-executed). One node-sized materialization per
+        # iteration instead — the standard Spark PageRank
+        # persist-per-iteration. The FINAL iteration is never
+        # re-referenced, so it stays unpinned (and plan-auditable).
+        if it < iterations - 1:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("host", "rank")
+
+
+def host_degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-host link-graph degrees: out_deg/in_deg (distinct neighbor
+    hosts), out_links/in_links (weighted), and reciprocity — the
+    fraction of a host's out-neighbors that link back (floor-rounded
+    6 dp; -1.0 sentinel for hosts with no out-edges, per the NOTES
+    nullable-double rule). Two hash aggregates + one full outer join;
+    the reciprocal-pair probe is a self-join of the DISTINCT host-pair
+    edge list against its transpose — edge-list-sized, never row-sized."""
+    # Pin the edge list first: three consumers below (out agg, in agg,
+    # pair probe) would otherwise each inline and re-run whatever built
+    # it (e.g. the full href extraction over the page payloads).
+    edges = edges.localCheckpoint(eager=False)
+    pairs = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
+    recip = (
+        pairs.alias("a")
+        .join(
+            pairs.select(
+                F.col("src").alias("dst"), F.col("dst").alias("src")
+            ).alias("b"),
+            ["src", "dst"],
+            "left_semi",
+        )
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n_recip"))
+    )
+    out = edges.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).alias("out_deg"), F.sum("w").alias("out_links")
+    )
+    inn = edges.groupBy(F.col("dst").alias("host")).agg(
+        F.count(F.lit(1)).alias("in_deg"), F.sum("w").alias("in_links")
+    )
+    deg = out.join(inn, "host", "full_outer").join(
+        recip.withColumnRenamed("src", "host"), "host", "left"
+    )
+    return deg.select(
+        "host",
+        F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+        F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        F.coalesce("out_links", F.lit(0)).alias("out_links"),
+        F.coalesce("in_links", F.lit(0)).alias("in_links"),
+        F.when(
+            F.coalesce("out_deg", F.lit(0)) == 0, F.lit(-1.0)
+        )
+        .otherwise(
+            _floor_round(
+                F.coalesce("n_recip", F.lit(0)).cast("double")
+                / F.col("out_deg"),
+                6,
+            )
+        )
+        .alias("reciprocity"),
+    )

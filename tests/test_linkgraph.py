@@ -1,0 +1,157 @@
+"""Hyperlink-graph operators (operators/linkgraph.py): href extraction
+rules, host edge aggregation, PageRank semantics (dangling mass, mass
+conservation, analytic fixed points), degree/reciprocity stats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventanalysis_spark.operators.linkgraph import (
+    extract_links,
+    host_degree_stats,
+    host_edges,
+    host_pagerank,
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, h.encode("utf-8")) for u, h in rows], "url string, html binary"
+    )
+
+
+class TestExtractLinks:
+    def test_resolution_rules(self, spark):
+        html = (
+            b'<html><body>'
+            b'<a class="x" href="HTTPS://WWW.Other.ORG/a">abs</a>'
+            b"<a href='/rel/path'>rel</a>"
+            b'<a href="//cdn.Example.com/x.js">proto-rel</a>'
+            b'<a href="mailto:a@b.c">mail</a>'
+            b'<a href="javascript:void(0)">js</a>'
+            b'<a href="#frag">frag</a>'
+            b"</body></html>"
+        )
+        df = _pages(spark, [("https://SRC.example/p?q=1", html.decode())])
+        got = {
+            (r["href"], r["dst_host"])
+            for r in extract_links(df).collect()
+        }
+        assert got == {
+            ("HTTPS://WWW.Other.ORG/a", "www.other.org"),  # abs, host lowered
+            ("/rel/path", "src.example"),  # relative → source host
+            ("//cdn.Example.com/x.js", "cdn.example.com"),  # protocol-relative
+        }
+        # href keeps the original bytes; mailto/javascript/#frag dropped
+
+    def test_src_host_rides_every_row(self, spark):
+        df = _pages(
+            spark,
+            [("https://a.example/1", '<a href="/x">x</a><a href="/y">y</a>')],
+        )
+        rows = extract_links(df).collect()
+        assert [r["src_host"] for r in rows] == ["a.example", "a.example"]
+        assert {r["href"] for r in rows} == {"/x", "/y"}
+
+    def test_no_links_no_rows(self, spark):
+        df = _pages(spark, [("https://a.example/1", "<html><body>t</body></html>")])
+        assert extract_links(df).count() == 0
+
+
+class TestHostEdges:
+    def test_weights_and_self_edge_drop(self, spark):
+        links = spark.createDataFrame(
+            [("a", "b"), ("a", "b"), ("a", "a"), ("b", "a")],
+            "src_host string, dst_host string",
+        )
+        got = {
+            (r["src"], r["dst"]): r["w"] for r in host_edges(links).collect()
+        }
+        assert got == {("a", "b"): 2, ("b", "a"): 1}
+        with_self = host_edges(links, keep_self=True)
+        assert {
+            (r["src"], r["dst"]): r["w"] for r in with_self.collect()
+        } == {("a", "b"): 2, ("a", "a"): 1, ("b", "a"): 1}
+
+
+def _edges(spark, triples):
+    return spark.createDataFrame(triples, "src string, dst string, w long")
+
+
+class TestHostPagerank:
+    def test_two_node_analytic_fixed_point(self, spark):
+        # a ⇄ b: symmetric, no dangling → rank stays exactly 1.0 forever
+        e = _edges(spark, [("a", "b", 1), ("b", "a", 1)])
+        got = {r["host"]: r["rank"] for r in host_pagerank(e, 5).collect()}
+        assert got == {"a": 1.0, "b": 1.0}
+
+    def test_dangling_mass_redistributes(self, spark):
+        # a → b, b has no out-edges: b is dangling. One iteration:
+        #   dshare = 1.0/2; r(a) = .15 + .85*(0 + .5) = .575
+        #   r(b)   = .15 + .85*(1 + .5) = 1.425
+        e = _edges(spark, [("a", "b", 1)])
+        got = {r["host"]: r["rank"] for r in host_pagerank(e, 1).collect()}
+        assert got["a"] == pytest.approx(0.575, abs=1e-9)
+        assert got["b"] == pytest.approx(1.425, abs=1e-9)
+
+    def test_mass_conservation_with_dangling(self, spark):
+        # Uniform dangling redistribution conserves total mass: Σrank = N
+        # after every iteration (modulo the 1e-9 per-node rounding).
+        e = _edges(
+            spark,
+            [("a", "b", 2), ("a", "c", 1), ("b", "c", 1), ("c", "sink", 3)],
+        )
+        total = (
+            host_pagerank(e, 4)
+            .agg(F.sum("rank").alias("s"))
+            .collect()[0]["s"]
+        )
+        assert total == pytest.approx(4.0, abs=1e-6)
+
+    def test_star_center_wins(self, spark):
+        e = _edges(
+            spark, [("l1", "hub", 1), ("l2", "hub", 1), ("l3", "hub", 1)]
+        )
+        rows = host_pagerank(e, 3).collect()
+        ranks = {r["host"]: r["rank"] for r in rows}
+        assert ranks["hub"] == max(ranks.values())
+        assert ranks["l1"] == ranks["l2"] == ranks["l3"]
+
+    def test_zero_iterations_and_negative(self, spark):
+        e = _edges(spark, [("a", "b", 1)])
+        got = {r["host"]: r["rank"] for r in host_pagerank(e, 0).collect()}
+        assert got == {"a": 1.0, "b": 1.0}
+        with pytest.raises(ValueError):
+            host_pagerank(e, -1)
+
+    def test_weighted_edges_split_mass_proportionally(self, spark):
+        # a sends 3/4 of its mass to b, 1/4 to c (w=3 vs w=1); one
+        # iteration from rank 1, no dangling (b,c link back to a).
+        e = _edges(
+            spark,
+            [("a", "b", 3), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)],
+        )
+        got = {r["host"]: r["rank"] for r in host_pagerank(e, 1).collect()}
+        assert got["b"] == pytest.approx(0.15 + 0.85 * 0.75, abs=1e-9)
+        assert got["c"] == pytest.approx(0.15 + 0.85 * 0.25, abs=1e-9)
+        assert got["a"] == pytest.approx(0.15 + 0.85 * 2.0, abs=1e-9)
+
+
+class TestDegreeStats:
+    def test_degrees_and_reciprocity(self, spark):
+        e = _edges(
+            spark,
+            [("a", "b", 5), ("b", "a", 1), ("a", "c", 2), ("d", "a", 1)],
+        )
+        got = {r["host"]: r.asDict() for r in host_degree_stats(e).collect()}
+        assert set(got) == {"a", "b", "c", "d"}
+        a = got["a"]
+        assert (a["out_deg"], a["in_deg"], a["out_links"], a["in_links"]) == (
+            2, 2, 7, 2,
+        )
+        assert a["reciprocity"] == 0.5  # of {b, c}, only b links back
+        assert got["b"]["reciprocity"] == 1.0
+        # c: pure sink → sentinel; d: out-only, no reciprocation
+        assert got["c"]["out_deg"] == 0 and got["c"]["reciprocity"] == -1.0
+        assert got["d"]["reciprocity"] == 0.0

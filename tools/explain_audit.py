@@ -927,6 +927,83 @@ def main() -> None:
         "never re-signatured.",
     )
 
+    # 34. host PageRank: one shuffle per iteration, pinned edge list,
+    # dangling share as a 1-row broadcast (never a collect)
+    from eventanalysis_spark.operators.linkgraph import (
+        extract_links,
+        host_degree_stats,
+        host_edges,
+        host_pagerank,
+    )
+
+    links34 = pages.select(
+        F.regexp_extract("url", r"^[a-z]+://([^/?#]+)", 1).alias("src_host"),
+        F.concat(F.lit("h"), (F.xxhash64("url") % 16).cast("string")).alias(
+            "dst_host"
+        ),
+    )
+    q34 = host_pagerank(host_edges(links34), iterations=3)
+    plan34 = q34._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Host PageRank: per-iteration join+sum, broadcast dangling share",
+        q34,
+        [
+            ("no Python in the plan (graph build + recurrence are Catalyst)",
+             "Python" not in plan34),
+            ("no CartesianProduct (the only nested-loop is the broadcast "
+             "1-row dangling-share crossJoin — exactly one in the visible "
+             "tail; earlier iterations sit behind their own checkpoints)",
+             "CartesianProduct" not in plan34
+             and plan34.count("BroadcastNestedLoopJoin") == 1),
+            ("edge list, node set AND each iteration's rank vector pinned "
+             "by lazy localCheckpoint (scans of ExistingRDD) — the rank "
+             "frame is referenced twice per iteration (dangling aggregate "
+             "+ contribution join), so an unpinned loop doubles the plan "
+             "per iteration (2^k recompute)",
+             "ExistingRDD" in plan34),
+            ("per-iteration contribution sum partial-aggregates map-side "
+             "(hub skew combines before the shuffle)",
+             plan34.count("partial_sum") >= 1),
+        ],
+        "operators/linkgraph.py::host_pagerank — the directed, "
+        "dangling-aware twin of textrank's loop: rank⋈edges on src, one "
+        "partial-aggregatable sum by dst, dangling mass via a 1-row "
+        "aggregate crossJoin-broadcast; per-iteration 9-dp floor-round "
+        "makes the recurrence cross-engine exact (kmeans policy).",
+    )
+
+    # 35. href extraction + degree stats: single-pass regexp, no Python
+    q35a = extract_links(pages)
+    plan35a = q35a._jdf.queryExecution().executedPlan().toString()
+    q35 = host_degree_stats(host_edges(q35a))
+    plan35 = q35._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Link extraction → degree stats: one regexp pass, edge-grain joins",
+        q35,
+        [
+            ("no Python anywhere (decode + regexp_extract_all + explode "
+             "+ host resolution are all Catalyst expressions)",
+             "Python" not in plan35 and "Python" not in plan35a),
+            ("href extraction is ONE generator over the decoded payload "
+             "(a single Generate explode in the extraction plan)",
+             plan35a.count("Generate") == 1),
+            ("the weighted edge list is pinned (ExistingRDD) before its "
+             "three consumers — out agg, in agg, reciprocity probe — so "
+             "page-grain extraction runs ONCE, never per consumer",
+             "ExistingRDD" in plan35 and plan35.count("Generate") == 0),
+            ("reciprocity probe joins the DISTINCT pair list against its "
+             "transpose as LeftSemi — edge-grain, never row-grain",
+             "LeftSemi" in plan35),
+            ("no CartesianProduct / nested-loop join",
+             "CartesianProduct" not in plan35
+             and "NestedLoop" not in plan35),
+        ],
+        "operators/linkgraph.py::extract_links + host_degree_stats — the "
+        "crawl-graph profile (in/out degree, link mass, reciprocity) "
+        "computed at host-pair grain; the raw page rows collapse in the "
+        "first hash aggregate and never travel further.",
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the engine's key paths\n\n"
