@@ -2170,6 +2170,25 @@ def q_host_pagerank(spark, sf):
     ).orderBy("host")
 
 
+_LG_SEEDS = ["h00", "h01", "h02", "h03", "h04"]
+
+
+def q_host_trustrank(spark, sf):
+    """TrustRank over the host link graph
+    (operators/linkgraph.py::host_trustrank): PageRank personalized to
+    a 5-host trusted seed set — teleport AND dangling mass flow only to
+    seeds, so trust decays with link distance and unreached hosts score
+    exactly 0. Same 5-iteration unrolled-CTE oracle discipline as
+    host_pagerank; total mass is 1 by construction."""
+    from eventanalysis_spark.operators.linkgraph import host_trustrank
+
+    seeds = spark.createDataFrame([(s,) for s in _LG_SEEDS], "host string")
+    r = host_trustrank(_lg_edges(spark, sf), seeds, iterations=_LG_ITERS)
+    return r.select(
+        "host", (F.floor(F.col("rank") * 1e6 + F.lit(0.5)) / 1e6).alias("rank")
+    ).orderBy("host")
+
+
 def q_link_degree_stats(spark, sf):
     """Host link-graph degree profile
     (operators/linkgraph.py::host_degree_stats): distinct-neighbor
@@ -2324,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "dedup_incremental": q_dedup_incremental,
         "host_pagerank": q_host_pagerank,
+        "host_trustrank": q_host_trustrank,
         "link_degree_stats": q_link_degree_stats,
         "link_extract": q_link_extract,
     }
@@ -2394,6 +2414,56 @@ def _host_pagerank_oracle(iterations: int = _LG_ITERS, d: float = 0.85) -> str:
               FROM nodes n LEFT JOIN outw o ON o.src = n.host
             ),
             r0 AS (SELECT host, has_out, 1.0::DOUBLE AS rank FROM nout),
+            {",".join(layers)}
+            SELECT host, floor(rank * 1e6 + 0.5) / 1e6 AS rank
+            FROM r{iterations} ORDER BY host
+        """
+
+
+def _host_trustrank_oracle(iterations: int = _LG_ITERS, d: float = 0.85) -> str:
+    """Unrolled-CTE DuckDB twin of q_host_trustrank: the personalized
+    recurrence r_{i+1} = (1-d)·t + d·(contrib + dangling·t), r_0 = t,
+    teleport t = 1/|seeds| on seed hosts else 0."""
+    base, damp = repr(1.0 - d), repr(d)
+    seed_list = ", ".join(f"'{s}'" for s in _LG_SEEDS)
+    layers = []
+    for i in range(1, iterations + 1):
+        layers.append(f"""
+            d{i} AS (
+              SELECT sum(CASE WHEN NOT has_out THEN rank ELSE 0.0 END)
+                     AS dmass
+              FROM r{i - 1}
+            ),
+            r{i} AS (
+              SELECT o.host, o.has_out, o.t,
+                     floor(({base} * o.t + {damp} * (COALESCE(c.s, 0.0)
+                            + (SELECT dmass FROM d{i}) * o.t))
+                           * 1e9 + 0.5) / 1e9 AS rank
+              FROM nt o LEFT JOIN (
+                SELECT ef.dst AS host, sum(r.rank * ef.frac) AS s
+                FROM ef JOIN r{i - 1} r ON r.host = ef.src
+                GROUP BY ef.dst
+              ) c USING (host)
+            )""")
+    return f"""
+            WITH {_lg_edges_cte()},
+            nodes AS (
+              SELECT src AS host FROM e UNION SELECT dst FROM e
+            ),
+            outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+            ef AS (
+              SELECT e.src, e.dst, e.w::DOUBLE / o.ow AS frac
+              FROM e JOIN outw o USING (src)
+            ),
+            nt AS (
+              SELECT n.host, (o.src IS NOT NULL) AS has_out,
+                     CASE WHEN n.host IN ({seed_list})
+                          THEN 1.0 / (SELECT count(*)::DOUBLE FROM nodes
+                                      WHERE host IN ({seed_list}))
+                          ELSE 0.0 END AS t
+              FROM nodes n LEFT JOIN outw o ON o.src = n.host
+            ),
+            r0 AS (SELECT host, has_out, t, t AS rank FROM nt),
             {",".join(layers)}
             SELECT host, floor(rank * 1e6 + 0.5) / 1e6 AS rank
             FROM r{iterations} ORDER BY host
@@ -3077,6 +3147,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "textrank_keywords": _textrank_oracle(),
         "host_pagerank": _host_pagerank_oracle(),
+        "host_trustrank": _host_trustrank_oracle(),
         "link_degree_stats": f"""
             WITH {_lg_edges_cte()},
             pairs AS (SELECT DISTINCT src, dst FROM e),

@@ -197,6 +197,111 @@ def host_pagerank(
     return ranks.select("host", "rank")
 
 
+def host_trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    round_dp: int = ROUND_DP,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004, "Combating Web
+    Spam with TrustRank"): PageRank personalized to a trusted seed set —
+    teleport (and dangling) mass flows ONLY to seeds, so trust decays
+    with link distance from them; spam farms that inflate plain PageRank
+    by linking to each other get ~0 unless a trusted host links in.
+
+        t(v)     = 1/|seeds ∩ nodes| for seeds, else 0
+        r_0      = t
+        r_{i+1}(v) = (1-d)·t(v) + d·(Σ_{u→v} r_i(u)·w(u,v)/out(u)
+                                     + dangling_i·t(v))
+
+    Total mass is exactly 1 every iteration (modulo the per-iteration
+    floor-round — same recurrence-pinning policy as host_pagerank).
+    `seeds` is a 1-column (host) frame; seeds not present in the graph
+    are ignored. Same per-iteration shape and scale notes as
+    host_pagerank; the teleport column rides the pinned node list, so
+    the seed set is joined ONCE, not per iteration."""
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    seed_hosts = seeds.select(F.col(seeds.columns[0]).alias("host")).distinct()
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    ef = (
+        edges.join(outw, "src")
+        .select(
+            "src", "dst", (F.col("w").cast("double") / F.col("ow")).alias("frac")
+        )
+        .localCheckpoint(eager=False)
+    )
+    # node list with teleport share + out-edge flag, pinned once:
+    # t = 1/|seeds∩nodes| via a 1-row count crossJoin-broadcast
+    marked = (
+        nodes.join(
+            F.broadcast(seed_hosts.withColumn("__seed", F.lit(True))),
+            "host",
+            "left",
+        )
+        .join(outw.withColumnRenamed("src", "host"), "host", "left")
+        .select(
+            "host",
+            F.coalesce("__seed", F.lit(False)).alias("is_seed"),
+            F.col("ow").isNotNull().alias("has_out"),
+        )
+    )
+    n_seed = marked.where("is_seed").agg(
+        F.count(F.lit(1)).cast("double").alias("ns")
+    )
+    node_t = (
+        marked.crossJoin(F.broadcast(n_seed))
+        .select(
+            "host",
+            "has_out",
+            F.when(F.col("is_seed"), F.lit(1.0) / F.col("ns"))
+            .otherwise(F.lit(0.0))
+            .alias("t"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ranks = node_t.withColumn("rank", F.col("t"))
+    base, d = F.lit(1.0 - damping), F.lit(damping)
+    for it in range(iterations):
+        dang = ranks.agg(
+            F.sum(
+                F.when(~F.col("has_out"), F.col("rank")).otherwise(F.lit(0.0))
+            ).alias("dmass")
+        )
+        contrib = (
+            ef.join(ranks.select(F.col("host").alias("src"), "rank"), "src")
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum(F.col("rank") * F.col("frac")).alias("s"))
+        )
+        ranks = (
+            node_t.join(contrib, "host", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "host",
+                "has_out",
+                "t",
+                _floor_round(
+                    base * F.col("t")
+                    + d
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0.0))
+                        + F.col("dmass") * F.col("t")
+                    ),
+                    round_dp,
+                ).alias("rank"),
+            )
+        )
+        if it < iterations - 1:  # same two-consumer pinning as host_pagerank
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("host", "rank")
+
+
 def host_degree_stats(edges: DataFrame) -> DataFrame:
     """Per-host link-graph degrees: out_deg/in_deg (distinct neighbor
     hosts), out_links/in_links (weighted), and reciprocity — the

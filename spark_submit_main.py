@@ -25,6 +25,9 @@ Subcommands:
   curate    — training-corpus curation: quality gate + duplicate-cluster
               collapse + optional benchmark decontamination + sampling in
               one flagged pass; writes the kept corpus + prints the audit
+  link-rank — crawl-graph host scoring: href extraction → host edge
+              list → PageRank (or TrustRank with --seeds; trust flows
+              only out of the seed hosts, spam islands score 0)
 """
 
 from __future__ import annotations
@@ -303,6 +306,44 @@ def cmd_status(args) -> int:
     return 0
 
 
+def cmd_link_rank(args) -> int:
+    """Crawl-graph host scoring: extract hrefs from the raw pages, build
+    the weighted host→host edge list, and rank hosts by PageRank — or
+    TrustRank when --seeds is given (trust flows only out of the seed
+    hosts; unreached hosts score 0). Writes (host, rank) parquet and/or
+    prints the top hosts as JSONL."""
+    from pyspark.sql import functions as F
+
+    from eventanalysis_spark.operators.linkgraph import (
+        extract_links,
+        host_edges,
+        host_pagerank,
+        host_trustrank,
+    )
+
+    spark = _spark(args)
+    pages = spark.read.parquet(args.source)
+    edges = host_edges(extract_links(pages, url_col=args.url_col,
+                                     html_col=args.html_col))
+    if args.seeds:
+        seeds = spark.createDataFrame(
+            [(s.strip().lower(),) for s in args.seeds.split(",") if s.strip()],
+            "host string",
+        )
+        ranks = host_trustrank(edges, seeds, iterations=args.iterations,
+                               damping=args.damping)
+    else:
+        ranks = host_pagerank(edges, iterations=args.iterations,
+                              damping=args.damping)
+    if args.out:
+        ranks.write.mode("overwrite").parquet(args.out)
+    for r in (
+        ranks.orderBy(F.desc("rank"), F.asc("host")).limit(args.top).collect()
+    ):
+        print(json.dumps({"host": r["host"], "rank": r["rank"]}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="eventanalysis-spark")
     p.add_argument("--master", default=None, help="override master (tests only)")
@@ -423,6 +464,18 @@ def main(argv=None) -> int:
     dd.add_argument("--shingle-k", type=int, default=3)
     dd.add_argument("--threshold", type=float, default=0.8)
     dd.set_defaults(fn=cmd_dedup_incremental)
+
+    lr = sub.add_parser("link-rank")
+    lr.add_argument("--source", required=True, help="pages parquet (url, html)")
+    lr.add_argument("--out", default=None, help="write (host, rank) parquet here")
+    lr.add_argument("--seeds", default=None,
+                    help="comma-separated trusted hosts → TrustRank; omit for PageRank")
+    lr.add_argument("--iterations", type=int, default=5)
+    lr.add_argument("--damping", type=float, default=0.85)
+    lr.add_argument("--top", type=int, default=20)
+    lr.add_argument("--url-col", default="url")
+    lr.add_argument("--html-col", default="html")
+    lr.set_defaults(fn=cmd_link_rank)
 
     args = p.parse_args(argv)
     return args.fn(args)

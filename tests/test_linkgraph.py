@@ -12,7 +12,12 @@ from eventanalysis_spark.operators.linkgraph import (
     host_degree_stats,
     host_edges,
     host_pagerank,
+    host_trustrank,
 )
+
+
+def _seeds(spark, hosts):
+    return spark.createDataFrame([(h,) for h in hosts], "host string")
 
 
 def _pages(spark, rows):
@@ -136,6 +141,61 @@ class TestHostPagerank:
         assert got["b"] == pytest.approx(0.15 + 0.85 * 0.75, abs=1e-9)
         assert got["c"] == pytest.approx(0.15 + 0.85 * 0.25, abs=1e-9)
         assert got["a"] == pytest.approx(0.15 + 0.85 * 2.0, abs=1e-9)
+
+
+class TestHostTrustrank:
+    def test_unreached_hosts_score_zero(self, spark):
+        # seed → a → b, plus an island c→d no seed can reach: the island
+        # must score EXACTLY 0 (trust only flows out of seeds).
+        e = _edges(
+            spark,
+            [("seed", "a", 1), ("a", "b", 1), ("c", "d", 1)],
+        )
+        got = {
+            r["host"]: r["rank"]
+            for r in host_trustrank(e, _seeds(spark, ["seed"]), 4).collect()
+        }
+        assert got["c"] == 0.0 and got["d"] == 0.0
+        assert got["seed"] > 0 and got["a"] > 0 and got["b"] > 0
+
+    def test_mass_is_one(self, spark):
+        e = _edges(
+            spark,
+            [("s1", "a", 2), ("a", "b", 1), ("b", "s1", 1), ("a", "sink", 1)],
+        )
+        total = (
+            host_trustrank(e, _seeds(spark, ["s1", "a"]), 5)
+            .agg(F.sum("rank").alias("m"))
+            .collect()[0]["m"]
+        )
+        assert total == pytest.approx(1.0, abs=1e-6)
+
+    def test_one_iteration_analytic(self, spark):
+        # seed → x, x dangling. t(seed)=1, r0=(1,0).
+        #   dangling_0 = r0(x) = 0
+        #   r1(seed) = .15*1 + .85*(0 + 0*1) = .15
+        #   r1(x)    = .15*0 + .85*(1*1)     = .85
+        e = _edges(spark, [("seed", "x", 1)])
+        got = {
+            r["host"]: r["rank"]
+            for r in host_trustrank(e, _seeds(spark, ["seed"]), 1).collect()
+        }
+        assert got["seed"] == pytest.approx(0.15, abs=1e-9)
+        assert got["x"] == pytest.approx(0.85, abs=1e-9)
+
+    def test_seeds_not_in_graph_ignored(self, spark):
+        e = _edges(spark, [("a", "b", 1), ("b", "a", 1)])
+        got = {
+            r["host"]: r["rank"]
+            for r in host_trustrank(
+                e, _seeds(spark, ["a", "ghost.example"]), 3
+            ).collect()
+        }
+        assert set(got) == {"a", "b"}
+        assert got["a"] > 0 and got["b"] > 0
+        # total mass 1 proves t(a)=1: had the absent ghost counted in
+        # |seeds|, t(a) would be 0.5 and total mass would stay at 0.5
+        assert got["a"] + got["b"] == pytest.approx(1.0, abs=1e-6)
 
 
 class TestDegreeStats:

@@ -144,3 +144,48 @@ def test_dedup_index_and_incremental_cli(tmp_path, spark):
     ]) == 0
     survivors = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert survivors == {101}
+
+
+def test_link_rank_cli(tmp_path, spark):
+    """link-rank verb: href extraction → host edges → PageRank /
+    TrustRank over a real pages parquet; ranks parquet written, seeds
+    switch to trust mode (unlinked spam island scores 0)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import spark_submit_main as cli
+
+    def page(host, targets):
+        body = "".join(f'<a href="https://{t}/x">l</a>' for t in targets)
+        return (f"https://{host}/p", f"<html><body>{body}</body></html>".encode())
+
+    rows = [
+        page("good.example", ["a.example", "b.example"]),
+        page("a.example", ["good.example"]),
+        page("b.example", ["a.example"]),
+        # spam island: links only within itself, nothing trusted links in
+        page("spam1.example", ["spam2.example"]),
+        page("spam2.example", ["spam1.example"]),
+    ]
+    pages = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(pages)
+    base = ["--master", "local[4]"]
+    out_pr = str(tmp_path / "pr")
+    assert cli.main(base + [
+        "link-rank", "--source", pages, "--out", out_pr, "--top", "3",
+    ]) == 0
+    pr = {r["host"]: r["rank"] for r in spark.read.parquet(out_pr).collect()}
+    assert set(pr) == {
+        "good.example", "a.example", "b.example", "spam1.example",
+        "spam2.example",
+    }
+    # plain PageRank can't tell the spam cycle from the real cluster
+    assert pr["spam1.example"] > 0.5
+    out_tr = str(tmp_path / "tr")
+    assert cli.main(base + [
+        "link-rank", "--source", pages, "--out", out_tr,
+        "--seeds", "good.example", "--iterations", "6",
+    ]) == 0
+    tr = {r["host"]: r["rank"] for r in spark.read.parquet(out_tr).collect()}
+    assert tr["spam1.example"] == 0.0 and tr["spam2.example"] == 0.0
+    assert tr["good.example"] > 0 and tr["a.example"] > 0

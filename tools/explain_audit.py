@@ -969,7 +969,10 @@ def main() -> None:
         "dangling-aware twin of textrank's loop: rank⋈edges on src, one "
         "partial-aggregatable sum by dst, dangling mass via a 1-row "
         "aggregate crossJoin-broadcast; per-iteration 9-dp floor-round "
-        "makes the recurrence cross-engine exact (kmeans policy).",
+        "makes the recurrence cross-engine exact (kmeans policy). "
+        "host_trustrank (personalized teleport, seed set joined once "
+        "onto the pinned node list) runs the identical per-iteration "
+        "shape.",
     )
 
     # 35. href extraction + degree stats: single-pass regexp, no Python
