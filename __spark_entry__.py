@@ -2118,6 +2118,25 @@ def q_dedup_incremental(spark, sf):
     )
 
 
+def q_daily_trend(spark, sf):
+    """Per-event-class traffic trend (operators/eventlog.py::
+    daily_trend): roll events to daily counts, fit the OLS line
+    count ~ day-index from exact LONG moment sums (partition-order
+    independent, unlike regr_slope's running double sums), report
+    slope/intercept/r² floor-rounded 6 dp with -1e9 degenerate
+    sentinels. Two hash aggregates, no window."""
+    from eventanalysis_spark.operators.eventlog import daily_trend
+
+    t = daily_trend(_t(spark, sf, "events"), ["event_type"], ts_col="ts")
+
+    def r6(c):
+        return (F.floor(F.col(c) * 1e6 + F.lit(0.5)) / 1e6).alias(c)
+
+    return t.select(
+        "event_type", "n_points", r6("slope"), r6("intercept"), r6("r2")
+    ).orderBy("event_type")
+
+
 # ---- hyperlink graph (operators/linkgraph.py) -----------------------------
 
 _LG_NH = 48  # dst host space: h00..h47
@@ -2346,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_trustrank": q_host_trustrank,
         "link_degree_stats": q_link_degree_stats,
         "link_extract": q_link_extract,
+        "daily_trend": q_daily_trend,
     }
 
 
@@ -3148,6 +3168,47 @@ def oracle_sql() -> dict[str, str]:
         "textrank_keywords": _textrank_oracle(),
         "host_pagerank": _host_pagerank_oracle(),
         "host_trustrank": _host_trustrank_oracle(),
+        "daily_trend": """
+            WITH daily AS (
+              SELECT event_type,
+                     date_diff('day', DATE '2020-01-01', CAST(ts AS DATE))
+                       AS d,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2
+            ),
+            m AS (
+              SELECT event_type, count(*)::BIGINT AS n_points,
+                     sum(d)::BIGINT AS sx, sum(n)::BIGINT AS sy,
+                     sum(d * n)::BIGINT AS sxy, sum(d * d)::BIGINT AS sxx,
+                     sum(n * n)::BIGINT AS syy
+              FROM daily GROUP BY 1
+            ),
+            s AS (
+              SELECT event_type, n_points, sx, sy,
+                     (n_points * sxy - sx * sy) AS bxy,
+                     (n_points * sxx - sx * sx) AS bxx,
+                     (n_points * syy - sy * sy) AS byy
+              FROM m
+            ),
+            f AS (
+              SELECT event_type, n_points,
+                CASE WHEN n_points < 2 OR bxx = 0 THEN -1000000000.0
+                     ELSE bxy::DOUBLE / bxx::DOUBLE END AS slope,
+                CASE WHEN n_points < 2 OR bxx = 0 THEN -1000000000.0
+                     ELSE (sy::DOUBLE - (bxy::DOUBLE / bxx::DOUBLE)
+                           * sx::DOUBLE) / n_points::DOUBLE END AS intercept,
+                CASE WHEN n_points < 2 OR bxx = 0 OR byy = 0
+                     THEN -1000000000.0
+                     ELSE (bxy::DOUBLE * bxy::DOUBLE)
+                          / (bxx::DOUBLE * byy::DOUBLE) END AS r2
+              FROM s
+            )
+            SELECT event_type, n_points,
+                   floor(slope * 1e6 + 0.5) / 1e6 AS slope,
+                   floor(intercept * 1e6 + 0.5) / 1e6 AS intercept,
+                   floor(r2 * 1e6 + 0.5) / 1e6 AS r2
+            FROM f ORDER BY event_type
+        """,
         "link_degree_stats": f"""
             WITH {_lg_edges_cte()},
             pairs AS (SELECT DISTINCT src, dst FROM e),

@@ -282,6 +282,7 @@ def timed_queries(spark) -> dict[str, float]:
         "dedup_incremental",
         "host_pagerank",
         "link_degree_stats",
+        "daily_trend",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

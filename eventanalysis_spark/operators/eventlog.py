@@ -388,3 +388,93 @@ def rolling_active(
             "n_active_window",
         )
     )
+
+
+def group_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    sentinel: float = -1e9,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend line over INTEGER-valued
+    (x, y) points: (group..., n_points, slope, intercept, r2).
+
+        slope = Sxy/Sxx   Sxy = n·Σxy − Σx·Σy,  Sxx = n·Σx² − (Σx)²
+        intercept = (Σy − slope·Σx)/n
+        r²    = Sxy² / (Sxx·Syy)
+
+    Cross-engine exactness: with integer x and y every moment sum
+    (Σx, Σy, Σxy, Σx², Σy²) is LONG arithmetic — exact and
+    partition-order independent — so the only floating-point ops are
+    the final divisions/products, identical in any engine. (Spark's
+    built-in regr_slope keeps running DOUBLE sums: partition-order
+    noise in the last ulp. This form has none.) One map-side-partial
+    hash aggregate per group; no window, no second pass.
+
+    Feed an AGGREGATED series (one row per x, e.g. daily counts), not
+    raw events: correctness needs n·Σx² and n·Σxy to stay under 2^63 —
+    with day-index x (~10⁴) and count y that holds to ~10⁶ points per
+    group, far past any real time series.
+
+    Degenerate groups use `sentinel` (NOTES nullable-double rule):
+    n < 2 or zero x-variance → slope/intercept/r2 = sentinel; zero
+    y-variance (flat series, perfectly fit) → slope/intercept exact,
+    r2 = sentinel (SST = 0 leaves r² undefined)."""
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    m = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+    )
+    n = F.col("n_points")
+    big_sxy = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    big_sxx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    big_syy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    slope = big_sxy.cast("double") / big_sxx.cast("double")
+    intercept = (
+        F.col("__sy").cast("double") - slope * F.col("__sx").cast("double")
+    ) / n.cast("double")
+    # cast BEFORE squaring: Sxy² overflows long; the double square of an
+    # exactly-represented long is itself deterministic
+    r2 = (big_sxy.cast("double") * big_sxy.cast("double")) / (
+        big_sxx.cast("double") * big_syy.cast("double")
+    )
+    degenerate = (n < 2) | (big_sxx == 0)
+    return m.select(
+        *group_cols,
+        "n_points",
+        F.when(degenerate, F.lit(sentinel)).otherwise(slope).alias("slope"),
+        F.when(degenerate, F.lit(sentinel)).otherwise(intercept).alias(
+            "intercept"
+        ),
+        F.when(degenerate | (big_syy == 0), F.lit(sentinel))
+        .otherwise(r2)
+        .alias("r2"),
+    )
+
+
+def daily_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    epoch: str = "2020-01-01",
+    sentinel: float = -1e9,
+) -> DataFrame:
+    """Traffic-trend detection per group: roll events up to daily counts
+    and fit the OLS line count ~ day (group_trend). x is the day index
+    from a FIXED epoch (shift changes only the intercept, and a global
+    constant keeps the long moments small). The classic log-pipeline
+    question — which event classes / hosts are growing or decaying —
+    as two hash aggregates, no window, no collect."""
+    day_idx = F.datediff(
+        F.to_date(ts_col), F.to_date(F.lit(epoch))
+    ).alias("__day")
+    daily = df.select(*group_cols, day_idx).groupBy(*group_cols, "__day").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return group_trend(daily, group_cols, "__day", "__n", sentinel=sentinel)

@@ -245,3 +245,64 @@ def test_rolling_active_window1_equals_dau(spark):
     df = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz, user_id long")
     got = rolling_active(df, window_buckets=1).collect()
     assert all(r.n_active == r.n_active_window for r in got)
+
+
+from eventanalysis_spark.operators.eventlog import (  # noqa: E402
+    daily_trend,
+    group_trend,
+)
+
+
+def test_group_trend_exact_line(spark):
+    # y = 2x + 1 exactly: slope 2, intercept 1, r² = 1 — all exact
+    df = spark.createDataFrame(
+        [("g", x, 2 * x + 1) for x in range(5)], "g string, x long, y long"
+    )
+    r = group_trend(df, ["g"], "x", "y").collect()[0]
+    assert (r.n_points, r.slope, r.intercept, r.r2) == (5, 2.0, 1.0, 1.0)
+
+
+def test_group_trend_flat_series_and_degenerates(spark):
+    df = spark.createDataFrame(
+        [("flat", x, 7) for x in range(4)]       # zero y-variance
+        + [("single", 3, 9)]                     # n < 2
+        + [("novar", 2, 1), ("novar", 2, 5)],    # zero x-variance
+        "g string, x long, y long",
+    )
+    got = {r.g: r for r in group_trend(df, ["g"], "x", "y").collect()}
+    f = got["flat"]
+    assert (f.slope, f.intercept) == (0.0, 7.0) and f.r2 == -1e9
+    s = got["single"]
+    assert (s.slope, s.intercept, s.r2) == (-1e9, -1e9, -1e9)
+    n = got["novar"]
+    assert (n.slope, n.intercept, n.r2) == (-1e9, -1e9, -1e9)
+
+
+def test_group_trend_partition_invariance(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [("g", x, rnd.randrange(100)) for x in range(50)]
+    df1 = spark.createDataFrame(rows, "g string, x long, y long").repartition(1)
+    df8 = spark.createDataFrame(
+        list(reversed(rows)), "g string, x long, y long"
+    ).repartition(8)
+    a = group_trend(df1, ["g"], "x", "y").collect()[0]
+    b = group_trend(df8, ["g"], "x", "y").collect()[0]
+    # LONG moment sums: bit-identical regardless of partitioning/order
+    assert (a.slope, a.intercept, a.r2) == (b.slope, b.intercept, b.r2)
+
+
+def test_daily_trend_counts_per_day(spark):
+    # day 0: 1 event, day 1: 2, day 2: 3 → slope exactly 1
+    rows = []
+    eid = 0
+    for day, k in [(1, 1), (2, 2), (3, 3)]:
+        for _ in range(k):
+            rows.append((eid, datetime(2024, 1, day, 12, 0, 0), "click"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, event_type string"
+    )
+    r = daily_trend(df, ["event_type"], ts_col="ts").collect()[0]
+    assert (r.event_type, r.n_points, r.slope, r.r2) == ("click", 3, 1.0, 1.0)
