@@ -2208,6 +2208,19 @@ def q_host_trustrank(spark, sf):
     ).orderBy("host")
 
 
+def q_host_cocitation(spark, sf):
+    """Related-domain discovery by co-citation
+    (operators/linkgraph.py::host_cocitation): hosts sharing ≥2
+    in-linkers, Jaccard over the capped in-linker sets. The pair
+    generator self-joins the DISTINCT posting list with a fanout cap —
+    the LSH mega-bucket lesson applied to graph pairs."""
+    from eventanalysis_spark.operators.linkgraph import host_cocitation
+
+    return host_cocitation(
+        _lg_edges(spark, sf), max_fanout=256, min_common=2
+    ).orderBy("host_a", "host_b")
+
+
 def q_link_degree_stats(spark, sf):
     """Host link-graph degree profile
     (operators/linkgraph.py::host_degree_stats): distinct-neighbor
@@ -2365,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_trustrank": q_host_trustrank,
         "link_degree_stats": q_link_degree_stats,
         "link_extract": q_link_extract,
+        "host_cocitation": q_host_cocitation,
         "daily_trend": q_daily_trend,
     }
 
@@ -3168,6 +3182,31 @@ def oracle_sql() -> dict[str, str]:
         "textrank_keywords": _textrank_oracle(),
         "host_pagerank": _host_pagerank_oracle(),
         "host_trustrank": _host_trustrank_oracle(),
+        "host_cocitation": f"""
+            WITH {_lg_edges_cte()},
+            posts AS (SELECT DISTINCT src AS linker, dst AS host FROM e),
+            fan AS (SELECT linker, count(*) AS fanout FROM posts GROUP BY linker),
+            capped AS (
+              SELECT p.* FROM posts p JOIN fan USING (linker)
+              WHERE fan.fanout <= 256
+            ),
+            ind AS (SELECT host, count(*)::BIGINT AS ind FROM capped GROUP BY host),
+            pairs AS (
+              SELECT a.host AS host_a, b.host AS host_b,
+                     count(*)::BIGINT AS n_common
+              FROM capped a JOIN capped b
+                ON a.linker = b.linker AND a.host < b.host
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT p.host_a, p.host_b, p.n_common,
+                   floor(p.n_common::DOUBLE
+                         / (ia.ind + ib.ind - p.n_common) * 1e6 + 0.5) / 1e6
+                     AS jaccard
+            FROM pairs p
+            JOIN ind ia ON ia.host = p.host_a
+            JOIN ind ib ON ib.host = p.host_b
+            ORDER BY host_a, host_b
+        """,
         "daily_trend": """
             WITH daily AS (
               SELECT event_type,

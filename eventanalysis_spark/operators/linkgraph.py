@@ -302,6 +302,75 @@ def host_trustrank(
     return ranks.select("host", "rank")
 
 
+def host_cocitation(
+    edges: DataFrame,
+    max_fanout: int = 256,
+    min_common: int = 2,
+) -> DataFrame:
+    """Co-citation similarity (Small 1973): two hosts are related when
+    the same third hosts link to BOTH — the related-domain signal used
+    for crawl seed expansion and domain clustering. Returns
+    (host_a, host_b, n_common, jaccard) for unordered pairs with at
+    least `min_common` shared in-linkers; jaccard = |A∩B|/|A∪B| over
+    the (capped) in-linker sets, floor-rounded 6 dp.
+
+    Scale shape — the LSH mega-bucket lesson applied to graphs:
+      - The pair generator is a self-join of the DISTINCT (linker, host)
+        posting list on linker. A directory hub linking to 10⁵ hosts
+        would alone emit ~10¹⁰/2 pairs, so linkers with out-degree >
+        `max_fanout` are dropped ENTIRELY first (standard co-citation
+        practice: a page that cites everything relates nothing). After
+        the cap, each linker emits ≤ max_fanout²/2 pairs — the join is
+        bounded per key, and the (a, b) aggregate partial-combines
+        map-side.
+      - In-degrees for the Jaccard denominator are counted over the SAME
+        capped postings, so the ratio is internally consistent.
+    """
+    posts = edges.select(
+        F.col("src").alias("linker"), F.col("dst").alias("host")
+    ).distinct()
+    fan = posts.groupBy("linker").agg(F.count(F.lit(1)).alias("fanout"))
+    capped = (
+        posts.join(
+            fan.where(F.col("fanout") <= max_fanout).select("linker"),
+            "linker",
+            "left_semi",
+        )
+        # pinned: three consumers (two pair-join sides + in-degree counts)
+        .localCheckpoint(eager=False)
+    )
+    indeg = capped.groupBy("host").agg(F.count(F.lit(1)).alias("ind"))
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.linker") == F.col("b.linker"))
+            & (F.col("a.host") < F.col("b.host")),
+        )
+        .groupBy(
+            F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    return (
+        pairs.join(indeg.withColumnRenamed("host", "host_a"), "host_a")
+        .withColumnRenamed("ind", "ind_a")
+        .join(indeg.withColumnRenamed("host", "host_b"), "host_b")
+        .withColumnRenamed("ind", "ind_b")
+        .select(
+            "host_a",
+            "host_b",
+            "n_common",
+            _floor_round(
+                F.col("n_common").cast("double")
+                / (F.col("ind_a") + F.col("ind_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def host_degree_stats(edges: DataFrame) -> DataFrame:
     """Per-host link-graph degrees: out_deg/in_deg (distinct neighbor
     hosts), out_links/in_links (weighted), and reciprocity — the

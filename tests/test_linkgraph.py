@@ -198,6 +198,45 @@ class TestHostTrustrank:
         assert got["a"] + got["b"] == pytest.approx(1.0, abs=1e-6)
 
 
+class TestCocitation:
+    def test_shared_inlinkers_and_jaccard(self, spark):
+        from eventanalysis_spark.operators.linkgraph import host_cocitation
+
+        # linkers l1,l2 both cite {a,b}; l3 cites {a,c}
+        e = _edges(
+            spark,
+            [
+                ("l1", "a", 1), ("l1", "b", 1),
+                ("l2", "a", 3), ("l2", "b", 1),
+                ("l3", "a", 1), ("l3", "c", 1),
+            ],
+        )
+        got = {
+            (r["host_a"], r["host_b"]): (r["n_common"], r["jaccard"])
+            for r in host_cocitation(e, min_common=1).collect()
+        }
+        # a: in-linkers {l1,l2,l3}; b: {l1,l2}; c: {l3}
+        assert got[("a", "b")] == (2, pytest.approx(2 / 3, abs=1e-6))
+        assert got[("a", "c")] == (1, pytest.approx(1 / 3, abs=1e-6))
+        assert ("b", "c") not in got  # no shared linker
+        # min_common=2 keeps only the (a, b) pair
+        only = host_cocitation(e, min_common=2).collect()
+        assert [(r["host_a"], r["host_b"]) for r in only] == [("a", "b")]
+
+    def test_mega_hub_dropped_by_fanout_cap(self, spark):
+        from eventanalysis_spark.operators.linkgraph import host_cocitation
+
+        hub = [("hub", f"t{i}", 1) for i in range(10)]  # fanout 10
+        real = [("l1", "t0", 1), ("l1", "t1", 1), ("l2", "t0", 1), ("l2", "t1", 1)]
+        e = _edges(spark, hub + real)
+        got = host_cocitation(e, max_fanout=5, min_common=1).collect()
+        # only the l1/l2 co-citations survive; the hub's 45 pairs are gone
+        assert {(r["host_a"], r["host_b"]) for r in got} == {("t0", "t1")}
+        r = got[0]
+        # jaccard over CAPPED postings: in-linkers t0={l1,l2}, t1={l1,l2}
+        assert (r["n_common"], r["jaccard"]) == (2, 1.0)
+
+
 class TestDegreeStats:
     def test_degrees_and_reciprocity(self, spark):
         e = _edges(
