@@ -28,6 +28,9 @@ Subcommands:
   link-rank — crawl-graph host scoring: href extraction → host edge
               list → PageRank (or TrustRank with --seeds; trust flows
               only out of the seed hosts, spam islands score 0)
+  sql       — ad-hoc SQL over the warehouse: every table registered as
+              a temp view, results printed as JSONL (bounded) or
+              written parquet/csv cluster-side
 """
 
 from __future__ import annotations
@@ -306,6 +309,50 @@ def cmd_status(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    """Ad-hoc SQL over a warehouse: every table registers as a temp view
+    under its warehouse name (sink_content, sink_agg, dim_host, ...) and
+    the query runs through the same Catalyst planner as the operators —
+    predicate pushdown / pruning / AQE apply unchanged. Results print as
+    JSONL (driver-bounded by --limit) or write to parquet/csv with full
+    parallelism, so big results never collect."""
+    from eventanalysis_spark.sources.catalog import Warehouse
+
+    spark = _spark(args)
+    wh = Warehouse(args.warehouse)
+    # leading-underscore dirs are warehouse internals (_pipeline state,
+    # _staging), not data tables; unreadable/empty tables are skipped
+    names = []
+    for t in wh.tables():
+        if t.startswith("_"):
+            continue
+        try:
+            wh.table(t).read(spark).createOrReplaceTempView(t)
+            names.append(t)
+        except FileNotFoundError:
+            continue
+    if not names:
+        print(json.dumps({"error": "empty warehouse", "path": args.warehouse}))
+        return 1
+    sql = args.query
+    if sql is None:
+        with open(args.file) as f:
+            sql = f.read()
+    df = spark.sql(sql)
+    if args.out:
+        w = df.write.mode("overwrite")
+        if args.fmt == "csv":
+            w.option("header", True).csv(args.out)
+        else:
+            w.parquet(args.out)
+        print(json.dumps({"written": args.out, "fmt": args.fmt,
+                          "views": sorted(names)}))
+    else:
+        for r in df.limit(args.limit).collect():
+            print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def cmd_link_rank(args) -> int:
     """Crawl-graph host scoring: extract hrefs from the raw pages, build
     the weighted host→host edge list, and rank hosts by PageRank — or
@@ -464,6 +511,18 @@ def main(argv=None) -> int:
     dd.add_argument("--shingle-k", type=int, default=3)
     dd.add_argument("--threshold", type=float, default=0.8)
     dd.set_defaults(fn=cmd_dedup_incremental)
+
+    sq = sub.add_parser("sql")
+    sq.add_argument("--warehouse", required=True)
+    grp = sq.add_mutually_exclusive_group(required=True)
+    grp.add_argument("--query", default=None, help="inline SQL")
+    grp.add_argument("--file", default=None, help="read SQL from file")
+    sq.add_argument("--out", default=None,
+                    help="write results here (distributed); omit to print JSONL")
+    sq.add_argument("--fmt", default="parquet", choices=["parquet", "csv"])
+    sq.add_argument("--limit", type=int, default=100,
+                    help="max printed rows (ignored with --out)")
+    sq.set_defaults(fn=cmd_sql)
 
     lr = sub.add_parser("link-rank")
     lr.add_argument("--source", required=True, help="pages parquet (url, html)")

@@ -189,3 +189,43 @@ def test_link_rank_cli(tmp_path, spark):
     tr = {r["host"]: r["rank"] for r in spark.read.parquet(out_tr).collect()}
     assert tr["spam1.example"] == 0.0 and tr["spam2.example"] == 0.0
     assert tr["good.example"] > 0 and tr["a.example"] > 0
+
+
+def test_sql_cli(tmp_path, spark):
+    """sql verb: warehouse tables registered as views, inline query
+    printed as JSONL, file query written as csv cluster-side, empty
+    warehouse refused."""
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import spark_submit_main as cli
+
+    wh = str(tmp_path / "wh")
+    pages = str(tmp_path / "pages")
+    base = ["--master", "local[4]"]
+    assert cli.main(base + ["generate", "--out", pages, "--rows", "1200"]) == 0
+    assert cli.main(base + [
+        "run", "--source", pages, "--warehouse", wh, "--cap", "1200",
+    ]) == 0
+    assert cli.main(base + [
+        "sql", "--warehouse", wh,
+        "--query",
+        "SELECT event_class, count(*) AS n FROM sink_content "
+        "GROUP BY event_class ORDER BY event_class",
+    ]) == 0
+    qf = tmp_path / "q.sql"
+    qf.write_text(
+        "SELECT sink, sum(n) AS rows FROM sink_agg GROUP BY sink ORDER BY sink"
+    )
+    out = str(tmp_path / "sqlout")
+    assert cli.main(base + [
+        "sql", "--warehouse", wh, "--file", str(qf),
+        "--out", out, "--fmt", "csv",
+    ]) == 0
+    got = spark.read.option("header", True).csv(out).collect()
+    sinks = {r["sink"] for r in got}
+    assert "content" in sinks and len(got) >= 3
+    assert cli.main(base + [
+        "sql", "--warehouse", str(tmp_path / "nope"), "--query", "SELECT 1",
+    ]) == 1
