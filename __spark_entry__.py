@@ -27,6 +27,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Spread table read for queries whose MAP side is the cost (token
+    explodes, shingle HOFs, per-vector arithmetic): the sf tables are
+    single sub-megabyte parquet files — one scan task no matter the
+    split conf (a file below maxPartitionBytes cannot split), so the
+    heavy projection would run on one core. One round-robin shuffle of
+    a <1 MB input buys full-width execution; at corpus scale inputs are
+    already thousands of partitions and callers use _t directly.
+
+    Measured rule (same-session A/B at sf0.1): only worth it when the
+    per-row map cost is HEAVY — the 64-hash shingle/minhash fold gained
+    2.3x (dedup_incremental 5.6 -> 2.4 s), while light token passes
+    LOST to the added shuffle (bm25 0.72 -> 1.39 s, textrank flat). Use
+    _t unless the map stage is HOF/regex-dominated."""
+    return _t(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # --------------------------------------------------------------------------
 # entry: flagship mini-pipeline (parse → enrich → route → aggregate) on the
 # events log table — the engine's §3.1 lifecycle in one plan.
@@ -1424,13 +1443,9 @@ def q_source_overlap_sketch(spark, sf):
     estimate's accuracy vs exact Jaccard is pytest-bounded)."""
     from eventanalysis_spark.operators.corpus import source_overlap_sketch
 
-    # The sf documents table is one parquet row-group -> one scan task;
-    # spread the signature projection (the only heavy stage) across the
-    # local cores. At corpus scale the input is already thousands of
-    # partitions and the operator itself stays shuffle-free.
-    docs = _t(spark, sf, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # the MinHash signature projection is the only heavy stage: spread
+    # the single-file scan (see _ts)
+    docs = _ts(spark, sf, "documents")
     return source_overlap_sketch(docs, num_hashes=16, hash_fn="md5").orderBy(
         "source_a", "source_b"
     )
@@ -2101,7 +2116,9 @@ def q_dedup_incremental(spark, sf):
         lsh_index,
     )
 
-    docs = _t(spark, sf, "documents")
+    # the 64-hash shingle/minhash fold is the dominant map cost: spread
+    # the single-file scan (measured 5.6 -> 2.4 s; see _ts)
+    docs = _ts(spark, sf, "documents")
     old = docs.where(F.col("doc_id") < 250)
     new = docs.where(F.col("doc_id") >= 250)
     idx = lsh_index(

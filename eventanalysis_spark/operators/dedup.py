@@ -644,11 +644,17 @@ def incremental_near_duplicates(
         # the bucket join runs once, not per reference
         .localCheckpoint(eager=False)
     )
-    # fetch ONLY candidate history docs before computing their shingles
+    # fetch ONLY candidate docs — on BOTH sides — before computing their
+    # shingles: the verify join touches candidates alone, and candidates
+    # are bucket-collisions (<< the crawl), so an unfiltered new side
+    # would re-run the whole shingle pass the signatures already paid
     old_c = old_docs.join(
         cands.select(F.col("old_id").alias(id_col)).distinct(), id_col, "left_semi"
     )
-    sh_new = new_docs.select(
+    new_c = new_docs.join(
+        cands.select(F.col("new_id").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    sh_new = new_c.select(
         F.col(id_col).alias("new_id"),
         shingles(F.col(text_col), shingle_k).alias("sh_n"),
     )
