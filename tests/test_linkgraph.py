@@ -64,6 +64,72 @@ class TestExtractLinks:
         assert extract_links(df).count() == 0
 
 
+def test_extract_links_randomized_shapes(spark):
+    """300 seeded random pages × random link shapes (quote style,
+    attribute order, whitespace around =, scheme case, fragments,
+    unicode noise between tags) — expected rows are computed BY
+    CONSTRUCTION from the resolution rules, one Spark job compares
+    exactly. Catches regex breakage the fixed fixtures can't."""
+    import random
+
+    rnd = random.Random(42)
+    noise_chars = "abc XYZ 0189 .,;:!?()-_ äöü λ 汉字 "
+
+    def noise():
+        return "".join(rnd.choice(noise_chars) for _ in range(rnd.randrange(12)))
+
+    rows, expected = [], set()
+    for i in range(300):
+        src_host = f"s{i % 17}.example"
+        url = f"https://{src_host}/p/{i}"
+        parts = [noise()]
+        for j in range(rnd.randrange(4)):
+            q = rnd.choice(['"', "'"])
+            sp = rnd.choice(["", " ", "  "])
+            attr = rnd.choice(["", 'class="x" ', "data-k=v "])
+            host = f"wWw.T{rnd.randrange(40)}.ORG"
+            kind = rnd.choice(
+                ["https", "HTTPS", "http", "proto", "rel", "mailto",
+                 "js", "frag", "absfrag"]
+            )
+            if kind in ("https", "HTTPS", "http"):
+                href = f"{kind}://{host}/p{j}"
+                exp = (url, src_host, href, host.lower())
+            elif kind == "absfrag":
+                href = f"https://{host}/p{j}#sec{j}"
+                # the capture stops at '#': href comes back truncated
+                exp = (url, src_host, f"https://{host}/p{j}", host.lower())
+            elif kind == "proto":
+                href = f"//{host}/lib.js"
+                exp = (url, src_host, href, host.lower())
+            elif kind == "rel":
+                href = f"/rel/{i}/{j}"
+                exp = (url, src_host, href, src_host)
+            elif kind == "mailto":
+                href = f"mailto:a{j}@b.c"
+                exp = None
+            elif kind == "js":
+                href = "javascript:void(0)"
+                exp = None
+            else:  # frag-only: no capturable char before '#'
+                href = f"#sec{j}"
+                exp = None
+            parts.append(f"<a {attr}href{sp}={sp}{q}{href}{q}>t{j}</a>")
+            parts.append(noise())
+            if exp is not None:
+                expected.add(exp)
+        rows.append((url, "".join(parts).encode("utf-8")))
+
+    from eventanalysis_spark.operators.linkgraph import extract_links
+
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {
+        (r["url"], r["src_host"], r["href"], r["dst_host"])
+        for r in extract_links(df).collect()
+    }
+    assert got == expected
+
+
 class TestHostEdges:
     def test_weights_and_self_edge_drop(self, spark):
         links = spark.createDataFrame(
