@@ -2225,6 +2225,17 @@ def q_host_trustrank(spark, sf):
     ).orderBy("host")
 
 
+def q_host_communities(spark, sf):
+    """Label-propagation communities on the host link graph
+    (operators/linkgraph.py::host_communities): 4 synchronous rounds,
+    weighted-majority label with lexicographic tie-break — pure
+    integer/string recurrence, so the unrolled-CTE oracle is exact with
+    no rounding policy at all."""
+    from eventanalysis_spark.operators.linkgraph import host_communities
+
+    return host_communities(_lg_edges(spark, sf), iterations=4).orderBy("host")
+
+
 def q_host_cocitation(spark, sf):
     """Related-domain discovery by co-citation
     (operators/linkgraph.py::host_cocitation): hosts sharing ≥2
@@ -2396,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_degree_stats": q_link_degree_stats,
         "link_extract": q_link_extract,
         "host_cocitation": q_host_cocitation,
+        "host_communities": q_host_communities,
         "daily_trend": q_daily_trend,
     }
 
@@ -2468,6 +2480,40 @@ def _host_pagerank_oracle(iterations: int = _LG_ITERS, d: float = 0.85) -> str:
             {",".join(layers)}
             SELECT host, floor(rank * 1e6 + 0.5) / 1e6 AS rank
             FROM r{iterations} ORDER BY host
+        """
+
+
+def _host_communities_oracle(iterations: int = 4) -> str:
+    """Unrolled-CTE DuckDB twin of q_host_communities: per round, the
+    weighted label-support aggregate then the (max support, min label)
+    argmax via row_number — integer/string only, no rounding."""
+    layers = []
+    for i in range(1, iterations + 1):
+        layers.append(f"""
+            nb{i} AS (
+              SELECT m.src AS host, l.label, sum(m.w) AS s
+              FROM sym m JOIN l{i - 1} l ON l.host = m.dst
+              GROUP BY 1, 2
+            ),
+            l{i} AS (
+              SELECT host, label FROM (
+                SELECT host, label,
+                       row_number() OVER (PARTITION BY host
+                                          ORDER BY s DESC, label ASC) AS rn
+                FROM nb{i}
+              ) WHERE rn = 1
+            )""")
+    return f"""
+            WITH {_lg_edges_cte()},
+            sym AS (
+              SELECT src, dst, sum(w) AS w FROM (
+                SELECT src, dst, w FROM e
+                UNION ALL SELECT dst, src, w FROM e
+              ) GROUP BY src, dst
+            ),
+            l0 AS (SELECT DISTINCT src AS host, src AS label FROM sym),
+            {",".join(layers)}
+            SELECT host, label AS community FROM l{iterations} ORDER BY host
         """
 
 
@@ -3199,6 +3245,7 @@ def oracle_sql() -> dict[str, str]:
         "textrank_keywords": _textrank_oracle(),
         "host_pagerank": _host_pagerank_oracle(),
         "host_trustrank": _host_trustrank_oracle(),
+        "host_communities": _host_communities_oracle(),
         "host_cocitation": f"""
             WITH {_lg_edges_cte()},
             posts AS (SELECT DISTINCT src AS linker, dst AS host FROM e),

@@ -302,6 +302,56 @@ def host_trustrank(
     return ranks.select("host", "rank")
 
 
+def host_communities(
+    edges: DataFrame,
+    iterations: int = 4,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007): every host starts as its own community, and
+    each round adopts the label with the largest WEIGHTED support among
+    its (undirected) neighbors — ties to the lexicographically smallest
+    label, so the whole recurrence is deterministic and, being pure
+    integer/string arithmetic, cross-engine exact with NO rounding
+    policy at all. Fixed iteration count (synchronous LPA may oscillate;
+    determinism is the contract, convergence is the caller's budget).
+
+    The topical-domain clustering counterpart of host_pagerank's
+    centrality: groups hosts for mixture planning / crawl partitioning.
+
+    Per iteration: one join of the label vector against the pinned
+    symmetrized edge list + two hash aggregates (label support, then a
+    struct-min argmax: min(struct(-support, label)) = max support, then
+    min label). The label vector is referenced ONCE per iteration, so —
+    unlike the pagerank loop — no per-iteration pinning is needed."""
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    both = edges.select("src", "dst", "w").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    sym = (
+        both.groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    labels = sym.select(F.col("src").alias("host")).distinct().withColumn(
+        "label", F.col("host")
+    )
+    for _ in range(iterations):
+        support = (
+            sym.join(
+                labels.select(F.col("host").alias("dst"), "label"), "dst"
+            )
+            .groupBy(F.col("src").alias("host"), "label")
+            .agg(F.sum("w").alias("s"))
+        )
+        labels = support.groupBy("host").agg(
+            F.min(
+                F.struct((-F.col("s")).alias("ns"), F.col("label").alias("lab"))
+            )["lab"].alias("label")
+        )
+    return labels.select("host", F.col("label").alias("community"))
+
+
 def host_cocitation(
     edges: DataFrame,
     max_fanout: int = 256,

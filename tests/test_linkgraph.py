@@ -264,6 +264,48 @@ class TestHostTrustrank:
         assert got["a"] + got["b"] == pytest.approx(1.0, abs=1e-6)
 
 
+class TestCommunities:
+    def test_two_clusters_with_weak_bridge(self, spark):
+        from eventanalysis_spark.operators.linkgraph import host_communities
+
+        # two triangles (w=5 internal) joined by one w=1 bridge: LPA must
+        # put each triangle in its own community
+        tri1 = [("a", "b", 5), ("b", "c", 5), ("c", "a", 5)]
+        tri2 = [("x", "y", 5), ("y", "z", 5), ("z", "x", 5)]
+        e = _edges(spark, tri1 + tri2 + [("c", "x", 1)])
+        got = {r["host"]: r["community"] for r in
+               host_communities(e, iterations=4).collect()}
+        assert got["a"] == got["b"] == got["c"]
+        assert got["x"] == got["y"] == got["z"]
+        assert got["a"] != got["x"]
+
+    def test_tie_breaks_to_smallest_label(self, spark):
+        from eventanalysis_spark.operators.linkgraph import host_communities
+
+        # p ⇄ q, equal weight: after round 1 each adopts the OTHER's
+        # label... except the tie rule has only one neighbor each, so
+        # p→q's label 'q'? No: p's single neighbor is q (label 'q'),
+        # so p adopts 'q' and q adopts 'p'; round 2 swaps back. With a
+        # third node anchored to both, the smallest label must win ties.
+        e = _edges(spark, [("p", "m", 1), ("q", "m", 1), ("p", "q", 1)])
+        got = {r["host"]: r["community"] for r in
+               host_communities(e, iterations=4).collect()}
+        # all three end in one community (fully connected-ish); the
+        # invariant under test: deterministic output regardless of
+        # partitioning — rerun must match exactly
+        again = {r["host"]: r["community"] for r in
+                 host_communities(e.repartition(7), iterations=4).collect()}
+        assert got == again
+
+    def test_zero_iterations_identity(self, spark):
+        from eventanalysis_spark.operators.linkgraph import host_communities
+
+        e = _edges(spark, [("a", "b", 1)])
+        got = {r["host"]: r["community"] for r in
+               host_communities(e, iterations=0).collect()}
+        assert got == {"a": "a", "b": "b"}
+
+
 class TestCocitation:
     def test_shared_inlinkers_and_jaccard(self, spark):
         from eventanalysis_spark.operators.linkgraph import host_cocitation
