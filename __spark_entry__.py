@@ -2293,6 +2293,45 @@ def q_link_extract(spark, sf):
     return extract_links(pages).orderBy("url", "href")
 
 
+# ---- winnowing fingerprints (operators/winnow.py) --------------------------
+
+_WN_K, _WN_W = 5, 4
+_WN_DOCS = 150
+_WN_MIN_COMMON = 20
+
+
+def q_winnow_fps(spark, sf):
+    """Winnowing document fingerprints (operators/winnow.py::
+    winnow_fingerprints — Schleimer/Wilkerson/Aiken 2003): k=5 char
+    grams over normalized text, w=4 window, min-hash-per-window with
+    rightmost tie-break. Zero-Python array-HOF pass; hash60_md5 grams
+    make the DuckDB window/group twin byte-exact."""
+    from eventanalysis_spark.operators.winnow import winnow_fingerprints
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < _WN_DOCS)
+    return winnow_fingerprints(docs, k=_WN_K, w=_WN_W).orderBy(
+        "doc_id", "pos", "fp"
+    )
+
+
+def q_winnow_overlap(spark, sf):
+    """MOSS-style shared-passage pairs (operators/winnow.py::
+    winnow_overlap_pairs): docs sharing >= 20 distinct selected
+    fingerprints, postings capped at 256 docs per fp BEFORE the
+    self-join (the LSH mega-bucket rule applied to fingerprint
+    values)."""
+    from eventanalysis_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < _WN_DOCS)
+    fps = winnow_fingerprints(docs, k=_WN_K, w=_WN_W)
+    return winnow_overlap_pairs(
+        fps, min_common=_WN_MIN_COMMON, max_fanout=256
+    ).orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -2409,6 +2448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cocitation": q_host_cocitation,
         "host_communities": q_host_communities,
         "daily_trend": q_daily_trend,
+        "winnow_fps": q_winnow_fps,
+        "winnow_overlap": q_winnow_overlap,
     }
 
 
@@ -2873,6 +2914,53 @@ def _prune_prototypes_oracle() -> str:
                  <= CEIL(0.5 * (count(*) OVER (PARTITION BY cid))) AS keep
         FROM dd ORDER BY vec_id
     """
+
+
+def _winnow_cte() -> str:
+    """Shared DuckDB twin of winnow_fingerprints (k=5, w=4): hash every
+    char 5-gram of the normalized text, join each window start to its 4
+    member grams, two-level argmin (min hash per window, then max pos
+    among ties = the robust-winnowing rightmost rule), distinct."""
+    h = _H60.format(x=f"substr(t, i::INT + 1, {_WN_K})")
+    return f"""
+            d AS (
+              SELECT doc_id,
+                     regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+              FROM documents WHERE doc_id < {_WN_DOCS}
+            ),
+            g AS (
+              SELECT doc_id, t,
+                     greatest(length(t) - {_WN_K} + 1, 1) AS ng
+              FROM d WHERE length(t) > 0
+            ),
+            hs AS (
+              SELECT doc_id, i AS pos, {h} AS h, ng
+              FROM g, LATERAL (SELECT unnest(generate_series(0, ng - 1)) AS i)
+            ),
+            wins AS (
+              SELECT doc_id, i AS wstart
+              FROM (SELECT DISTINCT doc_id, ng FROM hs) w,
+                   LATERAL (SELECT unnest(generate_series(
+                       0, greatest(ng - {_WN_W}, 0))) AS i)
+            ),
+            winrows AS (
+              SELECT wi.doc_id, wi.wstart, hs.pos, hs.h
+              FROM wins wi JOIN hs ON hs.doc_id = wi.doc_id
+               AND hs.pos BETWEEN wi.wstart AND wi.wstart + {_WN_W} - 1
+            ),
+            sel AS (
+              SELECT doc_id, wstart, min(h) AS mh
+              FROM winrows GROUP BY doc_id, wstart
+            ),
+            pick AS (
+              SELECT wr.doc_id, wr.wstart, max(wr.pos) AS pos, s.mh AS fp
+              FROM winrows wr JOIN sel s
+                ON s.doc_id = wr.doc_id AND s.wstart = wr.wstart
+               AND wr.h = s.mh
+              GROUP BY wr.doc_id, wr.wstart, s.mh
+            ),
+            fps AS (SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, fp
+                    FROM pick)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3368,6 +3456,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT url, src_host, href, dst_host
             FROM rows_ ORDER BY url, href
+        """,
+        "winnow_fps": f"""
+            WITH {_winnow_cte()}
+            SELECT doc_id, pos, fp FROM fps ORDER BY doc_id, pos, fp
+        """,
+        "winnow_overlap": f"""
+            WITH {_winnow_cte()},
+            posts AS (SELECT DISTINCT doc_id, fp FROM fps),
+            small AS (
+              SELECT fp FROM posts GROUP BY fp HAVING count(*) <= 256
+            ),
+            p AS (SELECT posts.* FROM posts JOIN small USING (fp))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*)::BIGINT AS n_common
+            FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= {_WN_MIN_COMMON}
+            ORDER BY id_a, id_b
         """,
         "semdedup": _semdedup_oracle(),
         "prune_prototypes": _prune_prototypes_oracle(),
