@@ -2293,6 +2293,42 @@ def q_link_extract(spark, sf):
     return extract_links(pages).orderBy("url", "href")
 
 
+def q_anchor_terms(spark, sf):
+    """Per-host anchor-term profile (operators/linkgraph.py::
+    extract_anchors + anchor_term_profile): how the web describes each
+    destination host — top-3 anchor terms by (count desc, term asc).
+    Pages are synthesized from doc_id with an absolute link carrying a
+    3-term anchor, a self nav link (excluded by the profile's
+    off-host rule), and a dropped mailto. The oracle derives term
+    counts ANALYTICALLY from the same doc_id formulas — equality
+    proves extraction, case-fold, self-link exclusion, and the top-k
+    rank rule."""
+    from eventanalysis_spark.operators.linkgraph import (
+        anchor_term_profile,
+        extract_anchors,
+    )
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 600)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    url = F.concat(F.lit("https://src"), (d % 5).cast("string"),
+                   F.lit(".example/page/"), ds)
+    html = F.concat(
+        F.lit('<html><body><a href="https://out'),
+        (d % 7).cast("string"),
+        F.lit('.example/p">Buy out'),
+        (d % 7).cast("string"),
+        F.lit(" v"),
+        (d % 2).cast("string"),
+        F.lit("</a><a href='/nav'>home nav</a>"),
+        F.lit('<a href="mailto:a@b.c">contact us</a></body></html>'),
+    )
+    pages = docs.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+    return anchor_term_profile(extract_anchors(pages), k=3).orderBy(
+        "host", "rank"
+    )
+
+
 # ---- winnowing fingerprints (operators/winnow.py) --------------------------
 
 _WN_K, _WN_W = 5, 4
@@ -2448,6 +2484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cocitation": q_host_cocitation,
         "host_communities": q_host_communities,
         "daily_trend": q_daily_trend,
+        "anchor_terms": q_anchor_terms,
         "winnow_fps": q_winnow_fps,
         "winnow_overlap": q_winnow_overlap,
     }
@@ -3456,6 +3493,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT url, src_host, href, dst_host
             FROM rows_ ORDER BY url, href
+        """,
+        "anchor_terms": """
+            WITH base AS (
+              SELECT doc_id,
+                     'out' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+                       AS host
+              FROM documents WHERE doc_id < 600
+            ),
+            terms AS (
+              SELECT host, 'buy' AS term FROM base
+              UNION ALL
+              SELECT host, 'out' || CAST(doc_id % 7 AS VARCHAR) FROM base
+              UNION ALL
+              SELECT host, 'v' || CAST(doc_id % 2 AS VARCHAR) FROM base
+            ),
+            counts AS (
+              SELECT host, term, count(*)::BIGINT AS n
+              FROM terms GROUP BY host, term
+            ),
+            ranked AS (
+              SELECT host, term, n,
+                     row_number() OVER (
+                       PARTITION BY host ORDER BY n DESC, term) AS rank
+              FROM counts
+            )
+            SELECT host, term, n, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3 ORDER BY host, rank
         """,
         "winnow_fps": f"""
             WITH {_winnow_cte()}

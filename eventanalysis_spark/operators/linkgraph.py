@@ -47,7 +47,7 @@ against — here the "dimension" is learned from the data itself).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # href="..." with an optional single/double quote, capturing the target.
@@ -88,18 +88,7 @@ def extract_links(
             "href"
         ),
     )
-    abs_host = F.lower(F.regexp_extract("href", _ABS_HOST_RE, 1))
-    proto_rel = F.col("href").startswith("//")
-    proto_rel_host = F.lower(
-        F.regexp_extract("href", r"^//([^/?#]+)", 1)
-    )
-    scheme = F.regexp_extract("href", r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
-    dst = (
-        F.when(proto_rel, proto_rel_host)
-        .when(F.lower(scheme).isin("http", "https"), abs_host)
-        .when(scheme == "", F.col("src_host"))  # relative path
-        .otherwise(F.lit(None))  # mailto:, javascript:, data:, ...
-    )
+    dst = _resolve_dst(F.col("href"), F.col("src_host"))
     return links.withColumn("dst_host", dst).where(
         F.col("dst_host").isNotNull() & (F.col("dst_host") != "")
     )
@@ -472,4 +461,101 @@ def host_degree_stats(edges: DataFrame) -> DataFrame:
             )
         )
         .alias("reciprocity"),
+    )
+
+
+# ---- anchor text ------------------------------------------------------------
+
+# Same href grammar as _HREF_RE plus the closing quote and the visible
+# text up to the next tag. Group 1 = target, group 2 = anchor text.
+_ANCHOR_RE = r'<a\s[^>]*href\s*=\s*["\']([^"\'#]+)["\'][^>]*>([^<]*)</a>'
+
+
+def _resolve_dst(href: Column, src_host: Column) -> Column:
+    """href → destination host under extract_links' resolution rules:
+    absolute http(s) → own host, protocol-relative → its host, relative
+    path → source host, other schemes (mailto:, javascript:, data:) →
+    NULL (caller drops)."""
+    abs_host = F.lower(F.regexp_extract(href, _ABS_HOST_RE, 1))
+    proto_rel_host = F.lower(F.regexp_extract(href, r"^//([^/?#]+)", 1))
+    scheme = F.regexp_extract(href, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    return (
+        F.when(href.startswith("//"), proto_rel_host)
+        .when(F.lower(scheme).isin("http", "https"), abs_host)
+        .when(scheme == "", src_host)
+        .otherwise(F.lit(None))
+    )
+
+
+def extract_anchors(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, src_host, href, dst_host, anchor) — extract_links plus the
+    VISIBLE anchor text, the classic off-page relevance/label signal
+    (what the web calls the target page; feeds query-independent doc
+    labeling and anchor-vs-title quality checks in a training-data
+    pipeline).
+
+    One decode + two regexp_extract_all passes over the payload (one
+    per capture group — regexp_extract_all returns a single group), zip
+    + explode; still zero Python and linear in payload bytes. Anchors
+    whose href does not resolve to a host (mailto:, fragment-only) are
+    dropped, matching extract_links."""
+    doc = F.decode(F.col(html_col), "utf-8")
+    zipped = F.arrays_zip(
+        F.regexp_extract_all(doc, F.lit(_ANCHOR_RE), F.lit(1)),
+        F.regexp_extract_all(doc, F.lit(_ANCHOR_RE), F.lit(2)),
+    )
+    rows = pages.select(
+        F.col(url_col).alias("url"),
+        F.lower(F.regexp_extract(F.col(url_col), _SRC_HOST_RE, 1)).alias(
+            "src_host"
+        ),
+        F.explode(zipped).alias("__a"),
+    ).select(
+        "url",
+        "src_host",
+        F.col("__a.0").alias("href"),
+        F.col("__a.1").alias("anchor"),
+    )
+    dst = _resolve_dst(F.col("href"), F.col("src_host"))
+    return rows.withColumn("dst_host", dst).where(
+        F.col("dst_host").isNotNull() & (F.col("dst_host") != "")
+    )
+
+
+def anchor_term_profile(
+    anchors: DataFrame, k: int = 3, min_count: int = 1
+) -> DataFrame:
+    """Per-destination-host top-k anchor TERMS: (host, term, n, rank) —
+    how the rest of the web describes each host. Rank is (count desc,
+    term asc), ties deterministic.
+
+    Scale shape: terms collapse to (host, term) counts in ONE
+    map-side-partial hash aggregate before any window — the window
+    sorts each host's DISTINCT term vocabulary (Zipf-bounded), never
+    its raw in-link volume. Off-host anchors only: a site's self-links
+    describe navigation, not reputation."""
+    terms = (
+        anchors.where(F.col("dst_host") != F.col("src_host"))
+        .select(
+            F.col("dst_host").alias("host"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col("anchor"))), r"\s+")
+            ).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    counts = terms.groupBy("host", "term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    if min_count > 1:
+        counts = counts.where(F.col("n") >= min_count)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("host", "term", "n", "rank")
     )

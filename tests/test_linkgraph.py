@@ -362,3 +362,71 @@ class TestDegreeStats:
         # c: pure sink → sentinel; d: out-only, no reciprocation
         assert got["c"]["out_deg"] == 0 and got["c"]["reciprocity"] == -1.0
         assert got["d"]["reciprocity"] == 0.0
+
+
+class TestAnchors:
+    def test_extract_anchor_text(self, spark):
+        from eventanalysis_spark.operators.linkgraph import extract_anchors
+
+        html = (
+            "<html><body>"
+            '<a class="x" href="HTTPS://Shop.example/p">Buy Cheap</a>'
+            "<a href='/rel/path'>home nav</a>"
+            '<a href="//cdn.example/x.js">cdn script</a>'
+            '<a href="mailto:a@b.c">contact</a>'
+            '<a href="#frag">skip</a>'
+            "</body></html>"
+        )
+        rows = extract_anchors(
+            _pages(spark, [("https://me.example/a", html)])
+        ).collect()
+        got = {(r.dst_host, r.anchor) for r in rows}
+        assert got == {
+            ("shop.example", "Buy Cheap"),
+            ("me.example", "home nav"),
+            ("cdn.example", "cdn script"),
+        }
+        # src_host rides along for the self-link filter downstream
+        assert {r.src_host for r in rows} == {"me.example"}
+
+    def test_term_profile_topk_and_selflink_filter(self, spark):
+        from eventanalysis_spark.operators.linkgraph import (
+            anchor_term_profile,
+            extract_anchors,
+        )
+
+        def page(i):
+            return (
+                f"https://src{i}.example/p",
+                (
+                    f'<a href="https://hub.example/x">great hub site</a>'
+                    f'<a href="https://hub.example/y">great  Site</a>'
+                    f'<a href="/self">me me me</a>'
+                ),
+            )
+
+        anchors = extract_anchors(_pages(spark, [page(1), page(2)]))
+        prof = anchor_term_profile(anchors, k=2).collect()
+        by_host = {}
+        for r in prof:
+            by_host.setdefault(r.host, []).append((r.rank, r.term, r.n))
+        # self-links (me me me -> srcN) are excluded entirely
+        assert set(by_host) == {"hub.example"}
+        # counts: great=4, site=4 (case-folded), hub=2; k=2 keeps the
+        # two count-4 terms, tie broken term-asc
+        assert sorted(by_host["hub.example"]) == [
+            (1, "great", 4),
+            (2, "site", 4),
+        ]
+
+    def test_term_profile_min_count(self, spark):
+        from eventanalysis_spark.operators.linkgraph import (
+            anchor_term_profile,
+        )
+
+        anchors = spark.createDataFrame(
+            [("a.example", "b.example", "rare seen seen")],
+            "src_host string, dst_host string, anchor string",
+        )
+        prof = anchor_term_profile(anchors, k=5, min_count=2).collect()
+        assert [(r.term, r.n) for r in prof] == [("seen", 2)]
