@@ -2368,6 +2368,53 @@ def q_winnow_overlap(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+# ---- per-host crawl churn (operators/corpus.py::snapshot_churn) ------------
+
+
+def _crawl_snapshots(spark, sf):
+    """Two deterministic crawl snapshots of the same url space, derived
+    from the documents table: the old crawl misses every 10th page, the
+    new crawl misses doc_id%7==3 and re-renders every 5th page with a
+    ' v2' suffix — so all four diff statuses occur by construction."""
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (d % 13).cast("string"),
+        F.lit(".example/p/"), d.cast("string"),
+    )
+    base = docs.select(url.alias("url"), F.col("text"), d.alias("doc_id"))
+    old = base.where(F.col("doc_id") % 10 != 0).select("url", "text")
+    new = base.where(F.col("doc_id") % 7 != 3).select(
+        "url",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return old, new
+
+
+def q_crawl_churn(spark, sf):
+    """Per-host churn rollup (operators/corpus.py::snapshot_churn —
+    the grouped companion to the corpus-level snapshot_delta_stats):
+    md5 digests replace payloads BEFORE the full-outer shuffle, then
+    one conditional-SUM hash aggregate per host; churn_ratio =
+    (added+removed+changed)/total rounded to 6dp on both sides. The
+    oracle classifies by raw text equality — agreement proves the
+    digest compare is equivalent on this keyspace."""
+    from eventanalysis_spark.operators.corpus import snapshot_churn
+
+    old, new = _crawl_snapshots(spark, sf)
+    host = F.regexp_extract(F.col("key"), r"https://([^/]+)/", 1)
+    out = snapshot_churn(
+        old, new, host, key_col="url", content_col="text",
+        group_name="host",
+    )
+    return out.select(
+        "host", "n_added", "n_removed", "n_changed", "n_unchanged",
+        "n_total", F.round("churn_ratio", 6).alias("churn_ratio"),
+    ).orderBy("host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_filter_order_limit": q_p1_filter_order_limit,
@@ -2487,7 +2534,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_terms": q_anchor_terms,
         "winnow_fps": q_winnow_fps,
         "winnow_overlap": q_winnow_overlap,
+        "crawl_churn": q_crawl_churn,
     }
+
+
+_CRAWL_DIFF_CTE = """
+    base AS (
+      SELECT 'https://h' || CAST(doc_id % 13 AS VARCHAR)
+             || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+             text, doc_id
+      FROM documents
+    ),
+    old AS (SELECT url, text FROM base WHERE doc_id % 10 <> 0),
+    new AS (
+      SELECT url,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+               AS text
+      FROM base WHERE doc_id % 7 <> 3
+    ),
+    j AS (
+      SELECT COALESCE(o.url, n.url) AS url,
+             o.url IS NOT NULL AS in_old,
+             n.url IS NOT NULL AS in_new,
+             o.text AS ot, n.text AS nt
+      FROM old o FULL OUTER JOIN new n ON o.url = n.url
+    ),
+    d AS (
+      SELECT url,
+             CASE WHEN NOT in_old THEN 'added'
+                  WHEN NOT in_new THEN 'removed'
+                  WHEN ot = nt THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM j
+    )
+"""
 
 
 _H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
@@ -3538,6 +3618,27 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.doc_id, b.doc_id
             HAVING count(*) >= {_WN_MIN_COMMON}
             ORDER BY id_a, id_b
+        """,
+        "crawl_churn": f"""
+            WITH {_CRAWL_DIFF_CTE},
+            g AS (
+              SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+                     SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_added,
+                     SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_removed,
+                     SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_changed,
+                     SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_unchanged,
+                     count(*)::BIGINT AS n_total
+              FROM d GROUP BY host
+            )
+            SELECT host, n_added, n_removed, n_changed, n_unchanged,
+                   n_total,
+                   round(CAST(n_added + n_removed + n_changed AS DOUBLE)
+                         / CAST(n_total AS DOUBLE), 6) AS churn_ratio
+            FROM g ORDER BY host
         """,
         "semdedup": _semdedup_oracle(),
         "prune_prototypes": _prune_prototypes_oracle(),

@@ -356,6 +356,48 @@ def snapshot_delta_stats(
     )
 
 
+def snapshot_churn(
+    old: DataFrame,
+    new: DataFrame,
+    group: Column,
+    key_col: str = "url",
+    content_col: str = "text",
+    group_name: str = "grp",
+) -> DataFrame:
+    """Per-group churn rollup of the crawl-over-crawl diff — the
+    grouped companion to `snapshot_delta_stats` (which is corpus-level
+    only). `group` is any expression over the diff's `key` column,
+    typically the url host: which hosts are volatile between crawls,
+    which are frozen.
+
+    Output: (group_name, n_added, n_removed, n_changed, n_unchanged,
+    n_total, churn_ratio) with churn_ratio = (added+removed+changed) /
+    total as an IEEE double (exact long division — oracle-replicable
+    bit-for-bit).
+
+    Scale shape: inherits `_statused_delta`'s hash-before-join
+    projection (payloads never cross the exchange), then ONE
+    conditional-SUM hash aggregate with map-side partial combine — no
+    pivot, no per-status shuffle, result rows = |hosts|."""
+    d = _statused_delta(old, new, key_col, content_col)
+
+    def n_of(s: str) -> Column:
+        return (
+            F.sum(F.when(F.col("status") == s, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{s}")
+        )
+
+    agg = d.groupBy(group.alias(group_name)).agg(
+        *[n_of(s) for s in ("added", "removed", "changed", "unchanged")],
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    churn = (
+        F.col("n_added") + F.col("n_removed") + F.col("n_changed")
+    ).cast("double") / F.col("n_total").cast("double")
+    return agg.withColumn("churn_ratio", churn)
+
+
 def kmv_distinct_sketch(
     df: DataFrame,
     key_col: str = "url",

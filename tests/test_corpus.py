@@ -253,6 +253,50 @@ def test_snapshot_delta_null_content_is_presence_not_absence(spark):
     assert stats == {"changed": 1, "unchanged": 1, "removed": 1, "added": 1}
 
 
+def test_snapshot_churn_per_group(spark):
+    """Grouped churn rollup: per-host status counts and ratio; hosts
+    with no churn report ratio 0.0; ratio is exact long division."""
+    from eventanalysis_spark.operators.corpus import snapshot_churn
+
+    old = spark.createDataFrame(
+        [("https://a.ex/1", "same"), ("https://a.ex/2", "v1"),
+         ("https://a.ex/3", "gone"), ("https://b.ex/1", "same")],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [("https://a.ex/1", "same"), ("https://a.ex/2", "v2"),
+         ("https://a.ex/4", "fresh"), ("https://b.ex/1", "same")],
+        "url string, text string",
+    )
+    host = F.regexp_extract(F.col("key"), r"https://([^/]+)/", 1)
+    got = {
+        r["host"]: r
+        for r in snapshot_churn(old, new, host, group_name="host").collect()
+    }
+    a = got["a.ex"]
+    assert (a["n_added"], a["n_removed"], a["n_changed"],
+            a["n_unchanged"], a["n_total"]) == (1, 1, 1, 1, 4)
+    assert a["churn_ratio"] == 3 / 4
+    b = got["b.ex"]
+    assert (b["n_total"], b["churn_ratio"]) == (1, 0.0)
+
+
+def test_snapshot_churn_payload_never_crosses_the_join(spark):
+    """Scale invariant shared with snapshot_delta: the optimized plan
+    hashes the content column BELOW the full-outer join, so only
+    (key, md5) attributes ride the exchange."""
+    from eventanalysis_spark.operators.corpus import snapshot_churn
+
+    old = spark.createDataFrame([("u1", "x")], "url string, text string")
+    new = spark.createDataFrame([("u1", "y")], "url string, text string")
+    plan = (
+        snapshot_churn(old, new, F.lit("all"))
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    join_at = plan.index("Join FullOuter")
+    assert "md5(" in plan[join_at:], "hash projection must sit below the join"
+
+
 def test_kmv_sketch_exact_below_k_and_estimator_above(spark):
     from eventanalysis_spark.operators.corpus import kmv_distinct_sketch
 
