@@ -359,14 +359,16 @@ def snapshot_delta_stats(
 def snapshot_churn(
     old: DataFrame,
     new: DataFrame,
-    group: Column,
+    group: Column | str,
     key_col: str = "url",
     content_col: str = "text",
     group_name: str = "grp",
 ) -> DataFrame:
     """Per-group churn rollup of the crawl-over-crawl diff — the
     grouped companion to `snapshot_delta_stats` (which is corpus-level
-    only). `group` is any expression over the diff's `key` column,
+    only). `group` is any expression over the diff's `key` column
+    (a plain column name is accepted and wrapped, matching the
+    str-or-Column convention of the sibling snapshot_delta* operators),
     typically the url host: which hosts are volatile between crawls,
     which are frozen.
 
@@ -379,6 +381,8 @@ def snapshot_churn(
     projection (payloads never cross the exchange), then ONE
     conditional-SUM hash aggregate with map-side partial combine — no
     pivot, no per-status shuffle, result rows = |hosts|."""
+    if isinstance(group, str):
+        group = F.col(group)
     d = _statused_delta(old, new, key_col, content_col)
 
     def n_of(s: str) -> Column:

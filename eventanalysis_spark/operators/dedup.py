@@ -367,10 +367,18 @@ def near_duplicate_pairs(
     shingle_k: int = 3,
     threshold: float = 0.8,
     expand: str = "collapsed",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: exact-dup collapse → shingle →
     minhash → band → bucket-join → exact-Jaccard verify → expand.
+
+    `max_bucket_size` defaults ON (4096): even after exact-dup collapse a
+    web-scale corpus contains templated near-identical (not identical)
+    boilerplate families that co-bucket; the default keeps any one
+    (band, bucket) from emitting more than O(b) star+chain pairs
+    (see lsh_candidate_pairs). Pass None to explicitly opt out and get
+    the exhaustive bucket self-join. Any cap ≥ the corpus's largest
+    bucket leaves the result exactly equal to the uncapped relation.
 
     Exact duplicates are collapsed FIRST (groupBy md5(text), representative
     = min id): at web scale 10^6 identical boilerplate pages would
@@ -558,6 +566,21 @@ def simhash_near_pairs(
 
 # ---- incremental (cross-crawl) dedup ---------------------------------------
 
+def _cap_postings(index: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Per-(band, bucket) posting cap: keep the `max_bucket_size` smallest
+    doc_ids of each bucket (deterministic). The window shuffles on the
+    same (band, bucket) key the index is already organized by, and only
+    oversized buckets lose rows. None = no cap."""
+    if max_bucket_size is None:
+        return index
+    w = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    return (
+        index.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_bucket_size)
+        .drop("__rn")
+    )
+
+
 def lsh_index(
     df: DataFrame,
     text_col: str = "text",
@@ -566,6 +589,8 @@ def lsh_index(
     bands: int = 16,
     shingle_k: int = 3,
     hash_fn: str = "xxhash64",
+    collapse_exact: bool = True,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """(band, bucket, doc_id) LSH posting table for a corpus — the
     PERSISTABLE index behind cross-crawl dedup. Build it once per crawl
@@ -574,14 +599,39 @@ def lsh_index(
     postings against the index instead of re-signaturing the history.
     bands × rows-per-band must match between index builds (the bucket
     hash embeds the slice), so treat (num_hashes, bands, shingle_k,
-    hash_fn) as index-format metadata."""
+    hash_fn) as index-format metadata.
+
+    Mega-bucket guards (both default ON — at web scale history WILL
+    contain a boilerplate bucket with 10^6+ postings, and one hot bucket
+    × every new crawl is the candidate blowup this module's LSH section
+    warns about):
+      - `collapse_exact`: identical texts co-bucket in EVERY band by
+        construction, so only the min-id representative per distinct
+        text is indexed (n identical docs → `bands` postings, not
+        n × bands). Probers recover full membership by re-deriving the
+        text-hash groups from the docs frame they already hold — see
+        incremental_near_duplicates, which maps any posting id (rep or
+        legacy member) back to its group representative before verify.
+      - `max_bucket_size`: distinct-text collisions (templated
+        boilerplate) are capped to the `max_bucket_size` smallest doc_ids
+        per (band, bucket); candidate completeness inside pathological
+        buckets is sacrificed, never correctness of emitted pairs."""
+    if collapse_exact:
+        reps = (
+            df.groupBy(F.md5(F.col(text_col)).alias("__th"))
+            .agg(F.min(F.col(id_col)).alias(id_col))
+            .select(id_col)
+        )
+        df = df.select(F.col(id_col), F.col(text_col)).join(
+            reps, id_col, "left_semi"
+        )
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_k, hash_fn
     # same pinning rationale as lsh_candidate_pairs: stop the 64-min
     # signature tree from inlining into the banding explode
     ).localCheckpoint(eager=False)
     r = max(1, num_hashes // bands)
-    return sigs.select(
+    index = sigs.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -598,6 +648,7 @@ def lsh_index(
             )
         ).alias("bb"),
     ).select(F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"), "doc_id")
+    return _cap_postings(index, max_bucket_size)
 
 
 def incremental_near_duplicates(
@@ -610,6 +661,7 @@ def incremental_near_duplicates(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.8,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """(new_id, old_id, jaccard) — new-crawl documents that near-duplicate
     the HISTORICAL corpus (the 'dedup this crawl against all previous
@@ -617,17 +669,64 @@ def incremental_near_duplicates(
 
     Scale shape: the only history-sized inputs are the PRECOMPUTED index
     (pass `old_index` from the warehouse — when None it is built on the
-    fly for ad-hoc use) and a LEFT-SEMI candidate fetch of old documents,
-    so per-crawl cost is O(new postings + candidates), never a
-    re-signature of history. Candidates join on (band, bucket) — the
-    same bucketed shuffle as lsh_candidate_pairs — then exact shingle
-    Jaccard verifies only fetched pairs."""
+    fly for ad-hoc use), a history-wide text-hash group pass (one narrow
+    aggregate, no payload shuffle), and a LEFT-SEMI candidate fetch of
+    old documents, so per-crawl cost is O(new postings + candidates),
+    never a re-signature of history.
+
+    Mega-bucket guards (the 10^6-identical-boilerplate hazard the LSH
+    section documents — here it compounds: one hot history bucket ×
+    EVERY future crawl):
+      - both crawls are exact-collapsed to min-id representatives before
+        any bucket join; LSH candidates, fetches, and shingle verifies
+        run at rep level only, and verified rep pairs are expanded back
+        over the text-hash memberships at the end. Jaccard depends only
+        on text, so the expanded relation is EXACTLY the exhaustive
+        (new_id, old_id) relation — identical docs simply stop paying
+        quadratic candidate cost.
+      - posting ids read from a persisted (possibly legacy, uncollapsed)
+        index are mapped to their group representative via the history
+        text-hash groups before verify, so per-crawl index appends with
+        per-crawl reps, stale member postings, and uncollapsed round-4
+        indexes all converge to the same rep-level candidates.
+      - `max_bucket_size` caps postings per (band, bucket) on BOTH the
+        probe side and any index read or built here (smallest doc_ids
+        kept; None opts out)."""
+    th_new, th_old = F.md5(F.col(text_col)), F.md5(F.col(text_col))
+    new_groups = (
+        new_docs.groupBy(th_new.alias("__th"))
+        .agg(F.min(F.col(id_col)).alias("__rep"))
+        .localCheckpoint(eager=False)  # referenced by semi-fetch + expansion
+    )
+    old_groups = (
+        old_docs.groupBy(th_old.alias("__th"))
+        .agg(F.min(F.col(id_col)).alias("__rep"))
+        .localCheckpoint(eager=False)
+    )
+    new_members = new_docs.select(
+        F.col(id_col).alias("__mid"), F.md5(F.col(text_col)).alias("__th")
+    )
+    old_members = old_docs.select(
+        F.col(id_col).alias("__mid"), F.md5(F.col(text_col)).alias("__th")
+    )
+    # posting id (rep or legacy member) -> group representative
+    old_rep_of = old_members.join(old_groups, "__th").select(
+        F.col("__mid").alias("old_pid"), F.col("__rep").alias("old_id")
+    )
+    new_rep_docs = new_docs.select(F.col(id_col), F.col(text_col)).join(
+        new_groups.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+    )
     if old_index is None:
         old_index = lsh_index(
-            old_docs, text_col, id_col, num_hashes, bands, shingle_k
+            old_docs, text_col, id_col, num_hashes, bands, shingle_k,
+            max_bucket_size=max_bucket_size,
         )
+    else:
+        old_index = _cap_postings(old_index, max_bucket_size)
     new_index = lsh_index(
-        new_docs, text_col, id_col, num_hashes, bands, shingle_k
+        new_rep_docs, text_col, id_col, num_hashes, bands, shingle_k,
+        collapse_exact=False,  # already rep-only
+        max_bucket_size=max_bucket_size,
     )
     cands = (
         new_index.alias("n")
@@ -637,17 +736,20 @@ def incremental_near_duplicates(
             & (F.col("n.bucket") == F.col("o.bucket")),
         )
         .select(
-            F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id")
+            F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_pid")
         )
+        .distinct()
+        .join(old_rep_of, "old_pid")
+        .select("new_id", "old_id")
         .distinct()
         # referenced twice below (candidate fetch + verify join): pin so
         # the bucket join runs once, not per reference
         .localCheckpoint(eager=False)
     )
-    # fetch ONLY candidate docs — on BOTH sides — before computing their
-    # shingles: the verify join touches candidates alone, and candidates
-    # are bucket-collisions (<< the crawl), so an unfiltered new side
-    # would re-run the whole shingle pass the signatures already paid
+    # fetch ONLY candidate rep docs — on BOTH sides — before computing
+    # their shingles: the verify join touches candidates alone, and
+    # candidates are bucket-collisions (<< the crawl), so an unfiltered
+    # new side would re-run the whole shingle pass the signatures paid
     old_c = old_docs.join(
         cands.select(F.col("old_id").alias(id_col)).distinct(), id_col, "left_semi"
     )
@@ -665,11 +767,34 @@ def incremental_near_duplicates(
     j = cands.join(sh_new, "new_id").join(sh_old, "old_id")
     inter = F.size(F.array_intersect("sh_n", "sh_o")).cast("double")
     union = F.size(F.array_union("sh_n", "sh_o")).cast("double")
-    return (
+    rep_pairs = (
         j.select(
             "new_id",
             "old_id",
             F.when(union == 0, F.lit(1.0)).otherwise(inter / union).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+    # expand verified rep pairs over both exact-dup memberships: output is
+    # the full (new_id, old_id) relation, output-bound by construction
+    return (
+        rep_pairs
+        .join(
+            new_groups.select(F.col("__rep").alias("new_id"), "__th"), "new_id"
+        )
+        .join(
+            new_members.select(F.col("__mid").alias("__new_m"), "__th"), "__th"
+        )
+        .drop("__th")
+        .join(
+            old_groups.select(F.col("__rep").alias("old_id"), "__th"), "old_id"
+        )
+        .join(
+            old_members.select(F.col("__mid").alias("__old_m"), "__th"), "__th"
+        )
+        .select(
+            F.col("__new_m").alias("new_id"),
+            F.col("__old_m").alias("old_id"),
+            "jaccard",
+        )
     )

@@ -392,3 +392,140 @@ def test_tokenizer_evaluated_once_in_window_generators(spark):
     assert n_splits(ngram_windows(df, 3, "text", "doc_id")) == 1
     # top_ngram_stats runs two gram passes (counts + mode) — once each
     assert n_splits(top_ngram_stats(df, 2, id_col="doc_id")) <= 2
+
+
+def test_lsh_index_collapses_exact_dups_and_caps_buckets(spark):
+    """Mega-bucket guards on the persistable index (VERDICT r4 item 2):
+    10^4 identical history docs must index as ONE rep posting per band —
+    not 10^4 × bands — and distinct-text bucket collisions are capped to
+    the max_bucket_size smallest doc_ids."""
+    from eventanalysis_spark.operators.dedup import lsh_index
+
+    n, bands = 10_000, 8
+    dup = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("boilerplate cookie banner accept terms " * 3).alias("text"),
+    )
+    idx = lsh_index(dup, id_col="doc_id", num_hashes=16, bands=bands)
+    rows = idx.collect()
+    assert len(rows) == bands  # one rep (min id = 0) per band
+    assert {r["doc_id"] for r in rows} == {0}
+
+    # distinct TEXTS with identical token streams (whitespace differs, so
+    # md5(text) differs but every shingle — hence every bucket — agrees):
+    # exact-collapse keeps them all, so only the cap can bound the bucket
+    near = spark.createDataFrame(
+        [(i, "alpha beta gamma delta" + " " * (i + 1)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    capped = lsh_index(near, id_col="doc_id", num_hashes=16, bands=bands,
+                       max_bucket_size=2)
+    per_bucket = capped.groupBy("band", "bucket").count().collect()
+    assert per_bucket and all(r["count"] <= 2 for r in per_bucket)
+    # the kept postings are the smallest doc_ids (deterministic cap)
+    assert {r["doc_id"] for r in capped.collect()} == {0, 1}
+
+
+def test_incremental_dedup_identical_history_is_candidate_bounded(spark):
+    """Adversarial cross-crawl case: a large block of identical docs in
+    history must NOT blow up the bucket join — candidates stay at rep
+    level (O(1) here) while the OUTPUT still expands to full membership
+    with jaccard 1.0 for every (new, old-member) pair."""
+    from eventanalysis_spark.operators.dedup import (
+        incremental_near_duplicates,
+        lsh_index,
+    )
+
+    n_hist = 500
+    boiler = "every page has this exact cookie banner text " * 4
+    old = spark.range(n_hist).select(
+        F.col("id").alias("doc_id"), F.lit(boiler).alias("text")
+    )
+    new = spark.createDataFrame(
+        [(10_000, boiler), (10_001, "genuinely novel content " * 6)],
+        "doc_id long, text string",
+    )
+    idx = lsh_index(old, id_col="doc_id", num_hashes=16, bands=8)
+    # index itself is rep-only: 8 postings, not 500 × 8
+    assert idx.count() == 8
+    got = incremental_near_duplicates(
+        new, old, old_index=idx, id_col="doc_id",
+        num_hashes=16, bands=8, threshold=0.8,
+    ).collect()
+    pairs = {(r["new_id"], r["old_id"]) for r in got}
+    assert pairs == {(10_000, i) for i in range(n_hist)}
+    assert all(r["jaccard"] == 1.0 for r in got)
+
+
+def test_incremental_dedup_legacy_uncollapsed_index_same_result(spark):
+    """A round-4-era persisted index (uncollapsed, uncapped member
+    postings) probed by the new rep-mapping path yields the same pairs
+    as a freshly built collapsed index."""
+    from eventanalysis_spark.operators.dedup import (
+        incremental_near_duplicates,
+        lsh_index,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    old = spark.createDataFrame(
+        [(i, base + "shared tail") for i in range(5)]          # exact dups
+        + [(i, f"unique history doc {i} words " * 3) for i in range(5, 10)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, base + "shared tail"), (101, "novel " * 10)],
+        "doc_id long, text string",
+    )
+    legacy_idx = lsh_index(
+        old, id_col="doc_id", num_hashes=32, bands=16,
+        collapse_exact=False, max_bucket_size=None,
+    )
+    fresh_idx = lsh_index(old, id_col="doc_id", num_hashes=32, bands=16)
+    assert legacy_idx.count() > fresh_idx.count()  # legacy really uncollapsed
+
+    def run(idx):
+        return {
+            (r["new_id"], r["old_id"], r["jaccard"])
+            for r in incremental_near_duplicates(
+                new, old, old_index=idx, id_col="doc_id",
+                num_hashes=32, bands=16, threshold=0.5,
+            ).collect()
+        }
+
+    got_legacy, got_fresh = run(legacy_idx), run(fresh_idx)
+    assert got_legacy == got_fresh
+    assert {(100, i, 1.0) for i in range(5)} <= got_fresh
+    assert all(n != 101 for n, _, _ in got_fresh)
+
+
+def test_near_duplicate_pairs_default_cap_bounds_degenerate_cluster(spark):
+    """The LSH bucket cap is ON by default (VERDICT r4 item 3): a
+    degenerate NEAR-dup (not exact-dup) family — identical token streams,
+    distinct raw texts — stays O(n·cap) through the bucket join while the
+    verified pair set remains connected (star+chain edges all verify at
+    jaccard 1.0)."""
+    from eventanalysis_spark.operators.dedup import near_duplicate_pairs
+
+    n = 40
+    fam = [(i, "omega psi chi phi upsilon tau" + " " * (i + 1)) for i in range(n)]
+    df = spark.createDataFrame(fam, "doc_id long, text string")
+    # tiny cap forces the star+chain path; token-identical docs verify 1.0
+    pairs = near_duplicate_pairs(
+        df, id_col="doc_id", num_hashes=16, bands=8, threshold=0.8,
+        max_bucket_size=4,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # star+chain, deduped across bands: ≤ 2n edges, never n(n-1)/2
+    assert len(got) <= 2 * n
+    # connectivity: union-find over emitted edges joins the whole family
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in got:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(n)}) == 1
