@@ -285,18 +285,22 @@ def timed_queries(spark) -> dict[str, float]:
         "daily_trend",
     ]
     qs = entry.queries()
-    out: dict[str, float] = {}
-    for name in names:
-        fn = qs[name]
-        best = None
-        for _ in range(REPS):
+    best: dict[str, float] = {}
+    # Reps are interleaved ROUND-ROBIN across the whole suite, not run
+    # back-to-back per query: the sandbox VM has bursty CPU-steal windows
+    # lasting tens of seconds, and with consecutive reps one bad window
+    # owns ALL of a query's samples (that is how r4 recorded tpch_q1 at
+    # 1.805 s when its steady state is ~0.7-0.9 s). Spread round-robin, a
+    # steal window contaminates at most one rep of each query and the
+    # per-query min recovers the clean measurement.
+    for _ in range(REPS):
+        for name in names:
             t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            n = df.count()
+            qs[name](spark, SF_DIR).count()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        out[name] = round(best, 3)
-    return out
+            if name not in best or dt < best[name]:
+                best[name] = dt
+    return {name: round(best[name], 3) for name in names}
 
 
 def _burn(n: int) -> int:

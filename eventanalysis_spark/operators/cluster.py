@@ -27,17 +27,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from eventanalysis_spark.plans.pin import Pinner
+
 
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = 25,
+    pin: str = "local",
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """(id, component) for every node appearing in `pairs`; component =
     the minimum node id reachable through the pair graph (deterministic
     canonical labels). Raises if not converged within max_iterations
-    (log₂-ish rounds needed; 25 covers any graph that fits on disk)."""
+    (log₂-ish rounds needed; 25 covers any graph that fits on disk).
+
+    `pin` selects the per-round materialization strategy (plans/pin.py):
+    'local' (default) truncates lineage with localCheckpoint — fastest,
+    but executor loss kills the job; 'persist' keeps recomputable
+    lineage; 'checkpoint' writes a reliable checkpoint every
+    `checkpoint_every` rounds (requires setCheckpointDir) so a long CC
+    on a real cluster survives executor loss. The convergence count is
+    a per-round action, so superseded rounds' persisted blocks are
+    released eagerly via Pinner.rotate."""
+    pinner = Pinner(pin, checkpoint_every)
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -71,7 +85,7 @@ def connected_components(
                 F.coalesce(F.col("pcomp"), F.col("a.comp")).alias("ptr_min"),
             )
         )
-        stepped = (
+        stepped = pinner(
             ptr.join(nbr, "id", "left")
             .select(
                 "id",
@@ -82,9 +96,11 @@ def connected_components(
                     F.coalesce(F.col("nbr_min"), F.col("old_comp")),
                 ).alias("comp"),
             )
-            .localCheckpoint()
         )
         n_changed = stepped.where(F.col("comp") < F.col("old_comp")).count()
+        # the count above materialized this round — earlier rounds'
+        # persisted blocks are dead state now
+        pinner.rotate(keep=stepped)
         labels = stepped.select("id", "comp")
         if n_changed == 0:
             edges.unpersist()

@@ -50,6 +50,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from eventanalysis_spark.plans.pin import Pinner
+
 # href="..." with an optional single/double quote, capturing the target.
 # Deliberately tolerant: attribute order varies, but ALL extraction stays
 # in one JVM regexp_extract_all pass over the decoded payload.
@@ -114,35 +116,44 @@ def host_pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     round_dp: int = ROUND_DP,
+    pin: str = "local",
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Directed weighted PageRank with uniform dangling-mass
     redistribution over an (src, dst, w) edge list; fixed iteration
     count, rank_0 = 1.0 for every node. Returns (host, rank), rank
     floor-rounded at `round_dp` (the recurrence's own grain; callers
-    re-round for reporting)."""
+    re-round for reporting).
+
+    `pin` picks the materialization strategy for the per-iteration rank
+    vector AND the loop-invariant frames (plans/pin.py): 'local'
+    (default) = localCheckpoint, fastest but not executor-loss-safe;
+    'persist' = MEMORY_AND_DISK with recomputable lineage; 'checkpoint'
+    = reliable checkpoint every `checkpoint_every` iterations (requires
+    setCheckpointDir) so a 100-iteration run on a real cluster survives
+    losing an executor."""
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
+    pinner = Pinner(pin, checkpoint_every)
     # node set = src ∪ dst; pinned — it re-enters the plan every
     # iteration as the (1-d) floor left side AND the dangling filter
-    nodes = (
+    nodes = pinner(
         edges.select(F.col("src").alias("host"))
         .unionByName(edges.select(F.col("dst").alias("host")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    ef = (
+    ef = pinner(
         edges.join(outw, "src")
         .select(
             "src", "dst", (F.col("w").cast("double") / F.col("ow")).alias("frac")
         )
-        .localCheckpoint(eager=False)
     )
     # dangling detection once: nodes with no out-edges
     node_out = nodes.join(
         outw.withColumnRenamed("src", "host"), "host", "left"
     ).select("host", F.col("ow").isNotNull().alias("has_out"))
-    node_out = node_out.localCheckpoint(eager=False)
+    node_out = pinner(node_out)
 
     n_nodes = F.lit(1.0) * F.count(F.lit(1))  # used inside the agg below
     ranks = node_out.select("host", "has_out").withColumn("rank", F.lit(1.0))
@@ -182,7 +193,7 @@ def host_pagerank(
         # persist-per-iteration. The FINAL iteration is never
         # re-referenced, so it stays unpinned (and plan-auditable).
         if it < iterations - 1:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = pinner(ranks)
     return ranks.select("host", "rank")
 
 
@@ -192,6 +203,8 @@ def host_trustrank(
     iterations: int = 5,
     damping: float = 0.85,
     round_dp: int = ROUND_DP,
+    pin: str = "local",
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004, "Combating Web
     Spam with TrustRank"): PageRank personalized to a trusted seed set —
@@ -209,9 +222,11 @@ def host_trustrank(
     `seeds` is a 1-column (host) frame; seeds not present in the graph
     are ignored. Same per-iteration shape and scale notes as
     host_pagerank; the teleport column rides the pinned node list, so
-    the seed set is joined ONCE, not per iteration."""
+    the seed set is joined ONCE, not per iteration. `pin` /
+    `checkpoint_every`: same fault-tolerance knob as host_pagerank."""
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
+    pinner = Pinner(pin, checkpoint_every)
     nodes = (
         edges.select(F.col("src").alias("host"))
         .unionByName(edges.select(F.col("dst").alias("host")))
@@ -219,12 +234,11 @@ def host_trustrank(
     )
     seed_hosts = seeds.select(F.col(seeds.columns[0]).alias("host")).distinct()
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    ef = (
+    ef = pinner(
         edges.join(outw, "src")
         .select(
             "src", "dst", (F.col("w").cast("double") / F.col("ow")).alias("frac")
         )
-        .localCheckpoint(eager=False)
     )
     # node list with teleport share + out-edge flag, pinned once:
     # t = 1/|seeds∩nodes| via a 1-row count crossJoin-broadcast
@@ -253,8 +267,8 @@ def host_trustrank(
             .otherwise(F.lit(0.0))
             .alias("t"),
         )
-        .localCheckpoint(eager=False)
     )
+    node_t = pinner(node_t)
     ranks = node_t.withColumn("rank", F.col("t"))
     base, d = F.lit(1.0 - damping), F.lit(damping)
     for it in range(iterations):
@@ -287,7 +301,7 @@ def host_trustrank(
             )
         )
         if it < iterations - 1:  # same two-consumer pinning as host_pagerank
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = pinner(ranks)
     return ranks.select("host", "rank")
 
 

@@ -89,6 +89,106 @@ def _decode_image_real(content: bytes) -> np.ndarray:
     return np.asarray(img, dtype=np.uint8)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png_stdlib(content: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode → HxWx3 uint8: chunk walk, zlib inflate of
+    the IDAT stream, per-scanline unfilter (all five filters), channel
+    normalization to RGB. Handles bit depth 8, color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced —
+    the overwhelming majority of real crawled PNGs. Anything else (16-bit,
+    Adam7) raises NotImplementedError so the caller's deterministic-fake
+    routing is preserved. No dependency beyond zlib + numpy, so the REAL
+    decode tier works even where Pillow isn't installed (this sandbox)."""
+    import zlib
+
+    if not content or not content.startswith(_PNG_SIG):
+        raise NotImplementedError("not a PNG byte stream")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(content):
+        (length,) = _struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + payload + crc
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise NotImplementedError("truncated PNG")
+    w, h, depth, color, comp, filt, interlace = _struct.unpack(">IIBBBBB", ihdr)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or channels is None:
+        raise NotImplementedError(
+            f"unsupported PNG variant (depth={depth}, color={color}, "
+            f"interlace={interlace})"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise NotImplementedError("short PNG pixel stream")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    off = 0
+    for y in range(h):
+        f = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, off + 1).copy()
+        off += stride + 1
+        if f == 0:
+            pass
+        elif f == 1:  # Sub — sequential in x, loop is per-pixel
+            for i in range(channels, stride):
+                line[i] = (int(line[i]) + int(line[i - channels])) & 0xFF
+        elif f == 2:  # Up — vectorized (uint8 addition wraps mod 256)
+            line += prev
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = int(line[i - channels]) if i >= channels else 0
+                line[i] = (int(line[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - channels]) if i >= channels else 0
+                b = int(prev[i])
+                c = int(prev[i - channels]) if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (int(line[i]) + pr) & 0xFF
+        else:
+            raise NotImplementedError(f"bad PNG filter byte {f}")
+        out[y] = line
+        prev = line
+    px = out.reshape(h, w, channels)
+    if color == 2:
+        return px
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    if color == 6:
+        return np.ascontiguousarray(px[:, :, :3])
+    if plte is None:
+        raise NotImplementedError("palette PNG without PLTE")
+    pal = np.frombuffer(plte, np.uint8)
+    pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+    return pal[px[:, :, 0]]
+
+
+def _decode_image_any(content: bytes) -> np.ndarray:
+    """Decode tier: Pillow (all formats, when installed) → stdlib PNG
+    (PNG bytes, everywhere) → raise, letting the caller fall back to the
+    deterministic fake (e.g. JPEG bytes in this codec-less sandbox)."""
+    try:
+        return _decode_image_real(content)
+    except NotImplementedError:
+        return _decode_png_stdlib(content)
+
+
 def _decode_audio_real(content: bytes) -> np.ndarray:
     """Real audio decode → mono float32 samples via soundfile, when
     available."""
@@ -209,7 +309,7 @@ def image_features(
                 w = int(meta["width"] or 16) if meta is not None else 16
                 h = int(meta["height"] or 16) if meta is not None else 16
                 try:
-                    px = _decode_image_real(content)
+                    px = _decode_image_any(content)
                     # real decode: actual dims win over metadata claims
                     h, w = int(px.shape[0]), int(px.shape[1])
                 except Exception:

@@ -141,3 +141,103 @@ def test_video_decoder_contract_returns_exactly_n_frames():
 
     with pytest.raises(NotImplementedError):
         _decode_video_frames_real(b"x", 4)
+
+
+# ---- stdlib PNG decode tier -------------------------------------------------
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct, zlib
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _make_png(px: np.ndarray, filters: list[int], color: int = 2) -> bytes:
+    """Handwritten PNG encoder for the golden test: applies the REQUESTED
+    filter byte per scanline (so the decoder's unfilter paths are each
+    exercised), single IDAT, bit depth 8."""
+    import struct, zlib
+
+    h, w = px.shape[0], px.shape[1]
+    ch = px.shape[2] if px.ndim == 3 else 1
+    flat = px.reshape(h, w * ch).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        line = flat[y]
+        if f == 0:
+            enc = line.copy()
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(ch, np.int32), line[:-ch]])
+            enc = (line - left) % 256
+        elif f == 2:  # Up
+            enc = (line - prev) % 256
+        elif f == 4:  # Paeth (left predictor only on row 0 handled below)
+            enc = np.empty_like(line)
+            for i in range(w * ch):
+                a = int(line[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (int(line[i]) - pr) % 256
+        else:
+            raise ValueError(f)
+        raw.append(f)
+        raw.extend(int(v) & 0xFF for v in enc)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_stdlib_png_decode_roundtrips_all_filters():
+    from eventanalysis_spark.operators.multimodal import _decode_png_stdlib
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(8, 5, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [4], [0, 1, 2, 4]):
+        got = _decode_png_stdlib(_make_png(px, filters))
+        assert got.shape == (8, 5, 3)
+        assert (got == px).all(), f"filter set {filters} mismatched"
+    # grayscale (color 0) expands to RGB
+    gray = rng.integers(0, 256, size=(4, 4, 1), dtype=np.uint8)
+    got = _decode_png_stdlib(_make_png(gray, [0, 2], color=0))
+    assert got.shape == (4, 4, 3)
+    assert (got == np.repeat(gray, 3, axis=2)).all()
+    # non-PNG bytes still route to the deterministic fake
+    with pytest.raises(NotImplementedError):
+        _decode_png_stdlib(b"\xff\xd8\xff jpeg-ish")
+
+
+def test_image_features_real_for_png_fake_for_jpeg(spark):
+    """PNG content now takes the REAL decode path in-sandbox: dims come
+    from the PNG header (overriding wrong metadata), mean_rgb is the true
+    pixel mean. Non-PNG content keeps the deterministic fake."""
+    from eventanalysis_spark.operators.multimodal import image_features
+
+    solid = np.zeros((6, 4, 3), dtype=np.uint8)
+    solid[:, :, 0] = 200  # R=200, G=0, B=0
+    png = _make_png(solid, [0, 1, 2, 4])
+    rows = [
+        ("png1", "image", "image/png", bytearray(png),
+         (99, 99, None, None, len(png))),     # metadata lies about dims
+        ("jpg1", "image", "image/jpeg", bytearray(b"\xff\xd8\xffnotreal"),
+         (16, 16, None, None, 11)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id string, modality string, mime string, content binary, "
+        "meta struct<width:int,height:int,duration_ms:bigint,"
+        "sample_rate:int,n_bytes:bigint>",
+    )
+    got = {r["media_id"]: r for r in image_features(df).collect()}
+    p = got["png1"]
+    assert (p["width"], p["height"]) == (4, 6)  # header wins over meta
+    assert p["mean_rgb"] == pytest.approx([200.0, 0.0, 0.0])
+    # solid color → every thumb cell is the gray of (200,0,0)
+    assert p["feature"] == pytest.approx([200.0 / 3 / 255.0] * 64)
+    j = got["jpg1"]
+    assert (j["width"], j["height"]) == (16, 16)  # meta-driven fake path
