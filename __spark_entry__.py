@@ -2368,6 +2368,24 @@ def q_winnow_overlap(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def q_winnow_passages(spark, sf):
+    """Shared-passage reconstruction (operators/winnow.py::
+    winnow_shared_passages — the MOSS report form): matched fingerprint
+    runs on compatible diagonals merged into (id_a, id_b, start_a,
+    start_b, length, n_fps) spans via gaps-and-islands per (pair,
+    diagonal). One keyed shuffle; same posting cap as winnow_overlap."""
+    from eventanalysis_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_shared_passages,
+    )
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < _WN_DOCS)
+    fps = winnow_fingerprints(docs, k=_WN_K, w=_WN_W)
+    return winnow_shared_passages(
+        fps, k=_WN_K, w=_WN_W, min_fps=3, max_fanout=256
+    ).orderBy("id_a", "id_b", "start_a", "start_b", "length")
+
+
 # ---- per-host crawl churn (operators/corpus.py::snapshot_churn) ------------
 
 
@@ -2468,9 +2486,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank_keywords,
         "rrf_hybrid": q_rrf_hybrid,
         "sessionize_stats": q_sessionize_stats,
-        "funnel": q_funnel,
+        "winnow_passages": q_winnow_passages,
         "interval_point_join": q_interval_point_join,
         "host_pagerank": q_host_pagerank,
+        "funnel": q_funnel,
         "s4_id_projection": q_s4_id_projection,
         "a3_group_stats": q_a3_group_stats,
         "a4_watermark": q_a4_watermark,
@@ -3622,6 +3641,46 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.doc_id, b.doc_id
             HAVING count(*) >= {_WN_MIN_COMMON}
             ORDER BY id_a, id_b
+        """,
+        # shared-passage twin: same capped postings, diagonal matches,
+        # gaps-and-islands split at gap > w + k - 1, island aggregates
+        "winnow_passages": f"""
+            WITH {_winnow_cte()},
+            small AS (
+              SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM fps)
+              GROUP BY fp HAVING count(*) <= 256
+            ),
+            p AS (SELECT fps.* FROM fps JOIN small USING (fp)),
+            m AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.pos AS pos_a, b.pos AS pos_b,
+                     b.pos - a.pos AS diag, a.fp
+              FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            ),
+            lagged AS (
+              SELECT m.*, lag(pos_a) OVER (
+                PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS prev
+              FROM m
+            ),
+            isl AS (
+              SELECT *, SUM(CASE WHEN prev IS NULL
+                                   OR pos_a - prev > {_WN_W + _WN_K - 1}
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a
+                              ROWS UNBOUNDED PRECEDING) AS island
+              FROM lagged
+            ),
+            sp AS (
+              SELECT id_a, id_b,
+                     CAST(min(pos_a) AS INT) AS start_a,
+                     CAST(min(pos_b) AS INT) AS start_b,
+                     CAST(max(pos_a) - min(pos_a) + {_WN_K} AS INT) AS length,
+                     count(DISTINCT fp)::BIGINT AS n_fps
+              FROM isl GROUP BY id_a, id_b, diag, island
+            )
+            SELECT id_a, id_b, start_a, start_b, length, n_fps
+            FROM sp WHERE n_fps >= 3
+            ORDER BY id_a, id_b, start_a, start_b, length
         """,
         "crawl_churn": f"""
             WITH {_CRAWL_DIFF_CTE},

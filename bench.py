@@ -453,15 +453,14 @@ def scaling_runs(docs: int) -> dict:
     return out
 
 
-def _prev_scaling_section() -> list[str] | None:
-    """Scaling block of the existing BENCH.md (between the Scaling header
-    and the next '## '), so a headline-only rerun doesn't erase it."""
+def _prev_section(marker: str) -> list[str] | None:
+    """Body of a BENCH.md section (between `marker` and the next '## '),
+    so a rerun that doesn't regenerate that section doesn't erase it."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
     try:
         text = open(path).read()
     except OSError:
         return None
-    marker = "## Scaling"
     i = text.find(marker)
     if i == -1:
         return None
@@ -475,6 +474,10 @@ def _prev_scaling_section() -> list[str] | None:
     while out and ("skipped this run" in out[0] or not out[0].strip()):
         out.pop(0)
     return out or None
+
+
+def _prev_scaling_section() -> list[str] | None:
+    return _prev_section("## Scaling")
 
 
 def write_bench_md(payload: dict) -> None:
@@ -551,6 +554,11 @@ def write_bench_md(payload: dict) -> None:
     for k, v in payload["queries"].items():
         lines.append(f"| {k} | {v} |")
     lines.append("")
+    # spill-path soak evidence (tools/soak_spill.py) is produced out of
+    # band — carry the section forward instead of erasing it
+    soak = _prev_section("## Spill-path soak")
+    if soak:
+        lines += ["## Spill-path soak (tools/soak_spill.py)", ""] + soak
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
         f.write("\n".join(lines))
 

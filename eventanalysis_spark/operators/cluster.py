@@ -119,7 +119,7 @@ def dedup_cluster_assignments(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.8,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Every document → its duplicate-cluster id: (id, cluster_id,
     is_representative). cluster_id = min doc id in the cluster; docs with

@@ -161,3 +161,76 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_common"))
         .where(F.col("n_common") >= min_common)
     )
+
+
+def winnow_shared_passages(
+    fps: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_fps: int = 2,
+    max_fanout: int = 256,
+    max_gap: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reconstructed shared passages — the MOSS report form: merge
+    matched fingerprints at compatible offsets into
+    (id_a, id_b, start_a, start_b, length, n_fps) spans, where
+    start_*/length are 0-based char offsets in each doc's NORMALIZED
+    text and n_fps counts the distinct fingerprints supporting the span.
+
+    A verbatim shared passage produces fingerprint matches on one
+    DIAGONAL (pos_b - pos_a constant), and winnowing guarantees
+    consecutive selected fingerprints of a covered passage are at most
+    w gram-positions apart — so spans are gaps-and-islands per
+    (id_a, id_b, diagonal): split where the position gap exceeds
+    `max_gap` (default w + k - 1: the selection guarantee plus k-1
+    slack for tie-break jitter at passage edges), then aggregate each
+    island. `min_fps` (default 2) suppresses single-gram hash
+    coincidences. Span length covers the final k-gram:
+    max(pos_a) - min(pos_a) + k.
+
+    Scale shape: the same doc-frequency posting cap as
+    winnow_overlap_pairs guards the fp-value join (boilerplate grams
+    carry no passage signal); the islands pass is ONE shuffle keyed
+    (id_a, id_b, diag) — the island aggregate's grouping keys are a
+    superset of the window partition keys, so Catalyst reuses the
+    window's exchange for the groupBy."""
+    if max_gap is None:
+        max_gap = w + k - 1
+    posts = fps.select(F.col(id_col).alias("__id"), "pos", "fp")
+    small = (
+        posts.select("fp", "__id").distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") <= max_fanout)
+        .select("fp")
+    )
+    p = posts.join(small, "fp")
+    m = (
+        p.select("fp", F.col("__id").alias("id_a"), F.col("pos").alias("pos_a"))
+        .join(
+            p.select("fp", F.col("__id").alias("id_b"), F.col("pos").alias("pos_b")),
+            "fp",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("diag", F.col("pos_b") - F.col("pos_a"))
+    )
+    from pyspark.sql import Window
+
+    by_diag = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    gap = F.col("pos_a") - F.lag("pos_a").over(by_diag)
+    island = F.sum(
+        F.when(gap.isNull() | (gap > max_gap), 1).otherwise(0)
+    ).over(by_diag.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        m.withColumn("__isl", island)
+        .groupBy("id_a", "id_b", "diag", "__isl")
+        .agg(
+            F.min("pos_a").cast("int").alias("start_a"),
+            F.min("pos_b").cast("int").alias("start_b"),
+            (F.max("pos_a") - F.min("pos_a") + k).cast("int").alias("length"),
+            F.count_distinct("fp").alias("n_fps"),
+        )
+        .where(F.col("n_fps") >= min_fps)
+        .select("id_a", "id_b", "start_a", "start_b", "length", "n_fps")
+    )

@@ -28,6 +28,10 @@ Subcommands:
   link-rank — crawl-graph host scoring: href extraction → host edge
               list → PageRank (or TrustRank with --seeds; trust flows
               only out of the seed hosts, spam islands score 0)
+  dedup-corpus — the end-to-end dedup command: exact+near dedup →
+              connected components → keep representative → optional
+              cross-crawl drop vs --history/--index → survivors +
+              tombstones (reason + duplicate_of per dropped doc)
   sql       — ad-hoc SQL over the warehouse: every table registered as
               a temp view, results printed as JSONL (bounded) or
               written parquet/csv cluster-side
@@ -226,6 +230,80 @@ def cmd_dedup_incremental(args) -> int:
     pairs.unpersist()
     print(json.dumps({"candidate_matches": n_pairs, "new_docs_deduped": n_dup_docs,
                       "out": args.out}))
+    return 0
+
+
+def cmd_dedup_corpus(args) -> int:
+    """The end-to-end 'dedup this corpus' command users actually run:
+    exact + near dedup (MinHash LSH, Jaccard verify) → connected
+    components → keep the min-id representative per duplicate cluster →
+    optionally also drop docs that near-duplicate a HISTORICAL corpus
+    (cross-crawl, via the persisted LSH index) → write SURVIVORS and a
+    TOMBSTONES table recording, for every dropped doc, why it was
+    dropped (within_corpus | cross_crawl) and which surviving/historical
+    doc it duplicates. Every stage is the capped, rep-level scale path
+    (operators/dedup.py, operators/cluster.py)."""
+    from pyspark.sql import functions as F
+
+    from eventanalysis_spark.operators.cluster import dedup_cluster_assignments
+    from eventanalysis_spark.operators.dedup import incremental_near_duplicates
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.source)
+    n_in = docs.count()
+    assign = dedup_cluster_assignments(
+        docs, text_col=args.text_col, id_col=args.id_col,
+        num_hashes=args.num_hashes, bands=args.bands,
+        shingle_k=args.shingle_k, threshold=args.threshold,
+        max_bucket_size=args.max_bucket_size,
+    ).persist()
+    within_tomb = assign.where(~F.col("is_representative")).select(
+        F.col("id").alias(args.id_col),
+        F.lit("within_corpus").alias("reason"),
+        F.col("cluster_id").alias("duplicate_of"),
+    )
+    reps = assign.where(F.col("is_representative")).select(
+        F.col("id").alias(args.id_col)
+    )
+    survivors = docs.join(reps, args.id_col, "left_semi")
+    cross_tomb = None
+    if args.history:
+        old = spark.read.parquet(args.history)
+        idx = spark.read.parquet(args.index) if args.index else None
+        pairs = incremental_near_duplicates(
+            survivors, old, old_index=idx, text_col=args.text_col,
+            id_col=args.id_col, num_hashes=args.num_hashes,
+            bands=args.bands, shingle_k=args.shingle_k,
+            threshold=args.threshold,
+        )
+        cross_tomb = pairs.groupBy(
+            F.col("new_id").alias(args.id_col)
+        ).agg(F.min("old_id").alias("duplicate_of")).select(
+            args.id_col, F.lit("cross_crawl").alias("reason"), "duplicate_of"
+        )
+        survivors = survivors.join(
+            cross_tomb.select(args.id_col), args.id_col, "left_anti"
+        )
+    tombstones = (
+        within_tomb.unionByName(cross_tomb)
+        if cross_tomb is not None else within_tomb
+    )
+    tomb_path = args.tombstones or (args.out.rstrip("/") + "_tombstones")
+    survivors.write.mode("overwrite").parquet(args.out)
+    tombstones.write.mode("overwrite").parquet(tomb_path)
+    n_out = spark.read.parquet(args.out).count()
+    tomb = spark.read.parquet(tomb_path)
+    by_reason = {
+        r["reason"]: r["n"]
+        for r in tomb.groupBy("reason").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    assign.unpersist()
+    print(json.dumps({
+        "docs_in": n_in, "survivors": n_out,
+        "tombstones": {**{"total": n_in - n_out}, **by_reason},
+        "out": args.out, "tombstones_path": tomb_path,
+    }))
     return 0
 
 
@@ -511,6 +589,24 @@ def main(argv=None) -> int:
     dd.add_argument("--shingle-k", type=int, default=3)
     dd.add_argument("--threshold", type=float, default=0.8)
     dd.set_defaults(fn=cmd_dedup_incremental)
+
+    dc = sub.add_parser("dedup-corpus")
+    dc.add_argument("--source", required=True, help="corpus parquet to dedup")
+    dc.add_argument("--out", required=True, help="survivors parquet")
+    dc.add_argument("--tombstones", default=None,
+                    help="tombstones parquet (default <out>_tombstones)")
+    dc.add_argument("--history", default=None,
+                    help="also drop near-dups of this historical corpus")
+    dc.add_argument("--index", default=None,
+                    help="persisted lsh index for --history")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--num-hashes", type=int, default=64)
+    dc.add_argument("--bands", type=int, default=32)
+    dc.add_argument("--shingle-k", type=int, default=3)
+    dc.add_argument("--threshold", type=float, default=0.8)
+    dc.add_argument("--max-bucket-size", type=int, default=4096)
+    dc.set_defaults(fn=cmd_dedup_corpus)
 
     sq = sub.add_parser("sql")
     sq.add_argument("--warehouse", required=True)

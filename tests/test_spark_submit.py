@@ -229,3 +229,47 @@ def test_sql_cli(tmp_path, spark):
     assert cli.main(base + [
         "sql", "--warehouse", str(tmp_path / "nope"), "--query", "SELECT 1",
     ]) == 1
+
+
+def test_dedup_corpus_cli_end_to_end(tmp_path, spark):
+    """The one-verb 'dedup this corpus' pipeline: planted exact dups,
+    near dups, and cross-crawl dups all collapse; survivors + tombstones
+    written; tombstone reasons and duplicate_of pointers are right."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import spark_submit_main as cli
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    hist_text = "historical corpus shared boilerplate passage words " * 4
+    rows = [
+        (0, base),                       # near-dup cluster rep (min id)
+        (1, base),                       # exact dup of 0
+        (2, base + "tiny tail change"),  # near dup of 0
+        (3, "unique document one with its own words entirely " * 3),
+        (4, hist_text),                  # exact dup of history doc 90
+        (5, "another standalone document nothing like the rest " * 3),
+    ]
+    old = spark.createDataFrame(
+        [(90, hist_text), (91, "old only content here " * 5)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src"); hist = str(tmp_path / "hist")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    old.write.parquet(hist)
+    out = str(tmp_path / "survivors")
+
+    assert cli.main([
+        "--master", "local[4]", "dedup-corpus", "--source", src,
+        "--out", out, "--history", hist, "--threshold", "0.5",
+        "--num-hashes", "32", "--bands", "16",
+    ]) == 0
+
+    survivors = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert survivors == {0, 3, 5}
+    tomb = {r["doc_id"]: (r["reason"], r["duplicate_of"])
+            for r in spark.read.parquet(out + "_tombstones").collect()}
+    assert tomb[1] == ("within_corpus", 0)   # exact dup → cluster rep
+    assert tomb[2] == ("within_corpus", 0)   # near dup → cluster rep
+    assert tomb[4] == ("cross_crawl", 90)    # historical duplicate
+    assert set(tomb) == {1, 2, 4}

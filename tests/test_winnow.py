@@ -145,3 +145,49 @@ class TestOverlapPairs:
         fps1 = {r.fp for r in fps.where("doc_id = 1").collect()}
         fps2 = {r.fp for r in fps.where("doc_id = 2").collect()}
         assert n == len(fps1 & fps2)
+
+
+def test_shared_passage_reconstruction(spark):
+    """A verbatim passage planted in two otherwise-different docs is
+    reconstructed as ONE span on the correct diagonal, bounded inside
+    the passage region; the unrelated doc produces no span."""
+    import re
+
+    from eventanalysis_spark.operators.winnow import winnow_shared_passages
+
+    passage = "the quick brown fox jumps over the lazy dog repeatedly tonight"
+    pre_a, pre_b = "alpha bravo charlie ", "zulu yankee xray whiskey victor "
+    rows = [
+        (1, pre_a + passage + " delta echo golf"),
+        (2, pre_b + passage + " uniform tango"),
+        (3, "completely unrelated content with no overlap whatsoever here"),
+    ]
+    norm = lambda s: re.sub(r"[^a-z0-9]", "", s.lower())
+    off_a, off_b = len(norm(pre_a)), len(norm(pre_b))
+    plen = len(norm(passage))
+
+    fps = winnow_fingerprints(_docs(spark, rows), k=5, w=4)
+    spans = winnow_shared_passages(fps, k=5, w=4, min_fps=2).collect()
+    assert spans, "planted passage not reconstructed"
+    assert all((r["id_a"], r["id_b"]) == (1, 2) for r in spans)
+    # merged into a single island on the planted diagonal
+    assert len(spans) == 1
+    s = spans[0]
+    assert s["start_b"] - s["start_a"] == off_b - off_a  # diagonal
+    # span lies inside the normalized passage region and covers most of it
+    assert s["start_a"] >= off_a
+    assert s["start_a"] + s["length"] <= off_a + plen
+    assert s["length"] >= plen - 2 * (5 + 4)
+
+
+def test_shared_passages_posting_cap_drops_universal_grams(spark):
+    """A fingerprint present in > max_fanout docs is excluded from the
+    pair join entirely (the mega-bucket rule), so corpus-universal
+    boilerplate alone yields no spans."""
+    from eventanalysis_spark.operators.winnow import winnow_shared_passages
+
+    boiler = "all rights reserved cookie policy applies"
+    rows = [(i, f"doc {i} unique words here {boiler}") for i in range(8)]
+    fps = winnow_fingerprints(_docs(spark, rows), k=5, w=4)
+    spans = winnow_shared_passages(fps, k=5, w=4, min_fps=2, max_fanout=4)
+    assert spans.count() == 0
