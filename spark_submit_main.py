@@ -447,6 +447,11 @@ def cmd_link_rank(args) -> int:
     )
 
     spark = _spark(args)
+    if args.pin == "checkpoint":
+        if not args.checkpoint_dir:
+            print(json.dumps({"error": "--pin checkpoint needs --checkpoint-dir"}))
+            return 1
+        spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
     pages = spark.read.parquet(args.source)
     edges = host_edges(extract_links(pages, url_col=args.url_col,
                                      html_col=args.html_col))
@@ -456,10 +461,10 @@ def cmd_link_rank(args) -> int:
             "host string",
         )
         ranks = host_trustrank(edges, seeds, iterations=args.iterations,
-                               damping=args.damping)
+                               damping=args.damping, pin=args.pin)
     else:
         ranks = host_pagerank(edges, iterations=args.iterations,
-                              damping=args.damping)
+                              damping=args.damping, pin=args.pin)
     if args.out:
         ranks.write.mode("overwrite").parquet(args.out)
     for r in (
@@ -625,6 +630,11 @@ def main(argv=None) -> int:
     lr.add_argument("--out", default=None, help="write (host, rank) parquet here")
     lr.add_argument("--seeds", default=None,
                     help="comma-separated trusted hosts → TrustRank; omit for PageRank")
+    lr.add_argument("--pin", default="local",
+                    choices=["local", "persist", "checkpoint"],
+                    help="iteration pin strategy (plans/pin.py): checkpoint = executor-loss-safe long runs")
+    lr.add_argument("--checkpoint-dir", default=None,
+                    help="reliable checkpoint dir for --pin checkpoint")
     lr.add_argument("--iterations", type=int, default=5)
     lr.add_argument("--damping", type=float, default=0.85)
     lr.add_argument("--top", type=int, default=20)

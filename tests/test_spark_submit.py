@@ -189,6 +189,18 @@ def test_link_rank_cli(tmp_path, spark):
     tr = {r["host"]: r["rank"] for r in spark.read.parquet(out_tr).collect()}
     assert tr["spam1.example"] == 0.0 and tr["spam2.example"] == 0.0
     assert tr["good.example"] > 0 and tr["a.example"] > 0
+    # --pin checkpoint: executor-loss-safe pinning, same ranks bit-for-bit
+    out_ck = str(tmp_path / "pr_ck")
+    assert cli.main(base + [
+        "link-rank", "--source", pages, "--out", out_ck, "--top", "3",
+        "--pin", "checkpoint", "--checkpoint-dir", str(tmp_path / "ckpt"),
+    ]) == 0
+    ck = {r["host"]: r["rank"] for r in spark.read.parquet(out_ck).collect()}
+    assert ck == pr
+    # --pin checkpoint without a dir is refused up front
+    assert cli.main(base + [
+        "link-rank", "--source", pages, "--pin", "checkpoint",
+    ]) == 1
 
 
 def test_sql_cli(tmp_path, spark):

@@ -1007,6 +1007,50 @@ def main() -> None:
         "first hash aggregate and never travel further.",
     )
 
+    # 36. winnowing shared passages: ONE keyed shuffle for islands+spans
+    from eventanalysis_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_shared_passages,
+    )
+
+    # subset via a hash FILTER, not limit(): a global limit would funnel
+    # the fixture through Exchange SinglePartition and hide the
+    # match-grain exchange this section asserts on
+    docs36 = pages.where(F.xxhash64("url") % 16 == 0).select(
+        F.col("url").alias("doc_id"), F.col("text")
+    )
+    fps36 = winnow_fingerprints(docs36, k=5, w=4)
+    q36 = winnow_shared_passages(fps36, k=5, w=4, min_fps=3)
+    plan36 = q36._jdf.queryExecution().executedPlan().toString()
+    n_exch = plan36.count("Exchange hashpartitioning")
+    audit(
+        "Winnowing shared passages: islands + span aggregate share ONE "
+        "diagonal-keyed exchange",
+        q36,
+        [
+            ("the island window and the span groupBy run on the SAME "
+             "(id_a, id_b, diag) exchange — the aggregate's grouping keys "
+             "are a superset of the window partition keys, so exactly one "
+             "hashpartitioning carries rows at match grain (remaining "
+             "exchanges are the fp posting-cap aggregate and broadcast "
+             "builds)",
+             plan36.count("hashpartitioning(id_a") == 1),
+            ("the match self-join is fp-keyed, never a nested loop",
+             "CartesianProduct" not in plan36
+             and "NestedLoop" not in plan36),
+            ("span aggregate partial-combines map-side",
+             "partial_min" in plan36 or "partial_count" in plan36
+             or "partial" in plan36),
+            ("no Python in the passage path (selection, matching, "
+             "islands, spans are all Catalyst)",
+             "Python" not in plan36),
+        ],
+        "operators/winnow.py::winnow_shared_passages — the MOSS report "
+        "form: matched fingerprints merged per (pair, diagonal) via "
+        "gaps-and-islands; the posting cap bounds the fp-value join "
+        "before any pair is emitted.",
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the engine's key paths\n\n"
