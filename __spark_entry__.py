@@ -2433,6 +2433,69 @@ def q_crawl_churn(spark, sf):
     ).orderBy("host")
 
 
+# ---- per-host template-line removal (operators/paragraphs.py) --------------
+
+
+_TPL_MIN_PAGES = 2
+_TPL_MIN_FRAC = 0.3
+
+
+def _host_paragraphized(spark, sf):
+    """Host-keyed paragraph fixture: the paragraphized documents view
+    plus a deterministic per-source footer line appended to EVERY page
+    ('footer <source>') — the site-boilerplate scenario host-template
+    removal exists for. Both engines build the same augmented bytes
+    (F.concat is the || twin: NULL-propagating, no separator skip)."""
+    p = _paragraphized(spark, sf)
+    src = _t(spark, sf, "documents").select("doc_id", "source")
+    return p.join(src, "doc_id").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"), F.lit("\nfooter "), F.col("source")
+        ).alias("text"),
+    )
+
+
+def q_host_template_lines(spark, sf):
+    """Per-host template-line DETECTION (operators/paragraphs.py::
+    host_template_lines — RefinedWeb 'line-wise corrections' grain): a
+    line is site boilerplate when it recurs in >= min_pages distinct
+    pages AND >= min_frac of a host's pages. The planted footer
+    saturates every source (frac 1.0); the corpus's natural 2-page
+    repeats (frac 0.08) clear min_pages but sit on both sides of no
+    gate at min_frac=0.05 — both thresholds are load-bearing. Line
+    text never shuffles: detection aggregates move (host, 8-byte hash)
+    partials; one keyed join fetches a representative text."""
+    from eventanalysis_spark.operators.paragraphs import host_template_lines
+
+    return host_template_lines(
+        _host_paragraphized(spark, sf),
+        host_col="source",
+        min_pages=_TPL_MIN_PAGES,
+        min_frac=0.05,
+    ).orderBy("host", "para")
+
+
+def q_strip_host_templates(spark, sf):
+    """Per-host template-line REMOVAL apply step (operators/
+    paragraphs.py::strip_host_templates): every occurrence of a
+    detected template is cut from every page of its host — boilerplate
+    is noise at its first occurrence too, so unlike dedup_paragraphs
+    nothing is kept. At min_frac=0.3 the planted footer is stripped
+    from all pages while the natural low-frac repeats survive — the
+    oracle proves the threshold split, the all-occurrence cut, and
+    byte-identical reconstruction of untouched lines."""
+    from eventanalysis_spark.operators.paragraphs import strip_host_templates
+
+    return strip_host_templates(
+        _host_paragraphized(spark, sf),
+        host_col="source",
+        min_pages=_TPL_MIN_PAGES,
+        min_frac=_TPL_MIN_FRAC,
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the correctness driver certifies the FIRST 50
     # entries, so the window below is 50 exact-oracle showcase queries spanning
@@ -2556,9 +2619,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_trend": q_daily_trend,
         "anchor_terms": q_anchor_terms,
         "crawl_churn": q_crawl_churn,
+        "host_template_lines": q_host_template_lines,
+        "strip_host_templates": q_strip_host_templates,
         "bpe_tokens": q_bpe_tokens,
         "multimodal_image_features": q_multimodal_image_features,
     }
+
+
+# DuckDB twin of _host_paragraphized + host_template_lines detection:
+# paragraphized documents + the per-source footer line, exploded to
+# (doc_id, source, para_idx, para); tpl counts DISTINCT pages per
+# (source, line) next to the host's total page count.
+_HOST_PARA_CTE = """
+    toks AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    ptext AS (
+      SELECT doc_id, source,
+             array_to_string(
+               list_transform(
+                 generate_series(1, CAST(ceil(len(t)/8.0) AS INT)),
+                 i -> array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' ')),
+               chr(10))
+             || chr(10) || 'footer ' || source AS text
+      FROM toks
+    ),
+    paras AS (
+      SELECT doc_id, source, i AS para_idx, p[i] AS para
+      FROM (SELECT doc_id, source, string_split(text, chr(10)) AS p
+            FROM ptext),
+           LATERAL (SELECT unnest(generate_series(1, len(p))) AS i)
+    ),
+    hp AS (
+      SELECT source, count(DISTINCT doc_id) AS host_pages
+      FROM documents GROUP BY source
+    ),
+    tpl AS (
+      SELECT p.source, p.para,
+             count(DISTINCT p.doc_id) AS n_pages,
+             any_value(hp.host_pages) AS host_pages
+      FROM paras p JOIN hp USING (source)
+      WHERE trim(p.para) <> ''
+      GROUP BY p.source, p.para
+    )"""
 
 
 _CRAWL_DIFF_CTE = """
@@ -3702,6 +3806,40 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(n_added + n_removed + n_changed AS DOUBLE)
                          / CAST(n_total AS DOUBLE), 6) AS churn_ratio
             FROM g ORDER BY host
+        """,
+        "host_template_lines": f"""
+            WITH {_HOST_PARA_CTE}
+            SELECT source AS host, para,
+                   CAST(n_pages AS BIGINT) AS n_pages,
+                   ROUND(CAST(n_pages AS DOUBLE)
+                         / CAST(host_pages AS DOUBLE), 6) AS page_frac
+            FROM tpl
+            WHERE n_pages >= 2
+              AND CAST(n_pages AS DOUBLE)
+                  >= CAST(0.05 AS DOUBLE) * CAST(host_pages AS DOUBLE)
+            ORDER BY host, para
+        """,
+        "strip_host_templates": f"""
+            WITH {_HOST_PARA_CTE},
+            cut AS (
+              SELECT source, para FROM tpl
+              WHERE n_pages >= 2
+                AND CAST(n_pages AS DOUBLE)
+                    >= CAST(0.3 AS DOUBLE) * CAST(host_pages AS DOUBLE)
+            ),
+            marked AS (
+              SELECT p.doc_id, p.para_idx, p.para,
+                     (trim(p.para) = '' OR c.para IS NULL) AS keep
+              FROM paras p
+              LEFT JOIN cut c ON c.source = p.source AND c.para = p.para
+            )
+            SELECT doc_id,
+                   COALESCE(string_agg(CASE WHEN keep THEN para END,
+                                       chr(10) ORDER BY para_idx), '')
+                     AS clean_text,
+                   CAST(count(*) - count(CASE WHEN keep THEN 1 END) AS BIGINT)
+                     AS n_template_lines_removed
+            FROM marked GROUP BY doc_id ORDER BY doc_id
         """,
         "semdedup": _semdedup_oracle(),
         "prune_prototypes": _prune_prototypes_oracle(),

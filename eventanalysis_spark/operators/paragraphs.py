@@ -173,6 +173,192 @@ def dedup_paragraphs(
     )
 
 
+def _host_paras(
+    docs: DataFrame,
+    host_col: str,
+    text_col: str,
+    id_col: str,
+    parallelism: int | None,
+) -> DataFrame:
+    """(id, host, para_idx, para, ph) — the host-carrying paragraph
+    stream shared by the host-template operators. ph is the 8-byte
+    xxhash64 line key, NULL for whitespace-only lines (blank is
+    structure, never a template candidate)."""
+    if parallelism:
+        docs = docs.repartition(parallelism)
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(host_col).alias("__host"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos0", "para"),
+        )
+        .select(
+            id_col,
+            "__host",
+            (F.col("pos0") + 1).cast("long").alias("para_idx"),
+            "para",
+            F.when(F.trim("para") != "", F.xxhash64("para")).alias("ph"),
+        )
+    )
+
+
+def _host_template_keys(
+    paras: DataFrame,
+    host_pages: DataFrame,
+    id_col: str,
+    min_pages: int,
+    min_frac: float,
+) -> DataFrame:
+    """(__host, ph, n_pages, __host_pages) for lines clearing BOTH
+    template thresholds. Two partial-aggregatable hash aggregates: the
+    first collapses to distinct (host, ph, page) so within-page repeats
+    count once, the second counts pages per (host, line). The line TEXT
+    never travels — only the 8-byte key — and the host-pages frame joins
+    at (host) grain, dimension-sized relative to the line stream."""
+    page_lines = (
+        paras.where(F.col("ph").isNotNull())
+        .groupBy("__host", "ph", id_col)
+        .agg(F.count(F.lit(1)).alias("__n_occ"))
+    )
+    counts = page_lines.groupBy("__host", "ph").agg(
+        F.count(F.lit(1)).alias("n_pages")
+    )
+    return (
+        counts.join(host_pages, "__host")
+        .where(
+            (F.col("n_pages") >= F.lit(int(min_pages)))
+            & (
+                F.col("n_pages").cast("double")
+                >= F.lit(float(min_frac)) * F.col("__host_pages").cast("double")
+            )
+        )
+    )
+
+
+def _as_host_pages(docs: DataFrame, host_col: str, id_col: str) -> DataFrame:
+    """(__host, __host_pages) — distinct page count per host."""
+    return (
+        docs.groupBy(F.col(host_col).alias("__host"))
+        .agg(F.count_distinct(F.col(id_col)).alias("__host_pages"))
+    )
+
+
+def host_template_lines(
+    docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pages: int = 2,
+    min_frac: float = 0.5,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Detect per-host template lines (site boilerplate): a non-blank
+    line is a template for host h when it occurs in at least `min_pages`
+    distinct pages of h AND in at least `min_frac` of h's pages — the
+    within-site line-frequency rule public web pipelines use to strip
+    navigation, cookie banners, and footers that survive HTML-to-text
+    extraction (RefinedWeb §line-wise corrections; CCNet's per-shard
+    repeated-line handling). Complements the corpus-grain siblings: this
+    is keyed on (host, line), so a phrase common across the whole web is
+    NOT a template unless it saturates an individual site.
+
+    Output: (host, para, n_pages, page_frac) ordered by nothing —
+    callers order. page_frac is a single IEEE division of exact longs,
+    rounded to 6dp.
+
+    Scale shape: the detection aggregates move only (host, 8-byte line
+    hash) partial rows; one representative line text per surviving
+    template is fetched by a keyed join back to the line stream (the
+    template set is a vanishing fraction of lines, so the join's build
+    side stays bounded). Reference parity: the reference engine has no
+    comparable operator; mission-brief training-data surface.
+    """
+    paras = _host_paras(docs, host_col, text_col, id_col, parallelism)
+    host_pages = _as_host_pages(docs, host_col, id_col)
+    tpl = _host_template_keys(paras, host_pages, id_col, min_pages, min_frac)
+    # fetch ONE representative text per (host, ph): all members of the
+    # group share the text (modulo the documented 2^-64 hash collision),
+    # so min() is both exact and deterministic
+    rep = (
+        paras.join(tpl.select("__host", "ph"), ["__host", "ph"], "left_semi")
+        .groupBy("__host", "ph")
+        .agg(F.min("para").alias("para"))
+    )
+    return (
+        tpl.join(rep, ["__host", "ph"])
+        .select(
+            F.col("__host").alias("host"),
+            "para",
+            F.col("n_pages").cast("long").alias("n_pages"),
+            F.round(
+                F.col("n_pages").cast("double")
+                / F.col("__host_pages").cast("double"),
+                6,
+            ).alias("page_frac"),
+        )
+    )
+
+
+def strip_host_templates(
+    docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pages: int = 2,
+    min_frac: float = 0.5,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Apply step of per-host template-line removal: every occurrence of
+    a detected template line (see `host_template_lines`) is cut from
+    every page of that host — unlike keep-first paragraph dedup, site
+    boilerplate is noise at its first occurrence too, so nothing is
+    kept. Non-template lines and blank lines survive in place; a page
+    with no templates reconstructs byte-identically
+    (split('\\n') ⊕ join('\\n') is the identity).
+
+    Output: (id, clean_text, n_template_lines_removed).
+
+    Scale shape: detection as in `host_template_lines` (8-byte keys
+    only); the cut decision is one keyed join of the line stream against
+    the (host, ph) template set; reconstruction is the per-doc
+    sort-free `sort_array(collect_list(...))` shared with
+    `dedup_paragraphs` — partitioned by doc, no global sort, no Python
+    anywhere in the plan."""
+    paras = _host_paras(docs, host_col, text_col, id_col, parallelism)
+    host_pages = _as_host_pages(docs, host_col, id_col)
+    tpl = _host_template_keys(
+        paras, host_pages, id_col, min_pages, min_frac
+    ).select("__host", "ph", F.lit(True).alias("__tpl"))
+    marked = paras.join(tpl, ["__host", "ph"], "left").withColumn(
+        "keep", F.col("ph").isNull() | F.col("__tpl").isNull()
+    )
+    rebuilt = (
+        marked.where("keep")
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("para_idx", "para"))),
+                    lambda s: s["para"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("__n_kept"),
+        )
+    )
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_paras"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("__n_paras") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_template_lines_removed"),
+        )
+    )
+
+
 def dedup_lines_within_doc(
     docs: DataFrame,
     text_col: str = "text",

@@ -251,6 +251,30 @@ def cmd_dedup_corpus(args) -> int:
     spark = _spark(args)
     docs = spark.read.parquet(args.source)
     n_in = docs.count()
+    n_tpl_lines = 0
+    if args.strip_templates:
+        # site-boilerplate pre-pass: shared nav/footer lines inflate
+        # shingle Jaccard between unrelated pages of the same host, so
+        # real pipelines strip templates BEFORE near-dup detection
+        from eventanalysis_spark.operators.paragraphs import (
+            strip_host_templates,
+        )
+
+        cleaned = strip_host_templates(
+            docs, host_col=args.strip_templates, text_col=args.text_col,
+            id_col=args.id_col, min_pages=args.template_min_pages,
+            min_frac=args.template_min_frac,
+        )
+        docs = (
+            docs.drop(args.text_col)
+            .join(cleaned, args.id_col)
+            .withColumnRenamed("clean_text", args.text_col)
+            .persist()
+        )
+        n_tpl_lines = int(
+            docs.agg(F.sum("n_template_lines_removed")).collect()[0][0] or 0
+        )
+        docs = docs.drop("n_template_lines_removed")
     assign = dedup_cluster_assignments(
         docs, text_col=args.text_col, id_col=args.id_col,
         num_hashes=args.num_hashes, bands=args.bands,
@@ -302,6 +326,8 @@ def cmd_dedup_corpus(args) -> int:
     print(json.dumps({
         "docs_in": n_in, "survivors": n_out,
         "tombstones": {**{"total": n_in - n_out}, **by_reason},
+        **({"template_lines_removed": n_tpl_lines}
+           if args.strip_templates else {}),
         "out": args.out, "tombstones_path": tomb_path,
     }))
     return 0
@@ -611,6 +637,11 @@ def main(argv=None) -> int:
     dc.add_argument("--shingle-k", type=int, default=3)
     dc.add_argument("--threshold", type=float, default=0.8)
     dc.add_argument("--max-bucket-size", type=int, default=4096)
+    dc.add_argument("--strip-templates", default=None, metavar="HOST_COL",
+                    help="pre-pass: strip per-host template lines (site "
+                         "boilerplate) keyed on this column before dedup")
+    dc.add_argument("--template-min-pages", type=int, default=2)
+    dc.add_argument("--template-min-frac", type=float, default=0.5)
     dc.set_defaults(fn=cmd_dedup_corpus)
 
     sq = sub.add_parser("sql")

@@ -129,3 +129,104 @@ def test_dedup_lines_plan_is_narrow(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+# ---- per-host template-line removal (site boilerplate) ----------------
+
+HOST_DOCS = [
+    # host a (4 pages): NAV in 4/4 pages (template at min_frac=0.5),
+    # PROMO in 2/4 (passes min_pages=2 but fails min_frac=0.6 below),
+    # page 4 repeats NAV twice — ALL occurrences must go
+    (1, "a", "NAV BAR\nalpha one"),
+    (2, "a", "NAV BAR\nalpha two\nPROMO"),
+    (3, "a", "NAV BAR\nalpha three\nPROMO"),
+    (4, "a", "NAV BAR\nmid\nNAV BAR"),
+    # host b (2 pages): NAV appears on ONE page only — per-host isolation
+    # means b keeps it even though a strips it corpus-wide
+    (5, "b", "NAV BAR\nbeta one"),
+    (6, "b", "beta two\n\nbeta three"),
+    # host c (1 page): min_pages=2 can never fire on a single-page host
+    (7, "c", "SOLO FOOTER\nSOLO FOOTER"),
+]
+
+
+@pytest.fixture(scope="module")
+def host_docs(spark):
+    return spark.createDataFrame(HOST_DOCS, "doc_id long, host string, text string")
+
+
+def test_host_template_detection(spark, host_docs):
+    from eventanalysis_spark.operators.paragraphs import host_template_lines
+
+    tpl = {
+        (r.host, r.para): r
+        for r in host_template_lines(
+            host_docs, min_pages=2, min_frac=0.5
+        ).collect()
+    }
+    # NAV BAR saturates host a (4/4 pages); PROMO (2/4 = 0.5) also clears
+    assert tpl[("a", "NAV BAR")].n_pages == 4
+    assert tpl[("a", "NAV BAR")].page_frac == 1.0
+    assert tpl[("a", "PROMO")].page_frac == 0.5
+    # host b: NAV BAR on 1/2 pages — below min_pages AND min_frac
+    assert ("b", "NAV BAR") not in tpl
+    # host c: within-page repeat counts ONE page — min_pages=2 unreachable
+    assert ("c", "SOLO FOOTER") not in tpl
+    assert set(tpl) == {("a", "NAV BAR"), ("a", "PROMO")}
+
+
+def test_host_template_min_frac_gate(spark, host_docs):
+    from eventanalysis_spark.operators.paragraphs import host_template_lines
+
+    tpl = host_template_lines(host_docs, min_pages=2, min_frac=0.6).collect()
+    # PROMO (2/4 pages = 0.5) fails the tightened frac gate; NAV survives
+    assert {(r.host, r.para) for r in tpl} == {("a", "NAV BAR")}
+
+
+def test_strip_host_templates(spark, host_docs):
+    from eventanalysis_spark.operators.paragraphs import strip_host_templates
+
+    rows = {
+        r.doc_id: r
+        for r in strip_host_templates(
+            host_docs, min_pages=2, min_frac=0.6
+        ).collect()
+    }
+    # every NAV occurrence on host a goes — including BOTH on page 4
+    assert rows[1].clean_text == "alpha one"
+    assert rows[2].clean_text == "alpha two\nPROMO"
+    assert rows[4].clean_text == "mid"
+    assert rows[4].n_template_lines_removed == 2
+    # host b keeps its single NAV (per-host isolation) and blank structure
+    assert rows[5].clean_text == "NAV BAR\nbeta one"
+    assert rows[5].n_template_lines_removed == 0
+    assert rows[6].clean_text == "beta two\n\nbeta three"
+    # single-page host untouched
+    assert rows[7].clean_text == "SOLO FOOTER\nSOLO FOOTER"
+
+
+def test_strip_templates_identity_when_no_templates(spark, host_docs):
+    """min_pages above every host's page count → nothing is a template →
+    every doc reconstructs byte-identically (split ⊕ join identity)."""
+    from eventanalysis_spark.operators.paragraphs import strip_host_templates
+
+    rows = {
+        r.doc_id: r
+        for r in strip_host_templates(host_docs, min_pages=100).collect()
+    }
+    for did, _host, text in HOST_DOCS:
+        assert rows[did].clean_text == text
+        assert rows[did].n_template_lines_removed == 0
+
+
+def test_strip_host_templates_no_python(spark, host_docs):
+    from eventanalysis_spark.operators.paragraphs import strip_host_templates
+
+    plan = (
+        strip_host_templates(host_docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan

@@ -285,3 +285,47 @@ def test_dedup_corpus_cli_end_to_end(tmp_path, spark):
     assert tomb[2] == ("within_corpus", 0)   # near dup → cluster rep
     assert tomb[4] == ("cross_crawl", 90)    # historical duplicate
     assert set(tomb) == {1, 2, 4}
+
+
+def test_dedup_corpus_strip_templates(tmp_path, spark):
+    """--strip-templates pre-pass: a host-wide boilerplate line that would
+    otherwise make unrelated pages near-duplicates is stripped BEFORE
+    LSH, so all pages survive — and survive with cleaned text."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import spark_submit_main as cli
+
+    boiler = ("shared navigation footer boilerplate cookie banner legal "
+              "privacy terms contact sitemap subscribe newsletter social "
+              "links copyright")
+    rows = [
+        (0, "h1", "unique alpha content\n" + boiler),
+        (1, "h1", "different beta payload\n" + boiler),
+        (2, "h1", boiler + "\nunique gamma text"),
+    ]
+    src = str(tmp_path / "src2")
+    spark.createDataFrame(
+        rows, "doc_id long, host string, text string"
+    ).write.parquet(src)
+    base = ["--master", "local[4]", "dedup-corpus", "--source", src,
+            "--threshold", "0.5", "--num-hashes", "32", "--bands", "16"]
+
+    # control: WITHOUT stripping, the shared boilerplate dominates the
+    # shingle sets and collapses all three pages to one survivor
+    out_raw = str(tmp_path / "surv_raw")
+    assert cli.main(base + ["--out", out_raw]) == 0
+    assert spark.read.parquet(out_raw).count() == 1
+
+    # with the pre-pass: boilerplate is a host template (3/3 pages) →
+    # stripped everywhere; cleaned pages are unrelated → all survive
+    out = str(tmp_path / "surv_clean")
+    assert cli.main(base + [
+        "--out", out, "--strip-templates", "host",
+    ]) == 0
+    surv = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert set(surv) == {0, 1, 2}
+    assert surv[0] == "unique alpha content"      # byte-exact cleaned text
+    assert surv[2] == "unique gamma text"
+    assert all(boiler not in t for t in surv.values())
+    assert spark.read.parquet(out + "_tombstones").count() == 0

@@ -1051,6 +1051,42 @@ def main() -> None:
         "before any pair is emitted.",
     )
 
+    # 37. per-host template-line removal: hash-keyed detection, no Python
+    from eventanalysis_spark.operators.paragraphs import strip_host_templates
+
+    docs37 = pages.select(
+        F.col("url").alias("doc_id"),
+        F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host"),
+        F.col("text"),
+    )
+    q37 = strip_host_templates(docs37, min_pages=2, min_frac=0.3)
+    plan37 = q37._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Host template-line removal: detection shuffles 8-byte line hashes, "
+        "never line text",
+        q37,
+        [
+            ("detection aggregates partial-combine map-side (distinct "
+             "page-line collapse, then per-(host,hash) page counts)",
+             "partial_count" in plan37),
+            ("the template set joins the line stream on keys, never a "
+             "nested loop",
+             "CartesianProduct" not in plan37
+             and "NestedLoop" not in plan37),
+            ("per-doc rebuild is the partial-combining collect_list form "
+             "(doc-keyed, no global sort)",
+             "partial_collect_list" in plan37),
+            ("no Python anywhere (explode, hash, thresholds, rebuild are "
+             "all Catalyst)",
+             "Python" not in plan37 and "MapInPandas" not in plan37),
+        ],
+        "operators/paragraphs.py::strip_host_templates — RefinedWeb-style "
+        "site-boilerplate removal: a line recurring in >= min_pages and "
+        ">= min_frac of a host's pages is cut at EVERY occurrence; the "
+        "detection aggregates move only (host, xxhash64(line)) partial "
+        "rows, and one keyed join marks the cut lines.",
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the engine's key paths\n\n"
