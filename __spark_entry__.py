@@ -2496,6 +2496,108 @@ def q_strip_host_templates(spark, sf):
     ).orderBy("doc_id")
 
 
+def _eval_label():
+    """Deterministic audit label over documents: doc_id % 3 == 0."""
+    return (F.col("doc_id") % 3 == 0).cast("int")
+
+
+def q_eval_roc_auc(spark, sf):
+    """Exact ROC-AUC (operators/evalmetrics.py::roc_auc): Mann-Whitney
+    U with average tie ranks, computed on DISTINCT score values via the
+    two-phase ranged cumsum — no global sort of rows, rank sums carried
+    as exact decimal(38,0) integers so the result is bit-identical
+    under any partitioning. Audits 'is n_chars predictive of the
+    deterministic label' — the shape of every quality-filter AUC check."""
+    from eventanalysis_spark.operators.evalmetrics import roc_auc
+
+    docs = _t(spark, sf, "documents")
+    return roc_auc(docs.select("n_chars", _eval_label().alias("label")),
+                   "n_chars", "label", num_partitions=8)
+
+
+def q_eval_threshold_sweep(spark, sf):
+    """Full PR/ROC curve (operators/evalmetrics.py::threshold_sweep):
+    confusion counts at EVERY distinct score with predict-positive-at-
+    >= threshold — one collapse to distinct values + cumsum, so the
+    output is value-domain-sized, never row-sized."""
+    from eventanalysis_spark.operators.evalmetrics import threshold_sweep
+
+    docs = _t(spark, sf, "documents")
+    return threshold_sweep(
+        docs.select("n_chars", _eval_label().alias("label")),
+        "n_chars", "label", num_partitions=8,
+    )
+
+
+def q_eval_spearman(spark, sf):
+    """Spearman rank correlation (operators/evalmetrics.py::
+    spearman_rho) between two scorers with average-rank ties: n_chars
+    vs a deterministic Knuth-hash secondary score. Centered doubled
+    ranks make the mean exactly n+1, so the Pearson-on-ranks reduces
+    to exact decimal sums — no n·ΣXY cross terms to overflow."""
+    from eventanalysis_spark.operators.evalmetrics import spearman_rho
+
+    docs = _t(spark, sf, "documents")
+    scored = docs.select(
+        F.col("n_chars").alias("x"),
+        (F.col("doc_id") * F.lit(2654435761).cast("long") % 1000).alias("y"),
+    )
+    return spearman_rho(scored, "x", "y", num_partitions=8)
+
+
+def q_eval_ks_drift(spark, sf):
+    """Two-sample Kolmogorov-Smirnov drift (operators/evalmetrics.py::
+    ks_statistic): length-distribution distance between the 'en' and
+    'zh' slices. D is maximized over the exact integer numerator
+    |cum_a·n_b − cum_b·n_a| with ONE final division — the max is taken
+    over exact integers, so ties can't flip with partitioning."""
+    from eventanalysis_spark.operators.evalmetrics import ks_statistic
+
+    docs = _t(spark, sf, "documents")
+    return ks_statistic(docs, "n_chars", "lang", "en", "zh", num_partitions=8)
+
+
+def q_eval_calibration(spark, sf):
+    """Reliability-curve bins (operators/evalmetrics.py::
+    calibration_bins): deterministic pseudo-probability (doc_id·37 mod
+    100)/100 vs the audit label in 10 equal-width bands. One map-side-
+    partial hash aggregate; every output is an exact integer or one
+    division of two of them."""
+    from eventanalysis_spark.operators.evalmetrics import calibration_bins
+
+    docs = _t(spark, sf, "documents")
+    scored = docs.select(
+        ((F.col("doc_id") * 37 % 100) / F.lit(100.0)).alias("p"),
+        _eval_label().alias("label"),
+    )
+    return calibration_bins(scored, "p", "label", n_bins=10)
+
+
+def q_eval_class_report(spark, sf):
+    """Per-class precision/recall/F1 (operators/evalmetrics.py::
+    classification_report) for a predicted-vs-actual label comparison:
+    lang vs a deterministic corruption (every 5th doc predicted as the
+    next lang in a fixed rotation, so every class appears on both sides
+    and no ratio is NULL — NULL doubles round-trip as NaN through the
+    driver's pandas fetch). Aggregates over the (actual, predicted)
+    pair domain — #classes² rows, never row-scale."""
+    from eventanalysis_spark.operators.evalmetrics import classification_report
+
+    rot = {"en": "de", "de": "es", "es": "fr", "fr": "zh", "zh": "en"}
+    docs = _t(spark, sf, "documents")
+    rot_col = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in rot.items()],
+        F.col("lang"),
+    )
+    labeled = docs.select(
+        F.col("lang").alias("actual"),
+        F.when(F.col("doc_id") % 5 == 0, rot_col)
+        .otherwise(F.col("lang"))
+        .alias("predicted"),
+    )
+    return classification_report(labeled, "actual", "predicted")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the correctness driver certifies the FIRST 50
     # entries, so the window below is 50 exact-oracle showcase queries spanning
@@ -2621,6 +2723,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_churn": q_crawl_churn,
         "host_template_lines": q_host_template_lines,
         "strip_host_templates": q_strip_host_templates,
+        "eval_roc_auc": q_eval_roc_auc,
+        "eval_threshold_sweep": q_eval_threshold_sweep,
+        "eval_spearman": q_eval_spearman,
+        "eval_ks_drift": q_eval_ks_drift,
+        "eval_calibration": q_eval_calibration,
+        "eval_class_report": q_eval_class_report,
         "bpe_tokens": q_bpe_tokens,
         "multimodal_image_features": q_multimodal_image_features,
     }
@@ -5938,5 +6046,237 @@ def oracle_sql() -> dict[str, str]:
             SELECT new_id, old_id, ROUND(j, 6) AS jaccard
             FROM scored WHERE j >= 0.5
             ORDER BY new_id, old_id
+        """,
+        # Evaluation metrics (operators/evalmetrics.py): each oracle
+        # replays the same collapse-to-distinct-values + cumsum identity
+        # the Spark side uses, with the manual FLOOR(x*1e6+0.5)/1e6
+        # round (NOTES rule: ROUND() HALF_UP diverges on rational
+        # midpoints) and exact-integer rank sums before the ONE final
+        # float division.
+        "eval_roc_auc": """
+            WITH base AS (
+              SELECT n_chars AS v,
+                     CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS pos
+              FROM documents WHERE n_chars IS NOT NULL
+            ),
+            c AS (
+              SELECT v, SUM(pos) AS pos, COUNT(*) AS allc
+              FROM base GROUP BY v
+            ),
+            cum AS (
+              SELECT v, pos, allc,
+                     SUM(allc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND CURRENT ROW) AS cum_all,
+                     SUM(pos) OVER () AS n_pos,
+                     SUM(allc) OVER () AS n_all
+              FROM c
+            ),
+            agg AS (
+              SELECT SUM(pos * (2 * (cum_all - allc) + allc + 1)) AS r2,
+                     MAX(n_pos) AS n_pos, MAX(n_all - n_pos) AS n_neg
+              FROM cum
+            )
+            SELECT CAST(n_pos AS BIGINT) AS n_pos,
+                   CAST(n_neg AS BIGINT) AS n_neg,
+                   CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                     FLOOR(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                           / CAST(2 * n_pos * n_neg AS DOUBLE)
+                           * 1e6 + 0.5) / 1e6
+                   END AS auc
+            FROM agg
+        """,
+        "eval_threshold_sweep": """
+            WITH base AS (
+              SELECT n_chars AS v,
+                     CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS pos
+              FROM documents WHERE n_chars IS NOT NULL
+            ),
+            c AS (
+              SELECT v, SUM(pos) AS pos, COUNT(*) AS allc
+              FROM base GROUP BY v
+            ),
+            cum AS (
+              SELECT v, pos, allc,
+                     SUM(pos) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                    PRECEDING AND CURRENT ROW) AS cum_pos,
+                     SUM(allc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND CURRENT ROW) AS cum_all,
+                     SUM(pos) OVER () AS n_pos,
+                     SUM(allc) OVER () AS n_all
+              FROM c
+            ),
+            conf AS (
+              SELECT v,
+                     n_pos - (cum_pos - pos) AS tp,
+                     (n_all - (cum_all - allc)) - (n_pos - (cum_pos - pos))
+                       AS fp,
+                     n_all - (cum_all - allc) AS ge_cnt,
+                     n_pos, n_all - n_pos AS n_neg
+              FROM cum
+            )
+            SELECT CAST(v AS BIGINT) AS threshold,
+                   CAST(tp AS BIGINT) AS tp,
+                   CAST(fp AS BIGINT) AS fp,
+                   CAST(n_pos - tp AS BIGINT) AS fn,
+                   CAST(n_neg - fp AS BIGINT) AS tn,
+                   FLOOR(CAST(tp AS DOUBLE) / ge_cnt * 1e6 + 0.5) / 1e6
+                     AS precision,
+                   CASE WHEN n_pos > 0 THEN
+                     FLOOR(CAST(tp AS DOUBLE) / n_pos * 1e6 + 0.5) / 1e6
+                   END AS recall,
+                   CASE WHEN n_neg > 0 THEN
+                     FLOOR(CAST(fp AS DOUBLE) / n_neg * 1e6 + 0.5) / 1e6
+                   END AS fpr
+            FROM conf
+            ORDER BY threshold DESC
+        """,
+        "eval_spearman": """
+            WITH base AS (
+              SELECT n_chars AS x, (doc_id * 2654435761) % 1000 AS y
+              FROM documents
+              WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+            ),
+            rx AS (
+              SELECT v AS x, 2 * (cum - cnt) + cnt + 1 AS xr2, n
+              FROM (
+                SELECT v, cnt,
+                       SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                      PRECEDING AND CURRENT ROW) AS cum,
+                       SUM(cnt) OVER () AS n
+                FROM (SELECT x AS v, COUNT(*) AS cnt FROM base GROUP BY x)
+              )
+            ),
+            ry AS (
+              SELECT v AS y, 2 * (cum - cnt) + cnt + 1 AS yr2
+              FROM (
+                SELECT v, cnt,
+                       SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                      PRECEDING AND CURRENT ROW) AS cum
+                FROM (SELECT y AS v, COUNT(*) AS cnt FROM base GROUP BY y)
+              )
+            ),
+            ranked AS (
+              SELECT (rx.xr2 - (rx.n + 1)) AS dx,
+                     (ry.yr2 - (rx.n + 1)) AS dy
+              FROM base b JOIN rx ON b.x = rx.x JOIN ry ON b.y = ry.y
+            ),
+            agg AS (
+              SELECT COUNT(*) AS n, SUM(dx * dy) AS sxy,
+                     SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy
+              FROM ranked
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CASE WHEN sxx > 0 AND syy > 0 THEN
+                     CASE WHEN raw >= 0
+                          THEN FLOOR(raw * 1e6 + 0.5) / 1e6
+                          ELSE -(FLOOR(-raw * 1e6 + 0.5) / 1e6) END
+                   END AS rho
+            FROM agg,
+                 LATERAL (SELECT CAST(sxy AS DOUBLE)
+                                 / (SQRT(CAST(sxx AS DOUBLE))
+                                    * SQRT(CAST(syy AS DOUBLE))) AS raw)
+        """,
+        "eval_ks_drift": """
+            WITH base AS (
+              SELECT n_chars AS v,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+                     CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS b
+              FROM documents
+              WHERE lang IN ('en', 'zh') AND n_chars IS NOT NULL
+            ),
+            c AS (
+              SELECT v, SUM(a) AS a, SUM(b) AS b FROM base GROUP BY v
+            ),
+            cum AS (
+              SELECT ABS(SUM(a) OVER w * SUM(b) OVER ()
+                         - SUM(b) OVER w * SUM(a) OVER ()) AS d_num,
+                     SUM(a) OVER () AS n_a, SUM(b) OVER () AS n_b
+              FROM c
+              WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+            ),
+            agg AS (
+              SELECT MAX(d_num) AS d_num, MAX(n_a) AS n_a, MAX(n_b) AS n_b
+              FROM cum
+            )
+            SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   CASE WHEN n_a > 0 AND n_b > 0 THEN
+                     FLOOR(CAST(d_num AS DOUBLE)
+                           / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                           * 1e6 + 0.5) / 1e6
+                   END AS ks
+            FROM agg
+        """,
+        "eval_calibration": """
+            WITH scored AS (
+              SELECT (doc_id * 37 % 100) / CAST(100 AS DOUBLE) AS p,
+                     CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS label
+              FROM documents WHERE doc_id IS NOT NULL
+            ),
+            binned AS (
+              SELECT CAST(GREATEST(LEAST(
+                       FLOOR((p - CAST(0.0 AS DOUBLE))
+                             / CAST(1.0 AS DOUBLE)
+                             * CAST(10.0 AS DOUBLE)), 9), 0) AS INT) AS bin,
+                     label
+              FROM scored
+            )
+            SELECT bin,
+                   FLOOR((CAST(0.0 AS DOUBLE)
+                          + bin * CAST(0.1 AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                     AS bin_lo,
+                   FLOOR((CAST(0.0 AS DOUBLE)
+                          + (bin + 1) * CAST(0.1 AS DOUBLE)) * 1e6 + 0.5)
+                     / 1e6 AS bin_hi,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(label) AS BIGINT) AS n_pos,
+                   FLOOR(CAST(SUM(label) AS DOUBLE) / COUNT(*) * 1e6 + 0.5)
+                     / 1e6 AS frac_pos
+            FROM binned GROUP BY bin ORDER BY bin
+        """,
+        "eval_class_report": """
+            WITH base AS (
+              SELECT lang AS actual,
+                     CASE WHEN doc_id % 5 = 0 THEN
+                       CASE lang WHEN 'en' THEN 'de' WHEN 'de' THEN 'es'
+                                 WHEN 'es' THEN 'fr' WHEN 'fr' THEN 'zh'
+                                 WHEN 'zh' THEN 'en' ELSE lang END
+                     ELSE lang END AS predicted
+              FROM documents WHERE lang IS NOT NULL
+            ),
+            labels AS (
+              SELECT DISTINCT actual AS label FROM base
+              UNION
+              SELECT DISTINCT predicted FROM base
+            ),
+            m AS (
+              SELECT l.label,
+                     SUM(CASE WHEN b.actual = l.label
+                              AND b.predicted = l.label THEN 1 ELSE 0 END)
+                       AS tp,
+                     SUM(CASE WHEN b.predicted = l.label
+                              AND b.actual <> l.label THEN 1 ELSE 0 END)
+                       AS fp,
+                     SUM(CASE WHEN b.actual = l.label
+                              AND b.predicted <> l.label THEN 1 ELSE 0 END)
+                       AS fn
+              FROM labels l CROSS JOIN base b
+              GROUP BY l.label
+            )
+            SELECT label,
+                   CAST(tp AS BIGINT) AS tp,
+                   CAST(fp AS BIGINT) AS fp,
+                   CAST(fn AS BIGINT) AS fn,
+                   CASE WHEN tp + fp > 0 THEN
+                     FLOOR(CAST(tp AS DOUBLE) / (tp + fp) * 1e6 + 0.5) / 1e6
+                   END AS precision,
+                   CASE WHEN tp + fn > 0 THEN
+                     FLOOR(CAST(tp AS DOUBLE) / (tp + fn) * 1e6 + 0.5) / 1e6
+                   END AS recall,
+                   CASE WHEN 2 * tp + fp + fn > 0 THEN
+                     FLOOR(2 * CAST(tp AS DOUBLE) / (2 * tp + fp + fn)
+                           * 1e6 + 0.5) / 1e6
+                   END AS f1
+            FROM m ORDER BY label
         """,
     }

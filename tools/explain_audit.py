@@ -1087,6 +1087,41 @@ def main() -> None:
         "rows, and one keyed join marks the cut lines.",
     )
 
+    # 38. evaluation metrics: collapse-to-distinct-values first, exact ranks
+    from eventanalysis_spark.operators.evalmetrics import roc_auc
+
+    docs38 = pages.select(
+        F.length("text").alias("score"),
+        (F.crc32(F.col("url")) % 3 == 0).cast("int").alias("label"),
+    )
+    q38 = roc_auc(docs38, "score", "label", num_partitions=4)
+    plan38 = q38._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "ROC-AUC: distinct-value collapse first, exact decimal rank sums",
+        q38,
+        [
+            ("the ONLY row-scale pass is the partial-combining collapse "
+             "to distinct score values (map-side partial_sum)",
+             "partial_sum" in plan38),
+            ("per-partition offsets join back as a broadcast (one row per "
+             "range partition — never a row-scale shuffle)",
+             "BroadcastHashJoin" in plan38),
+            ("rank products accumulate as decimals (19,0 factors → 38,0 "
+             "sums) — exact at 10^12 rows, ONE float division at the end",
+             "decimal(19,0)" in plan38),
+            ("no Python anywhere (collapse, cumsum, rank identity are all "
+             "Catalyst)",
+             "Python" not in plan38 and "MapInPandas" not in plan38),
+        ],
+        "operators/evalmetrics.py::roc_auc — Mann-Whitney AUC with "
+        "average tie ranks: rows collapse to DISTINCT score values in one "
+        "hash aggregate, the two-phase ranged cumsum orders only the "
+        "value domain, and the doubled-rank identity keeps everything an "
+        "exact integer until the final division. threshold_sweep, "
+        "spearman_rho, and ks_statistic share the same collapsed-cums "
+        "core, so this plan shape covers the family.",
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the engine's key paths\n\n"
