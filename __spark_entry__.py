@@ -2598,6 +2598,32 @@ def q_eval_class_report(spark, sf):
     return classification_report(labeled, "actual", "predicted")
 
 
+def q_eval_psi_drift(spark, sf):
+    """Population Stability Index (operators/evalmetrics.py::psi_drift)
+    between the 'en' and 'zh' length distributions over 10 equal-width
+    bands — the whole-distribution drift score next to eval_ks_drift's
+    sup-norm. Laplace-smoothed over ALL bins (empty bins enter via the
+    generated spine); the only row-scale work is one hash aggregate."""
+    from eventanalysis_spark.operators.evalmetrics import psi_drift
+
+    docs = _t(spark, sf, "documents")
+    return psi_drift(
+        docs, "n_chars", "lang", "en", "zh", n_bins=10, lo=0.0, hi=5000.0
+    )
+
+
+def q_eval_chi2_drift(spark, sf):
+    """Chi-square categorical drift (operators/evalmetrics.py::
+    chi2_drift): did the source mix differ between the 'en' and 'de'
+    slices? Contingency counts from ONE category-keyed hash aggregate;
+    chi² and Cramér's V are k-term sums of exact-integer-derived
+    doubles under the 6-dp round."""
+    from eventanalysis_spark.operators.evalmetrics import chi2_drift
+
+    docs = _t(spark, sf, "documents")
+    return chi2_drift(docs, "source", "lang", "en", "de")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the correctness driver certifies the FIRST 50
     # entries, so the window below is 50 exact-oracle showcase queries spanning
@@ -2729,6 +2755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_ks_drift": q_eval_ks_drift,
         "eval_calibration": q_eval_calibration,
         "eval_class_report": q_eval_class_report,
+        "eval_psi_drift": q_eval_psi_drift,
+        "eval_chi2_drift": q_eval_chi2_drift,
         "bpe_tokens": q_bpe_tokens,
         "multimodal_image_features": q_multimodal_image_features,
     }
@@ -6278,5 +6306,93 @@ def oracle_sql() -> dict[str, str]:
                            * 1e6 + 0.5) / 1e6
                    END AS f1
             FROM m ORDER BY label
+        """,
+        "eval_psi_drift": """
+            WITH sliced AS (
+              SELECT CAST(GREATEST(LEAST(
+                       FLOOR((CAST(n_chars AS DOUBLE) - CAST(0.0 AS DOUBLE))
+                             / CAST(5000.0 AS DOUBLE)
+                             * CAST(10.0 AS DOUBLE)), 9), 0) AS BIGINT)
+                       AS bin,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+                     CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS b
+              FROM documents
+              WHERE lang IN ('en', 'zh') AND n_chars IS NOT NULL
+            ),
+            counts AS (
+              SELECT bin, SUM(a) AS ca, SUM(b) AS cb
+              FROM sliced GROUP BY bin
+            ),
+            spine AS (
+              SELECT unnest(generate_series(0, 9)) AS bin
+            ),
+            full_bins AS (
+              SELECT COALESCE(c.ca, 0) AS ca, COALESCE(c.cb, 0) AS cb
+              FROM spine s LEFT JOIN counts c ON s.bin = c.bin
+            ),
+            tot AS (
+              SELECT SUM(ca) AS na, SUM(cb) AS nb FROM full_bins
+            ),
+            terms AS (
+              SELECT na, nb,
+                     (CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE)
+                      - CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE))
+                     * LN((CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE))
+                          / (CAST(cb + 1 AS DOUBLE)
+                             / CAST(nb + 10 AS DOUBLE))) AS term
+              FROM full_bins CROSS JOIN tot
+            )
+            SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+                   CAST(MAX(nb) AS BIGINT) AS n_b,
+                   FLOOR(SUM(term) * 1e6 + 0.5) / 1e6 AS psi
+            FROM terms
+        """,
+        "eval_chi2_drift": """
+            WITH base AS (
+              SELECT source AS cat,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+                     CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS b
+              FROM documents
+              WHERE lang IN ('en', 'de') AND source IS NOT NULL
+            ),
+            counts AS (
+              SELECT cat, SUM(a) AS ca, SUM(b) AS cb FROM base GROUP BY cat
+            ),
+            tot AS (
+              SELECT SUM(ca) AS na, SUM(cb) AS nb, COUNT(*) AS k FROM counts
+            ),
+            exps AS (
+              SELECT na, nb, k, ca, cb,
+                     CAST(na AS DOUBLE) * CAST(ca + cb AS DOUBLE)
+                       / CAST(na + nb AS DOUBLE) AS expa,
+                     CAST(nb AS DOUBLE) * CAST(ca + cb AS DOUBLE)
+                       / CAST(na + nb AS DOUBLE) AS expb
+              FROM counts CROSS JOIN tot
+            ),
+            cells AS (
+              SELECT na, nb, k,
+                     CASE WHEN expa > 0 THEN
+                       (CAST(ca AS DOUBLE) - expa) * (CAST(ca AS DOUBLE)
+                        - expa) / expa ELSE 0.0 END
+                     +
+                     CASE WHEN expb > 0 THEN
+                       (CAST(cb AS DOUBLE) - expb) * (CAST(cb AS DOUBLE)
+                        - expb) / expb ELSE 0.0 END AS cell
+              FROM exps
+            ),
+            agg AS (
+              SELECT MAX(na) AS na, MAX(nb) AS nb, MAX(k) AS k,
+                     SUM(cell) AS chi2_raw
+              FROM cells
+            )
+            SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                   CAST(k AS BIGINT) AS n_categories,
+                   CASE WHEN na > 0 AND nb > 0 AND k > 1 THEN
+                     FLOOR(chi2_raw * 1e6 + 0.5) / 1e6
+                   END AS chi2,
+                   CASE WHEN na > 0 AND nb > 0 AND k > 1 THEN
+                     FLOOR(SQRT(chi2_raw / (na + nb)) * 1e6 + 0.5) / 1e6
+                   END AS cramers_v
+            FROM agg
         """,
     }

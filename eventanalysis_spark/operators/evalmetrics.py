@@ -313,6 +313,126 @@ def calibration_bins(
     )
 
 
+def psi_drift(
+    df: DataFrame,
+    value_col: str | Column,
+    group_col: str | Column,
+    group_a,
+    group_b,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Population Stability Index between the `value_col` distributions
+    of two slices over `n_bins` equal-width bands on [lo, hi] (values
+    outside clamp into the edge bins, like calibration_bins). One row:
+    (n_a, n_b, psi) with PSI = Σ_bins (p_a − p_b)·ln(p_a / p_b).
+
+    The banker's drift score next to ks_statistic's sup-norm: PSI
+    weights the whole distribution, KS the worst point. Bin counts are
+    Laplace(+1)-smoothed over ALL n_bins bins (empty bins included via
+    a generated bin spine), so every log is finite and the score is an
+    exact function of exact integer counts; the ≤ n_bins-term double
+    sum is the only order-sensitive step and sits ~1e-15 below the 6-dp
+    round. One map-side-partial hash aggregate over the slice rows;
+    everything after is n_bins-row arithmetic."""
+    if n_bins < 1 or not hi > lo:
+        raise ValueError("need n_bins >= 1 and hi > lo")
+    g = _col(group_col)
+    v = _col(value_col).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(float(n_bins)))
+    bin_ = F.greatest(F.least(raw, F.lit(n_bins - 1)), F.lit(0)).cast("long")
+    counts = (
+        df.where(g.isin([group_a, group_b]) & v.isNotNull())
+        .groupBy(bin_.alias("bin"))
+        .agg(
+            F.sum((g == F.lit(group_a)).cast("int")).alias("ca"),
+            F.sum((g == F.lit(group_b)).cast("int")).alias("cb"),
+        )
+    )
+    spine = df.sparkSession.range(n_bins).select(F.col("id").alias("bin"))
+    full = (
+        spine.join(F.broadcast(counts), "bin", "left")
+        .select(
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    tot = full.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    j = full.crossJoin(F.broadcast(tot))
+    pa = (F.col("ca") + 1).cast("double") / (F.col("na") + F.lit(n_bins)).cast("double")
+    pb = (F.col("cb") + 1).cast("double") / (F.col("nb") + F.lit(n_bins)).cast("double")
+    return j.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        _round6(F.sum((pa - pb) * F.log(pa / pb))).alias("psi"),
+    )
+
+
+def chi2_drift(
+    df: DataFrame,
+    cat_col: str | Column,
+    group_col: str | Column,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Pearson chi-square independence statistic between two slices
+    over a CATEGORICAL column (did the lang / source / event-class mix
+    shift between crawls?). One row: (n_a, n_b, n_categories, chi2,
+    cramers_v); NULL statistics when either slice is empty or there is
+    only one category.
+
+    chi² = Σ_cells (obs − exp)²/exp over the 2×k contingency table with
+    exp = row_total·col_total/n; Cramér's V = √(chi²/n) for the 2-row
+    table. Observed counts and all marginals are exact integers from
+    ONE map-side-partial hash aggregate keyed by category (k rows, not
+    row-scale); the k-term double sum sits ~1e-15 below the 6-dp round."""
+    g = _col(group_col)
+    cat = _col(cat_col)
+    counts = (
+        df.where(g.isin([group_a, group_b]) & cat.isNotNull())
+        .groupBy(cat.alias("cat"))
+        .agg(
+            F.sum((g == F.lit(group_a)).cast("int")).alias("ca"),
+            F.sum((g == F.lit(group_b)).cast("int")).alias("cb"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    n = (F.col("na") + F.col("nb")).cast("double")
+    col_tot = (F.col("ca") + F.col("cb")).cast("double")
+
+    def cell(obs: Column, row_tot: Column) -> Column:
+        # exp = 0 only when a slice is empty (row_tot = 0) — the output
+        # is NULL-gated then, but ANSI mode still evaluates the sum, so
+        # guard the division (0 contribution keeps the sum finite).
+        exp = row_tot.cast("double") * col_tot / n
+        d = obs.cast("double") - exp
+        return F.when(exp > 0, d * d / exp).otherwise(F.lit(0.0))
+
+    agg = j.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.max("k").cast("long").alias("n_categories"),
+        F.sum(cell(F.col("ca"), F.col("na")) + cell(F.col("cb"), F.col("nb"))).alias(
+            "chi2_raw"
+        ),
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (F.col("n_categories") > 1)
+    v = F.sqrt(F.col("chi2_raw") / (F.col("n_a") + F.col("n_b")))
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_categories",
+        F.when(ok, _round6(F.col("chi2_raw"))).alias("chi2"),
+        F.when(ok, _round6(v)).alias("cramers_v"),
+    )
+
+
 def classification_report(
     df: DataFrame,
     actual_col: str | Column,

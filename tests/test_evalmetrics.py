@@ -13,8 +13,10 @@ from pyspark.sql import functions as F
 
 from eventanalysis_spark.operators.evalmetrics import (
     calibration_bins,
+    chi2_drift,
     classification_report,
     ks_statistic,
+    psi_drift,
     roc_auc,
     spearman_rho,
     threshold_sweep,
@@ -209,3 +211,90 @@ def test_partition_invariance(scored):
     ka = ks_statistic(df.repartition(1), "score", "grp", "a", "b", 2).collect()[0]
     kb = ks_statistic(df.repartition(13), "score", "grp", "a", "b", 7).collect()[0]
     assert ka == kb
+
+
+def test_psi_matches_numpy(scored):
+    df, pdf = scored
+    scaled = df.select(
+        (F.col("score") / 40.0).alias("p"), F.col("grp")
+    )
+    row = psi_drift(scaled, "p", "grp", "a", "b", n_bins=8).collect()[0]
+    s = pdf["score"].to_numpy() / 40.0
+    grp = pdf["grp"].to_numpy()
+    bins = np.clip(np.floor(s * 8), 0, 7).astype(int)
+    ca = np.bincount(bins[grp == "a"], minlength=8)
+    cb = np.bincount(bins[grp == "b"], minlength=8)
+    pa = (ca + 1) / (ca.sum() + 8)
+    pb = (cb + 1) / (cb.sum() + 8)
+    psi = float(((pa - pb) * np.log(pa / pb)).sum())
+    assert (row["n_a"], row["n_b"]) == (int(ca.sum()), int(cb.sum()))
+    assert row["psi"] == pytest.approx(_round6(psi), abs=2e-6)
+
+
+def test_psi_identical_distributions_zero(spark):
+    rows = [(v / 20.0, g) for v in range(20) for g in ("a", "b")]
+    df = spark.createDataFrame(rows, "v double, g string")
+    assert psi_drift(df, "v", "g", "a", "b").collect()[0]["psi"] == 0.0
+
+
+def test_psi_counts_empty_bins(spark):
+    # group b concentrated in one bin, a uniform: empty-bin smoothing
+    # must enter the sum (all 10 bins contribute, not just occupied)
+    rows = [(v / 10.0, "a") for v in range(10)] + [(0.05, "b")] * 10
+    df = spark.createDataFrame(rows, "v double, g string")
+    row = psi_drift(df, "v", "g", "a", "b", n_bins=10).collect()[0]
+    ca = np.ones(10)
+    cb = np.zeros(10)
+    cb[0] = 10
+    pa = (ca + 1) / (ca.sum() + 10)
+    pb = (cb + 1) / (cb.sum() + 10)
+    expected = float(((pa - pb) * np.log(pa / pb)).sum())
+    assert row["psi"] == pytest.approx(_round6(expected), abs=2e-6)
+
+
+def test_chi2_matches_numpy(scored):
+    df, pdf = scored
+    labeled = df.select(
+        F.when(F.col("score") < 13, "lo")
+        .when(F.col("score") < 27, "mid")
+        .otherwise("hi")
+        .alias("band"),
+        F.col("grp"),
+    )
+    row = chi2_drift(labeled, "band", "grp", "a", "b").collect()[0]
+    s = pdf["score"].to_numpy()
+    band = np.where(s < 13, "lo", np.where(s < 27, "mid", "hi"))
+    grp = pdf["grp"].to_numpy()
+    cats = np.unique(band)
+    obs = np.array(
+        [
+            [(band[grp == g] == c).sum() for c in cats]
+            for g in ("a", "b")
+        ],
+        dtype=float,
+    )
+    n = obs.sum()
+    exp = obs.sum(1, keepdims=True) * obs.sum(0, keepdims=True) / n
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    assert row["n_categories"] == len(cats)
+    assert row["chi2"] == pytest.approx(_round6(chi2), abs=2e-6)
+    assert row["cramers_v"] == pytest.approx(_round6(np.sqrt(chi2 / n)), abs=2e-6)
+
+
+def test_chi2_degenerate(spark):
+    one_cat = spark.createDataFrame(
+        [("x", "a"), ("x", "b")], "c string, g string"
+    )
+    row = chi2_drift(one_cat, "c", "g", "a", "b").collect()[0]
+    assert row["chi2"] is None and row["n_categories"] == 1
+    empty_b = spark.createDataFrame(
+        [("x", "a"), ("y", "a")], "c string, g string"
+    )
+    assert chi2_drift(empty_b, "c", "g", "a", "b").collect()[0]["chi2"] is None
+
+
+def test_chi2_independent_is_zero(spark):
+    # identical category mix in both groups -> exp == obs -> chi2 == 0
+    rows = [(c, g) for c in ("x", "y", "z") for g in ("a", "b") for _ in range(7)]
+    df = spark.createDataFrame(rows, "c string, g string")
+    assert chi2_drift(df, "c", "g", "a", "b").collect()[0]["chi2"] == 0.0
