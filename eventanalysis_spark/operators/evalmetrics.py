@@ -189,15 +189,24 @@ def spearman_rho(
     rank vectors cover the same n rows, their doubled-rank mean is
     exactly n+1, so Pearson-on-ranks reduces to centered sums
     Σdx·dy / √(Σdx²·Σdy²) with dx = rx2 − (n+1) — exact decimals,
-    no n·ΣXY cross terms that would overflow at corpus scale."""
+    no n·ΣXY cross terms that would overflow at corpus scale.
+
+    Scale shape: rows collapse to DISTINCT (x, y) pairs in ONE hash
+    aggregate before any join, so the per-column rank dictionaries
+    (value-domain-sized) join against the pair domain, never the row
+    stream — the moment sums are weighted by the pair multiplicities.
+    Marginal rank dictionaries derive from the pair frame too: the
+    full table is scanned exactly once."""
     x, y = _col(x_col), _col(y_col)
-    base = df.where(x.isNotNull() & y.isNotNull()).select(
-        x.alias("__x"), y.alias("__y")
+    pairs = (
+        df.where(x.isNotNull() & y.isNotNull())
+        .groupBy(x.alias("__x"), y.alias("__y"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
     )
 
     def rank2(col: str) -> DataFrame:
         cum = _collapsed_cums(
-            base, F.col(col), {"cnt": F.lit(1)}, num_partitions
+            pairs, F.col(col), {"cnt": F.col("__cnt")}, num_partitions
         )
         return cum.select(
             F.col("value").alias(col),
@@ -208,16 +217,17 @@ def spearman_rho(
         )
 
     ranked = (
-        base.join(rank2("__x"), "__x")
+        pairs.join(rank2("__x"), "__x")
         .join(rank2("__y").drop("__n"), "__y")
     )
     dx = (F.col("__x_r2") - (F.col("__n") + 1)).cast(_DEC)
     dy = (F.col("__y_r2") - (F.col("__n") + 1)).cast(_DEC)
+    w = F.col("__cnt").cast(_DEC)
     agg = ranked.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(dx * dy).alias("sxy"),
-        F.sum(dx * dx).alias("sxx"),
-        F.sum(dy * dy).alias("syy"),
+        F.sum("__cnt").alias("n"),
+        F.sum(w * dx * dy).alias("sxy"),
+        F.sum(w * dx * dx).alias("sxx"),
+        F.sum(w * dy * dy).alias("syy"),
     )
     rho = F.col("sxy").cast("double") / (
         F.sqrt(F.col("sxx").cast("double")) * F.sqrt(F.col("syy").cast("double"))
