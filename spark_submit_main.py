@@ -35,6 +35,9 @@ Subcommands:
   sql       — ad-hoc SQL over the warehouse: every table registered as
               a temp view, results printed as JSONL (bounded) or
               written parquet/csv cluster-side
+  drift     — crawl-over-crawl drift report: KS + PSI on the length
+              distribution, chi-square + Cramér's V on the lang mix,
+              optional unigram KL/JS token divergence (--tokens)
 """
 
 from __future__ import annotations
@@ -500,6 +503,58 @@ def cmd_link_rank(args) -> int:
     return 0
 
 
+def cmd_drift(args) -> int:
+    """Crawl-over-crawl drift report: did the corpus move between two
+    snapshots? One JSON line with (a) two-sample KS on the text-length
+    distribution (worst-point drift), (b) PSI over equal-width length
+    bands (whole-distribution drift), (c) chi-square + Cramér's V on
+    the categorical mix (default: lang), and optionally (d) unigram
+    KL/JS token divergence (--tokens; one extra dictionary pass per
+    side). Every statistic is one hash aggregate over the tagged union
+    — the corpora are never joined row-to-row."""
+    from pyspark.sql import functions as F
+
+    from eventanalysis_spark.operators.corpus import corpus_divergence
+    from eventanalysis_spark.operators.evalmetrics import (
+        chi2_drift,
+        ks_statistic,
+        psi_drift,
+    )
+
+    spark = _spark(args)
+    old = spark.read.parquet(args.old)
+    new = spark.read.parquet(args.new)
+
+    def tag(df, side):
+        return df.select(
+            F.length(F.col(args.text_col)).cast("double").alias("__v"),
+            F.col(args.cat_col).alias("__c"),
+            F.lit(side).alias("__side"),
+        )
+
+    tagged = tag(old, "old").unionByName(tag(new, "new"))
+    report = {"old": args.old, "new": args.new}
+    ks = ks_statistic(tagged, "__v", "__side", "old", "new").collect()[0]
+    report["n_old"], report["n_new"] = ks["n_a"], ks["n_b"]
+    report["length_ks"] = ks["ks"]
+    psi = psi_drift(
+        tagged, "__v", "__side", "old", "new",
+        n_bins=args.bins, lo=0.0, hi=args.hi,
+    ).collect()[0]
+    report["length_psi"] = psi["psi"]
+    chi = chi2_drift(tagged, "__c", "__side", "old", "new").collect()[0]
+    report[f"{args.cat_col}_chi2"] = chi["chi2"]
+    report[f"{args.cat_col}_cramers_v"] = chi["cramers_v"]
+    report[f"{args.cat_col}_categories"] = chi["n_categories"]
+    if args.tokens:
+        div = corpus_divergence(old, new, text_col=args.text_col).collect()[0]
+        report["unigram_js"] = div["js_div"]
+        report["unigram_kl_old_new"] = div["kl_ab"]
+        report["vocab_size"] = div["vocab_size"]
+    print(json.dumps(report, default=str))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="eventanalysis-spark")
     p.add_argument("--master", default=None, help="override master (tests only)")
@@ -672,6 +727,20 @@ def main(argv=None) -> int:
     lr.add_argument("--url-col", default="url")
     lr.add_argument("--html-col", default="html")
     lr.set_defaults(fn=cmd_link_rank)
+
+    dr = sub.add_parser("drift")
+    dr.add_argument("--old", required=True, help="previous-crawl pages parquet")
+    dr.add_argument("--new", required=True, help="current-crawl pages parquet")
+    dr.add_argument("--text-col", default="text")
+    dr.add_argument("--cat-col", default="lang",
+                    help="categorical column for the chi-square mix test")
+    dr.add_argument("--bins", type=int, default=10,
+                    help="PSI equal-width length bands")
+    dr.add_argument("--hi", type=float, default=5000.0,
+                    help="PSI upper length bound (values clamp into edge bins)")
+    dr.add_argument("--tokens", action="store_true",
+                    help="also compute unigram KL/JS token divergence")
+    dr.set_defaults(fn=cmd_drift)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -329,3 +329,46 @@ def test_dedup_corpus_strip_templates(tmp_path, spark):
     assert surv[2] == "unique gamma text"
     assert all(boiler not in t for t in surv.values())
     assert spark.read.parquet(out + "_tombstones").count() == 0
+
+
+def test_drift_cli(tmp_path, spark, capsys):
+    """drift verb: KS/PSI/chi2 report between two crawls — a length-
+    biased subset must show positive length drift, and the counts must
+    match the inputs; identical snapshots must report zero drift."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import spark_submit_main as cli
+
+    from pyspark.sql import functions as F
+
+    old = str(tmp_path / "old")
+    new = str(tmp_path / "new")
+    base = ["--master", "local[4]"]
+    assert cli.main(base + ["generate", "--out", old, "--rows", "1500"]) == 0
+    pages = spark.read.parquet(old)
+    n_old = pages.count()
+    med = pages.select(F.length("text").alias("l")).approxQuantile(
+        "l", [0.5], 0.0
+    )[0]
+    biased = pages.where(F.length("text") > med)
+    n_new = biased.count()
+    assert 0 < n_new < n_old
+    biased.write.mode("overwrite").parquet(new)
+
+    capsys.readouterr()
+    assert cli.main(base + [
+        "drift", "--old", old, "--new", new, "--tokens",
+    ]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (report["n_old"], report["n_new"]) == (n_old, n_new)
+    assert report["length_ks"] > 0 and report["length_psi"] > 0
+    assert report["lang_categories"] >= 2
+    assert report["unigram_js"] >= 0 and report["vocab_size"] > 0
+
+    capsys.readouterr()
+    assert cli.main(base + ["drift", "--old", old, "--new", old]) == 0
+    same = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert same["length_ks"] == 0.0 and same["length_psi"] == 0.0
+    assert same["lang_chi2"] == 0.0
