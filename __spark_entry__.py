@@ -2225,6 +2225,21 @@ def q_host_trustrank(spark, sf):
     ).orderBy("host")
 
 
+def q_host_hits(spark, sf):
+    """HITS hub/authority scores over the host link graph
+    (operators/linkgraph.py::host_hits): 5 iterations of the Kleinberg
+    mutual-reinforcement recurrence, sup-norm normalization per
+    half-step, 9-dp floor-round per half-step. The oracle unrolls all
+    10 half-steps (authority then hub per iteration) as CTE layers, so
+    equality proves the full alternating recurrence — including the
+    max-normalization subqueries — computes identically."""
+    from eventanalysis_spark.operators.linkgraph import host_hits
+
+    r = host_hits(_lg_edges(spark, sf), iterations=_LG_ITERS)
+    r6 = lambda c: (F.floor(F.col(c) * 1e6 + F.lit(0.5)) / 1e6).alias(c)  # noqa: E731
+    return r.select("host", r6("authority"), r6("hub")).orderBy("host")
+
+
 def q_host_communities(spark, sf):
     """Label-propagation communities on the host link graph
     (operators/linkgraph.py::host_communities): 4 synchronous rounds,
@@ -2740,6 +2755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "chunk_docs": q_chunk_docs,
         "host_trustrank": q_host_trustrank,
+        "host_hits": q_host_hits,
         "link_degree_stats": q_link_degree_stats,
         "link_extract": q_link_extract,
         "host_cocitation": q_host_cocitation,
@@ -2901,6 +2917,62 @@ def _host_pagerank_oracle(iterations: int = _LG_ITERS, d: float = 0.85) -> str:
             {",".join(layers)}
             SELECT host, floor(rank * 1e6 + 0.5) / 1e6 AS rank
             FROM r{iterations} ORDER BY host
+        """
+
+
+def _host_hits_oracle(iterations: int = _LG_ITERS) -> str:
+    """Unrolled-CTE DuckDB twin of q_host_hits: per iteration, the
+    authority half-step (raw in-link sum → sup-norm divide → 9-dp
+    floor-round over ALL nodes) then the hub half-step — the exact
+    alternating recurrence host_hits's DataFrame loop runs.
+
+    Every layer is AS MATERIALIZED: each half-step is referenced twice
+    (the sup-norm max subquery + the next join), so DuckDB's default
+    CTE inlining would re-evaluate the whole chain ~4^iterations times
+    — the SQL analog of the 2^k plan growth the Spark loop pins
+    against. Materializing keeps the oracle linear in iterations."""
+    layers = []
+    for i in range(1, iterations + 1):
+        layers.append(f"""
+            ar{i} AS MATERIALIZED (
+              SELECT e.dst AS host, sum(h.hub * e.w) AS s
+              FROM e JOIN h{i - 1} h ON h.host = e.src
+              GROUP BY e.dst
+            ),
+            a{i} AS MATERIALIZED (
+              SELECT n.host,
+                     floor(COALESCE(ar.s, 0.0)
+                           / (SELECT max(s) FROM ar{i}) * 1e9 + 0.5) / 1e9
+                       AS authority
+              FROM nodes n LEFT JOIN ar{i} ar USING (host)
+            ),
+            hr{i} AS MATERIALIZED (
+              SELECT e.src AS host, sum(a.authority * e.w) AS s
+              FROM e JOIN a{i} a ON a.host = e.dst
+              GROUP BY e.src
+            ),
+            h{i} AS MATERIALIZED (
+              SELECT n.host,
+                     floor(COALESCE(hr.s, 0.0)
+                           / (SELECT max(s) FROM hr{i}) * 1e9 + 0.5) / 1e9
+                       AS hub
+              FROM nodes n LEFT JOIN hr{i} hr USING (host)
+            )""")
+    return f"""
+            WITH {_lg_edges_cte()},
+            nodes AS MATERIALIZED (
+              SELECT src AS host FROM e UNION SELECT dst FROM e
+            ),
+            h0 AS MATERIALIZED (SELECT host, 1.0::DOUBLE AS hub FROM nodes),
+            {",".join(layers)}
+            SELECT n.host,
+                   floor(COALESCE(a.authority, 0.0) * 1e6 + 0.5) / 1e6
+                     AS authority,
+                   floor(COALESCE(h.hub, 0.0) * 1e6 + 0.5) / 1e6 AS hub
+            FROM nodes n
+            LEFT JOIN a{iterations} a USING (host)
+            LEFT JOIN h{iterations} h USING (host)
+            ORDER BY n.host
         """
 
 
@@ -3713,6 +3785,7 @@ def oracle_sql() -> dict[str, str]:
         "textrank_keywords": _textrank_oracle(),
         "host_pagerank": _host_pagerank_oracle(),
         "host_trustrank": _host_trustrank_oracle(),
+        "host_hits": _host_hits_oracle(),
         "host_communities": _host_communities_oracle(),
         "host_cocitation": f"""
             WITH {_lg_edges_cte()},

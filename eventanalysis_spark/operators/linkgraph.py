@@ -305,6 +305,101 @@ def host_trustrank(
     return ranks.select("host", "rank")
 
 
+def host_hits(
+    edges: DataFrame,
+    iterations: int = 5,
+    round_dp: int = ROUND_DP,
+    pin: str = "local",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """HITS (Kleinberg 1999, "Authoritative sources in a hyperlinked
+    environment"): mutual-reinforcement hub/authority scores over the
+    directed weighted host graph — the complementary signal to
+    host_pagerank (an authority is linked BY good hubs; a hub links TO
+    good authorities; PageRank conflates the two). Used to tell
+    directory/aggregator hosts (high hub) from content hosts (high
+    authority) when planning crawl frontiers and source mixtures.
+
+        a_{i+1}(v) ∝ Σ_{u→v} h_i(u)·w(u,v)
+        h_{i+1}(u) ∝ Σ_{u→v} a_{i+1}(v)·w(u,v)
+        h_0 = 1 for every node
+
+    Normalization: each half-step divides by the step's max (sup-norm
+    — a 1-row aggregate crossJoin-broadcast, never a collect) and
+    floor-rounds at `round_dp`, the same policy that makes
+    host_pagerank's recurrence cross-engine exact: the max node is
+    exactly 1.0 each step, so magnitudes cannot grow and the fixed
+    iteration count is a deterministic recurrence. (Classic HITS uses
+    the 2-norm; any norm yields the same ranking — sup-norm avoids a
+    partition-order-dependent sum-of-squares.)
+
+    Returns (host, authority, hub) at `round_dp`. Hosts nobody links to
+    have authority 0; pure sinks have hub 0.
+
+    Scale shape — identical to host_pagerank: the edge list is pinned
+    once; each half-step is one rank⋈edges join (AQE broadcasts the
+    node-sized vector while it fits) + one partial-aggregatable sum, so
+    CDN-style in-link skew combines map-side. Both per-iteration
+    vectors have two consumers (the max aggregate and the next
+    half-step), hence the same per-iteration `pin=` materialization
+    policy (plans/pin.py)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    pinner = Pinner(pin, checkpoint_every)
+    ef = pinner(edges.select("src", "dst", F.col("w").cast("double").alias("w")))
+    nodes = pinner(
+        ef.select(F.col("src").alias("host"))
+        .unionByName(ef.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    hubs = nodes.withColumn("hub", F.lit(1.0))
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        # raw: (host, s) partial sums over one half-step; missing hosts
+        # score 0. Divide by max BEFORE rounding — sup-norm keeps the
+        # recurrence in [0, 1] so floor_round's grain is uniform.
+        mx = raw.agg(F.max("s").alias("mx"))
+        return (
+            nodes.join(raw, "host", "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "host",
+                _floor_round(
+                    F.coalesce(F.col("s"), F.lit(0.0)) / F.col("mx"), round_dp
+                ).alias(col),
+            )
+        )
+
+    auth = None
+    for it in range(iterations):
+        auth = _normalize(
+            ef.join(hubs.select(F.col("host").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum(F.col("hub") * F.col("w")).alias("s")),
+            "authority",
+        )
+        # auth is consumed by the hub half-step's max agg + join, AND by
+        # the final output — pin every iteration.
+        auth = pinner(auth)
+        hubs = _normalize(
+            ef.join(auth.select(F.col("host").alias("dst"), "authority"), "dst")
+            .groupBy(F.col("src").alias("host"))
+            .agg(F.sum(F.col("authority") * F.col("w")).alias("s")),
+            "hub",
+        )
+        if it < iterations - 1:  # two consumers next round (max + join)
+            hubs = pinner(hubs)
+    return (
+        nodes.join(auth, "host", "left")
+        .join(hubs, "host", "left")
+        .select(
+            "host",
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+        )
+    )
+
+
 def host_communities(
     edges: DataFrame,
     iterations: int = 4,

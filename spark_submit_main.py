@@ -27,7 +27,8 @@ Subcommands:
               one flagged pass; writes the kept corpus + prints the audit
   link-rank — crawl-graph host scoring: href extraction → host edge
               list → PageRank (or TrustRank with --seeds; trust flows
-              only out of the seed hosts, spam islands score 0)
+              only out of the seed hosts, spam islands score 0; or
+              HITS hub/authority with --hits for frontier planning)
   dedup-corpus — the end-to-end dedup command: exact+near dedup →
               connected components → keep representative → optional
               cross-crawl drop vs --history/--index → survivors +
@@ -471,6 +472,7 @@ def cmd_link_rank(args) -> int:
     from eventanalysis_spark.operators.linkgraph import (
         extract_links,
         host_edges,
+        host_hits,
         host_pagerank,
         host_trustrank,
     )
@@ -484,7 +486,9 @@ def cmd_link_rank(args) -> int:
     pages = spark.read.parquet(args.source)
     edges = host_edges(extract_links(pages, url_col=args.url_col,
                                      html_col=args.html_col))
-    if args.seeds:
+    if args.hits:
+        ranks = host_hits(edges, iterations=args.iterations, pin=args.pin)
+    elif args.seeds:
         seeds = spark.createDataFrame(
             [(s.strip().lower(),) for s in args.seeds.split(",") if s.strip()],
             "host string",
@@ -496,10 +500,20 @@ def cmd_link_rank(args) -> int:
                               damping=args.damping, pin=args.pin)
     if args.out:
         ranks.write.mode("overwrite").parquet(args.out)
-    for r in (
-        ranks.orderBy(F.desc("rank"), F.asc("host")).limit(args.top).collect()
-    ):
-        print(json.dumps({"host": r["host"], "rank": r["rank"]}))
+    if args.hits:
+        # directory/aggregator hosts first (hub), then content (authority)
+        for r in (
+            ranks.orderBy(F.desc("hub"), F.desc("authority"), F.asc("host"))
+            .limit(args.top).collect()
+        ):
+            print(json.dumps({"host": r["host"], "authority": r["authority"],
+                              "hub": r["hub"]}))
+    else:
+        for r in (
+            ranks.orderBy(F.desc("rank"), F.asc("host")).limit(args.top)
+            .collect()
+        ):
+            print(json.dumps({"host": r["host"], "rank": r["rank"]}))
     return 0
 
 
@@ -716,6 +730,8 @@ def main(argv=None) -> int:
     lr.add_argument("--out", default=None, help="write (host, rank) parquet here")
     lr.add_argument("--seeds", default=None,
                     help="comma-separated trusted hosts → TrustRank; omit for PageRank")
+    lr.add_argument("--hits", action="store_true",
+                    help="HITS hub/authority scores instead of PageRank/TrustRank")
     lr.add_argument("--pin", default="local",
                     choices=["local", "persist", "checkpoint"],
                     help="iteration pin strategy (plans/pin.py): checkpoint = executor-loss-safe long runs")

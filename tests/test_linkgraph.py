@@ -264,6 +264,94 @@ class TestHostTrustrank:
         assert got["a"] + got["b"] == pytest.approx(1.0, abs=1e-6)
 
 
+class TestHostHits:
+    def test_star_fixed_point(self, spark):
+        from eventanalysis_spark.operators.linkgraph import host_hits
+
+        # l1,l2,l3 → hub: hub is the only authority (score 1), the
+        # leaves are the only hubs (score 1). Sup-norm makes this the
+        # exact fixed point from iteration 1 onward.
+        e = _edges(
+            spark, [("l1", "hub", 1), ("l2", "hub", 1), ("l3", "hub", 1)]
+        )
+        got = {
+            r["host"]: (r["authority"], r["hub"])
+            for r in host_hits(e, iterations=3).collect()
+        }
+        assert got["hub"] == (1.0, 0.0)
+        assert got["l1"] == got["l2"] == got["l3"] == (0.0, 1.0)
+
+    def test_symmetric_pair_all_ones(self, spark):
+        from eventanalysis_spark.operators.linkgraph import host_hits
+
+        e = _edges(spark, [("a", "b", 1), ("b", "a", 1)])
+        got = {
+            r["host"]: (r["authority"], r["hub"])
+            for r in host_hits(e, iterations=4).collect()
+        }
+        assert got == {"a": (1.0, 1.0), "b": (1.0, 1.0)}
+
+    def test_weighted_one_iteration_analytic(self, spark):
+        from eventanalysis_spark.operators.linkgraph import host_hits
+
+        # a →(w=3) b, a →(w=1) c. Authority raw: b=3, c=1 → sup-norm
+        # b=1, c=1/3 (9-dp floor-round). Hub raw: a = 1·3 + (1/3)·1 →
+        # a=1 after norm; b,c have no out-links → hub 0.
+        e = _edges(spark, [("a", "b", 3), ("a", "c", 1)])
+        got = {
+            r["host"]: (r["authority"], r["hub"])
+            for r in host_hits(e, iterations=1).collect()
+        }
+        assert got["b"][0] == 1.0
+        assert got["c"][0] == pytest.approx(1 / 3, abs=1e-9)
+        assert got["a"] == (0.0, 1.0)
+        assert got["b"][1] == got["c"][1] == 0.0
+
+    def test_directory_vs_content_split(self, spark):
+        from eventanalysis_spark.operators.linkgraph import host_hits
+
+        # Two directory hosts each link to the same three content
+        # hosts; content hosts also link lightly to each other. HITS
+        # must rank the directories as the top hubs and the content
+        # hosts as the top authorities — the signal PageRank conflates.
+        e = _edges(
+            spark,
+            [(d, c, 2) for d in ("dir1", "dir2") for c in ("c1", "c2", "c3")]
+            + [("c1", "c2", 1), ("c2", "c3", 1)],
+        )
+        rows = host_hits(e, iterations=5).collect()
+        auth = {r["host"]: r["authority"] for r in rows}
+        hub = {r["host"]: r["hub"] for r in rows}
+        assert hub["dir1"] == hub["dir2"] == max(hub.values())
+        assert max(auth["c1"], auth["c2"], auth["c3"]) == max(auth.values())
+        assert auth["dir1"] == auth["dir2"] == 0.0  # nobody links to dirs
+
+    def test_partition_invariance_and_persist_pin(self, spark):
+        from eventanalysis_spark.operators.linkgraph import host_hits
+
+        e = _edges(
+            spark,
+            [("a", "b", 3), ("b", "c", 2), ("c", "a", 1), ("a", "c", 5)],
+        )
+        base = {
+            (r["host"], r["authority"], r["hub"])
+            for r in host_hits(e, iterations=4).collect()
+        }
+        again = {
+            (r["host"], r["authority"], r["hub"])
+            for r in host_hits(
+                e.repartition(7), iterations=4, pin="persist"
+            ).collect()
+        }
+        assert base == again
+
+    def test_bad_iterations(self, spark):
+        from eventanalysis_spark.operators.linkgraph import host_hits
+
+        with pytest.raises(ValueError):
+            host_hits(_edges(spark, [("a", "b", 1)]), iterations=0)
+
+
 class TestCommunities:
     def test_two_clusters_with_weak_bridge(self, spark):
         from eventanalysis_spark.operators.linkgraph import host_communities

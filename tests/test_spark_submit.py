@@ -201,6 +201,18 @@ def test_link_rank_cli(tmp_path, spark):
     assert cli.main(base + [
         "link-rank", "--source", pages, "--pin", "checkpoint",
     ]) == 1
+    # --hits: hub/authority split — every host here both links and is
+    # linked, so just check the schema and that the mutual (good,a)
+    # pair carries the top authority mass
+    out_h = str(tmp_path / "hits")
+    assert cli.main(base + [
+        "link-rank", "--source", pages, "--out", out_h, "--hits",
+    ]) == 0
+    hits = {r["host"]: (r["authority"], r["hub"])
+            for r in spark.read.parquet(out_h).collect()}
+    assert set(hits) == set(pr)
+    top_auth = max(v[0] for v in hits.values())
+    assert hits["a.example"][0] == top_auth  # linked by good + b
 
 
 def test_sql_cli(tmp_path, spark):
