@@ -2639,6 +2639,67 @@ def q_eval_chi2_drift(spark, sf):
     return chi2_drift(docs, "source", "lang", "en", "de")
 
 
+def q_c4_clean(spark, sf):
+    """C4 cleaning recipe (operators/webfilter.py::c4_clean; Raffel et
+    al. 2020 §2.2) over deterministically line-structured pages: the
+    flat fixture text is chunked into 6-token lines whose terminal
+    suffix cycles (doc_id+i)%4 ∈ {'.', '', ' javascript.', '!'} so every
+    line rule fires, and docs with doc_id divisible by 7/11/13 gain a
+    badword / 'lorem ipsum' / '{' line so every doc gate fires. The
+    construction and the filter are both pure Catalyst — one narrow
+    projection end-to-end."""
+    from eventanalysis_spark.operators.webfilter import c4_clean
+
+    docs = _t(spark, sf, "documents")
+    t = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+    nl = F.ceil(F.size(t) / F.lit(6.0)).cast("int")
+    lines = F.when(F.size(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), nl),
+            lambda i: F.concat(
+                F.array_join(F.slice(t, (i - 1) * 6 + 1, 6), " "),
+                F.when((F.col("doc_id") + i) % 4 == 0, F.lit("."))
+                .when((F.col("doc_id") + i) % 4 == 1, F.lit(""))
+                .when((F.col("doc_id") + i) % 4 == 2, F.lit(" javascript."))
+                .otherwise(F.lit("!")),
+            ),
+        )
+    )
+    empty = F.array().cast("array<string>")
+    extras = F.concat(
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.array(F.lit("win big at the casino tonight.")),
+        ).otherwise(empty),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.array(F.lit("lorem ipsum dolor sit amet today.")),
+        ).otherwise(empty),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.array(F.lit("code sample { follows here now.")),
+        ).otherwise(empty),
+    )
+    built = docs.select(
+        "doc_id", F.array_join(F.concat(lines, extras), "\n").alias("text")
+    )
+    return c4_clean(built).orderBy("doc_id")
+
+
+def q_bigram_logprob(spark, sf):
+    """Bigram-LM fluency scores (operators/textstats.py::
+    bigram_logprob_scores), self-scored: one order up from
+    unigram_logprob with the same broadcast-model / corpus-never-
+    shuffles shape. Adjacent pairs come from zip_with over two array
+    slices (no posexplode self-join)."""
+    from eventanalysis_spark.operators.textstats import bigram_logprob_scores
+
+    docs = _t(spark, sf, "documents")
+    return bigram_logprob_scores(docs, parallelism=8).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the correctness driver certifies the FIRST 50
     # entries, so the window below is 50 exact-oracle showcase queries spanning
@@ -2773,6 +2834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_class_report": q_eval_class_report,
         "eval_psi_drift": q_eval_psi_drift,
         "eval_chi2_drift": q_eval_chi2_drift,
+        "c4_clean": q_c4_clean,
+        "bigram_logprob": q_bigram_logprob,
         "bpe_tokens": q_bpe_tokens,
         "multimodal_image_features": q_multimodal_image_features,
     }
@@ -6467,5 +6530,101 @@ def oracle_sql() -> dict[str, str]:
                      FLOOR(SQRT(chi2_raw / (na + nb)) * 1e6 + 0.5) / 1e6
                    END AS cramers_v
             FROM agg
+        """,
+        # DuckDB twin of q_c4_clean: same deterministic 6-token line
+        # construction (suffix cycle + gate lines), then the C4 rules —
+        # list_filter mirrors Catalyst F.filter term for term.
+        "c4_clean": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ),
+            built AS (
+              SELECT doc_id,
+                     array_to_string(
+                       list_transform(
+                         generate_series(1, CAST(ceil(len(t)/6.0) AS INT)),
+                         i -> array_to_string(t[(i-1)*6+1:(i-1)*6+6], ' ')
+                              || CASE (doc_id + i) % 4
+                                   WHEN 0 THEN '.'
+                                   WHEN 1 THEN ''
+                                   WHEN 2 THEN ' javascript.'
+                                   ELSE '!' END)
+                       || (CASE WHEN doc_id % 7 = 0
+                             THEN ['win big at the casino tonight.']
+                             ELSE []::VARCHAR[] END)
+                       || (CASE WHEN doc_id % 11 = 0
+                             THEN ['lorem ipsum dolor sit amet today.']
+                             ELSE []::VARCHAR[] END)
+                       || (CASE WHEN doc_id % 13 = 0
+                             THEN ['code sample { follows here now.']
+                             ELSE []::VARCHAR[] END),
+                       chr(10)) AS text
+              FROM toks
+            ),
+            f AS (
+              SELECT doc_id,
+                     string_split(text, chr(10)) AS lines,
+                     list_filter(string_split(text, chr(10)), x ->
+                       length(trim(x)) > 0
+                       AND regexp_matches(trim(x), '[.!?"]$')
+                       AND len(regexp_split_to_array(trim(x), '\\s+')) >= 5
+                       AND NOT contains(lower(x), 'javascript')
+                     ) AS kept,
+                     list_has_any(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       ['casino', 'gamble', 'nude', 'porn', 'viagra', 'xxx']
+                     ) AS had_badword,
+                     (contains(lower(text), 'lorem ipsum')
+                      OR contains(text, '{')) AS had_banned_substring
+              FROM built
+            )
+            SELECT doc_id,
+                   COALESCE(array_to_string(kept, chr(10)), '') AS text_clean,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept_lines,
+                   had_badword,
+                   had_banned_substring,
+                   (len(kept) >= 3
+                    AND NOT had_badword
+                    AND NOT had_banned_substring) AS keep
+            FROM f
+            ORDER BY doc_id
+        """,
+        "bigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            big AS (
+              SELECT doc_id,
+                     unnest(t[1:len(t)-1]) AS w1,
+                     unnest(t[2:len(t)]) AS w2
+              FROM toks WHERE len(t) >= 2
+            ),
+            counts AS (
+              SELECT w1, w2, count(*) AS cnt FROM big GROUP BY w1, w2
+            ),
+            vv AS (
+              SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM counts
+            ),
+            ctx AS (
+              SELECT w1, CAST(sum(cnt) AS DOUBLE) AS ctx_cnt
+              FROM counts GROUP BY w1
+            ),
+            scored AS (
+              SELECT b.doc_id, count(*) AS n_bigrams,
+                     ROUND(avg(-ln((c.cnt + 1.0) / (x.ctx_cnt + vv.v))), 6)
+                       AS avg_neg_logprob
+              FROM big b
+              JOIN counts c USING (w1, w2)
+              JOIN ctx x USING (w1), vv
+              GROUP BY b.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   s.avg_neg_logprob
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+            ORDER BY doc_id
         """,
     }

@@ -343,3 +343,111 @@ def bm25_topk(
         .limit(k)
         .select(id_col, "bm25")
     )
+
+
+def corpus_bigram_counts(
+    docs: DataFrame, text_col: str = "text", parallelism: int | None = None
+) -> DataFrame:
+    """Bigram counts over the corpus: (w1, w2, cnt). The adjacent-pair
+    stream is built JVM-side with zip_with over two slices of the token
+    array (no posexplode self-join, no Python), then ONE map-side-partial
+    hash aggregate — exactly the `corpus_token_counts` shape one order up.
+    The shuffled volume is per-task DISTINCT bigrams, which Zipf keeps far
+    below the pair stream; the aggregate key is (w1, w2) so even 'of the'
+    is a single partial row per task."""
+    if parallelism:
+        docs = docs.repartition(parallelism)
+    t = F.when(
+        F.length(F.trim(F.col(text_col))) == 0,
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    n = F.size(t)
+    pairs = F.zip_with(
+        F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    exploded = docs.select(F.explode(pairs).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    return exploded.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def bigram_logprob_scores(
+    docs: DataFrame,
+    counts: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    broadcast_counts: bool = True,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Per-document bigram-LM fluency score — one order up from
+    `unigram_logprob_scores` and one order down from the KenLM 5-gram the
+    CCNet recipe uses; the same train-counts-then-score plumbing with a
+    conditional model:
+
+        p(w2 | w1) = (c(w1,w2) + alpha) / (c(w1) + alpha * V)
+
+    with additive smoothing over V = |distinct successor vocabulary|.
+    Context counts c(w1) are the row sums of the bigram table itself
+    (contexts are counted only where a successor exists), so a single
+    `counts` frame fully determines the model — persist it once, score
+    any number of crawls against it.
+
+    Unseen (w1,w2) with a KNOWN context backs off to alpha/(c(w1)+alpha*V);
+    an unknown context scores the flat 1/V. Self-scoring (counts=None)
+    never hits either path.
+
+    Scale shape: with broadcast_counts=True the model ships to executors
+    and the corpus never shuffles — the per-pair lookup is two broadcast
+    hash joins (bigram row, then context row), probe side streaming, so
+    there is no hot-key reducer for 'of the'-scale bigrams. For a model
+    too big to broadcast pass broadcast_counts=False (shuffle join; AQE
+    skew handling applies). The score is avg(-ln p) rounded to 6 dp —
+    the same fixed-point convention the sibling operators use so the
+    DuckDB oracle can replay it bit-for-bit.
+
+    Output: (id, n_bigrams, avg_neg_logprob) — null score for docs with
+    fewer than two tokens."""
+    if counts is None:
+        counts = corpus_bigram_counts(docs, text_col, parallelism)
+    totals = counts.agg(
+        F.count_distinct("w2").alias("v")
+    ).collect()[0]
+    vocab = float(totals["v"] or 0)
+    ctx = counts.groupBy("w1").agg(F.sum("cnt").alias("ctx_cnt"))
+    if parallelism:
+        docs = docs.repartition(parallelism)
+    t = F.when(
+        F.length(F.trim(F.col(text_col))) == 0,
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    n = F.size(t)
+    pairs = F.zip_with(
+        F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode_outer(pairs).alias("p"),
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bcast = F.broadcast if broadcast_counts else (lambda d: d)
+    joined = exploded.join(
+        bcast(counts), ["w1", "w2"], "left"
+    ).join(bcast(ctx), ["w1"], "left")
+    # three tiers: seen bigram / unseen-in-known-context / unknown context
+    denom = F.col("ctx_cnt") + F.lit(alpha) * F.lit(vocab)
+    nlp = F.when(
+        F.col("ctx_cnt").isNull(),
+        F.lit(-math.log(1.0 / vocab) if vocab > 0 else 0.0),
+    ).otherwise(
+        -F.log((F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha)) / denom)
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("w1").alias("n_bigrams"),
+        F.round(
+            F.avg(F.when(F.col("w1").isNotNull(), nlp)), 6
+        ).alias("avg_neg_logprob"),
+    )

@@ -218,3 +218,55 @@ def test_bm25_topk_ranking_properties(spark):
     # multi-term query unions scores; k caps output
     top1 = bm25_topk(df, ["apple", "banana"], k=1).collect()
     assert len(top1) == 1
+
+
+def test_bigram_logprob_self_scoring(spark):
+    from eventanalysis_spark.operators.textstats import bigram_logprob_scores
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "x"), (3, "")],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in bigram_logprob_scores(df, id_col="doc_id").collect()}
+    # corpus: (a,b)x3 ctx a=3; (b,a)x1 (b,c)x1 ctx b=2; V = |{b,a,c}| = 3
+    # nlp(a,b)=ln(6/4); nlp(b,a)=nlp(b,c)=ln(5/2)
+    import math
+    ln15, ln25 = math.log(1.5), math.log(2.5)
+    assert rows[0].n_bigrams == 3
+    assert rows[0].avg_neg_logprob == pytest.approx(
+        round((2 * ln15 + ln25) / 3, 6), abs=1e-6
+    )
+    assert rows[1].n_bigrams == 2
+    assert rows[1].avg_neg_logprob == pytest.approx(
+        round((ln15 + ln25) / 2, 6), abs=1e-6
+    )
+    # <2 tokens → no bigrams, null score (not OOV-scored)
+    assert rows[2].n_bigrams == 0 and rows[2].avg_neg_logprob is None
+    assert rows[3].n_bigrams == 0 and rows[3].avg_neg_logprob is None
+
+
+def test_bigram_logprob_external_counts_backoff(spark):
+    """Unseen bigram in a known context vs unknown context, scored
+    against a persisted model trained on a different corpus."""
+    import math
+
+    from eventanalysis_spark.operators.textstats import (
+        bigram_logprob_scores,
+        corpus_bigram_counts,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c")], "doc_id int, text string"
+    )
+    counts = corpus_bigram_counts(train)
+    score = spark.createDataFrame(
+        [(10, "a a"), (11, "z z")], "doc_id int, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in bigram_logprob_scores(score, counts=counts, id_col="doc_id").collect()
+    }
+    # known context a (ctx=3), unseen successor: -ln(1/(3+3)) = ln 6
+    assert rows[10].avg_neg_logprob == pytest.approx(round(math.log(6), 6), abs=1e-6)
+    # unknown context z: flat 1/V with V=3
+    assert rows[11].avg_neg_logprob == pytest.approx(round(math.log(3), 6), abs=1e-6)

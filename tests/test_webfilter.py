@@ -370,3 +370,53 @@ def test_canonical_url_matches_python_twin_on_generated_urls(spark):
     ]
     for u, c in got:
         assert c == _canonical_url_py(u), f"{u!r}: spark={c!r} py={_canonical_url_py(u)!r}"
+
+
+# ---- C4 cleaning (line filter + doc gates) ---------------------------------
+
+
+def test_c4_line_filter_rules(spark):
+    from eventanalysis_spark.operators.webfilter import c4_clean
+
+    text = "\n".join([
+        "one two three four five.",            # kept
+        "one two three four five",             # dropped: no terminal punct
+        "too short.",                          # dropped: < 5 words
+        "this line mentions javascript code.",  # dropped: banned term
+        'does it keep quoted endings right?"',  # kept (quote terminal)
+        "   ",                                 # dropped: blank
+        "six seven eight nine ten eleven!",     # kept
+    ])
+    df = spark.createDataFrame([(0, text)], "doc_id int, text string")
+    row = c4_clean(df, min_kept_lines=3).collect()[0]
+    assert row.n_lines == 7
+    assert row.n_kept_lines == 3
+    assert row.text_clean.split("\n") == [
+        "one two three four five.",
+        'does it keep quoted endings right?"',
+        "six seven eight nine ten eleven!",
+    ]
+    assert not row.had_badword and not row.had_banned_substring
+    assert row.keep
+
+
+def test_c4_doc_gates(spark):
+    from eventanalysis_spark.operators.webfilter import c4_clean
+
+    ok = "alpha beta gamma delta epsilon."
+    docs = [
+        (0, "\n".join([ok] * 3)),                              # clean, keep
+        (1, "\n".join([ok] * 3) + "\nwin big at the casino."),  # badword
+        (2, "\n".join([ok] * 3) + "\nscasinos is not a word."),  # substring-only: NOT flagged
+        (3, "\n".join([ok] * 3) + "\nlorem ipsum dolor sit amet."),  # placeholder text
+        (4, "\n".join([ok] * 3) + "\nif (x) { return; }"),      # leaked code brace
+        (5, "\n".join([ok] * 2)),                               # too few kept lines
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    rows = {r.doc_id: r for r in c4_clean(df, min_kept_lines=3).collect()}
+    assert rows[0].keep
+    assert rows[1].had_badword and not rows[1].keep
+    assert not rows[2].had_badword and rows[2].keep
+    assert rows[3].had_banned_substring and not rows[3].keep
+    assert rows[4].had_banned_substring and not rows[4].keep
+    assert not rows[5].keep and rows[5].n_kept_lines == 2
