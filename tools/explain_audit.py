@@ -1122,6 +1122,63 @@ def main() -> None:
         "core, so this plan shape covers the family.",
     )
 
+    # 39. C4 cleaning: one narrow projection, scan-speed at any corpus size
+    from eventanalysis_spark.operators.webfilter import c4_clean
+
+    q39 = c4_clean(pages.select("url", "text"), id_col="url")
+    plan39 = q39._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "C4 cleaning (line filter + doc gates): pure projection, no shuffle",
+        q39,
+        [
+            ("no shuffle anywhere (every rule is a per-row array expression)",
+             "Exchange" not in plan39),
+            ("no Python anywhere (split/filter/rlike/arrays_overlap are "
+             "all Catalyst)",
+             "Python" not in plan39 and "MapInPandas" not in plan39),
+            ("exactly one source scan",
+             plan39.count("Scan parquet") == 1),
+            ("scan pruned to (url, text) only",
+             "ReadSchema: struct<url:string,text:string>" in plan39),
+        ],
+        "operators/webfilter.py::c4_clean — the published C4 recipe "
+        "(Raffel et al. 2020 §2.2). At 10^12 documents this is the "
+        "cheapest possible shape: whole-stage-codegen'd filter rules "
+        "riding the ingest scan, composable with gopher_quality_flags "
+        "in the same projection.",
+    )
+
+    # 40. bigram LM scoring: broadcast model, corpus never shuffles rows
+    from eventanalysis_spark.operators.textstats import (
+        bigram_logprob_scores,
+    )
+
+    q40 = bigram_logprob_scores(
+        pages.select("url", "text"), id_col="url"
+    )
+    plan40 = q40._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Bigram-LM scoring: broadcast model lookups, partial-agg training",
+        q40,
+        [
+            ("both model lookups (bigram row, context row) are broadcast "
+             "hash joins — the exploded pair stream only ever probes",
+             plan40.count("BroadcastHashJoin") >= 2),
+            ("no sort-merge join anywhere (a shuffle on token keys would "
+             "put 'of the' on one reducer)",
+             "SortMergeJoin" not in plan40),
+            ("model training aggregates map-side first (partial_count "
+             "per distinct bigram per task — Zipf keeps partials tiny)",
+             "partial_count" in plan40),
+            ("no Python anywhere",
+             "Python" not in plan40 and "MapInPandas" not in plan40),
+        ],
+        "operators/textstats.py::bigram_logprob_scores — the CCNet "
+        "train-then-score plumbing one order above unigram. The only "
+        "row-scale shuffle is the final per-document aggregate, keyed by "
+        "doc id (skew-free by construction).",
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the engine's key paths\n\n"
