@@ -654,3 +654,57 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "term_a", "term_b").limit(k)
+
+
+def host_quality_profile(
+    docs: DataFrame,
+    host_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-host quality profile — the crawl-planning rollup that decides
+    which hosts deserve recrawl budget: document volume, language spread,
+    exact-duplicate rate (md5 text identity), Gopher-gate pass rate, and
+    mean document length, in ONE host-keyed aggregate.
+
+    Every metric is integer-derived (counts, exact distinct counts, long
+    sums) with exactly one float division per ratio under the 6-dp round,
+    so the result is partition-order independent and SQL-replicable.
+
+    Scale shape: one hash aggregate keyed by host. The two exact distinct
+    counts (lang, text-md5) expand the input ×2 before the partial
+    aggregate, but partials collapse per (host, value) map-side, so the
+    shuffle carries per-task distinct values, not rows. Hot hosts are
+    bounded by their own distinct-value counts; there is no row-scale
+    skew key. Output is host-cardinality — small enough to broadcast
+    into routing decisions downstream."""
+    from eventanalysis_spark.operators.webfilter import gopher_quality_flags
+
+    g = gopher_quality_flags(F.col(text_col))
+    per = docs.select(
+        F.col(host_col).alias("host"),
+        F.col(lang_col).alias("__lang"),
+        F.md5(F.col(text_col)).alias("__h"),
+        F.length(F.col(text_col)).cast("long").alias("__len"),
+        g["keep"].cast("long").alias("__keep"),
+    )
+    n = F.count(F.lit(1))
+    agg = per.groupBy("host").agg(
+        n.alias("n_docs"),
+        F.count_distinct("__lang").alias("n_langs"),
+        (n - F.count_distinct("__h")).alias("n_dup_docs"),
+        F.sum("__keep").alias("n_gopher_keep"),
+        F.sum("__len").alias("__chars"),
+    )
+    return agg.select(
+        "host",
+        "n_docs",
+        "n_langs",
+        "n_dup_docs",
+        F.round(F.col("n_dup_docs") / F.col("n_docs"), 6).alias("dup_frac"),
+        "n_gopher_keep",
+        F.round(F.col("n_gopher_keep") / F.col("n_docs"), 6).alias(
+            "gopher_keep_frac"
+        ),
+        F.round(F.col("__chars") / F.col("n_docs"), 6).alias("mean_chars"),
+    )

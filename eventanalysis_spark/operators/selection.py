@@ -338,3 +338,86 @@ def score_tiers_by_group(
     return t.join(
         ranked.select(group_col, "__k", tier_col), [group_col, "__k"]
     ).drop("__k")
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    reference: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str | None = None,
+    method: str = "broadcast",
+) -> DataFrame:
+    """Per-document n-gram novelty vs an existing reference corpus — the
+    inverse of `sampling.decontaminate`: instead of flagging overlap with
+    an eval set, score how much of each candidate document is NEW
+    relative to what the corpus already holds. The standard
+    diversity-selection signal when mixing a fresh crawl into an existing
+    training set (keep the novel tail, downweight the re-crawled mass).
+
+    novelty_frac = |distinct doc k-grams ∉ reference grams|
+                   / |distinct doc k-grams|
+
+    Scale shapes (same two as decontaminate, same reasons):
+      - method='broadcast': the DISTINCT reference gram set aggregates to
+        one array and ships to executors; each doc scores in a single
+        narrow `size(array_intersect(...))` pass — the candidate corpus
+        never shuffles. Right while the reference gram set fits a
+        broadcast (prune it upstream by doc-frequency if needed).
+      - method='join': docs explode to (id, gram) and left-semi-count
+        against the reference grams — both sides shuffle on the gram
+        hash; use when the reference outgrows broadcast. AQE handles the
+        'of the'-grade skew.
+
+    Output: docs + (n_grams, n_novel, novelty_frac); empty docs score
+    novelty_frac 0.0 over 0 grams."""
+    from eventanalysis_spark.operators.sampling import word_shingles
+
+    ref_text_col = ref_text_col or text_col
+    ref_grams = (
+        reference.select(
+            F.explode(word_shingles(F.col(ref_text_col), k)).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = docs.withColumn("__grams", word_shingles(F.col(text_col), k))
+    if method == "broadcast":
+        ref_arr = ref_grams.agg(F.collect_set("gram").alias("__ref"))
+        scored = (
+            doc_grams.crossJoin(F.broadcast(ref_arr))
+            .withColumn(
+                "__n_seen",
+                F.size(F.array_intersect("__grams", "__ref")).cast("long"),
+            )
+            .drop("__ref")
+        )
+    elif method == "join":
+        exploded = doc_grams.select(
+            F.col(id_col).alias("__did"), F.explode("__grams").alias("gram")
+        )
+        seen = (
+            exploded.join(ref_grams, "gram")
+            .groupBy("__did")
+            .agg(F.count(F.lit(1)).alias("__n_seen"))
+        )
+        scored = (
+            doc_grams.join(
+                seen, doc_grams[id_col] == seen["__did"], "left"
+            )
+            .drop("__did")
+            .withColumn("__n_seen", F.coalesce(F.col("__n_seen"), F.lit(0)))
+        )
+    else:
+        raise ValueError(f"method must be 'broadcast' or 'join', got {method!r}")
+    n_grams = F.size("__grams").cast("long")
+    n_novel = (n_grams - F.col("__n_seen")).cast("long")
+    return (
+        scored.withColumn("n_grams", n_grams)
+        .withColumn("n_novel", n_novel)
+        .withColumn(
+            "novelty_frac",
+            F.round(n_novel / F.greatest(n_grams, F.lit(1)), 6),
+        )
+        .drop("__grams", "__n_seen")
+    )

@@ -434,3 +434,28 @@ def test_pmi_math_matches_hand_formula(spark):
     # tokens: aa=8, bb=4, cc=4, n_uni=16; pairs: (aa,bb)=4,(aa,cc)=4, n_pairs=8
     want = round(math.log(4) - math.log(8) - math.log(4) + 2 * math.log(16) - math.log(8), 6)
     assert got[("aa", "bb")] == (4, want)
+
+
+def test_host_quality_profile(spark):
+    from eventanalysis_spark.operators.corpus import host_quality_profile
+
+    good = " ".join(
+        ["the cat and the dog sat with that hat of fun"] * 6
+    )  # 60 words, stopword-rich → passes the Gopher gate
+    docs = spark.createDataFrame(
+        [
+            (0, "h1", "en", good),
+            (1, "h1", "en", good),          # exact dup of doc 0
+            (2, "h1", "de", "short junk"),  # fails gopher (word count)
+            (3, "h2", "en", "zzz"),
+        ],
+        "doc_id int, source string, lang string, text string",
+    )
+    rows = {r.host: r for r in host_quality_profile(docs).collect()}
+    h1 = rows["h1"]
+    assert h1.n_docs == 3 and h1.n_langs == 2
+    assert h1.n_dup_docs == 1 and h1.dup_frac == 0.333333
+    assert h1.n_gopher_keep == 2 and h1.gopher_keep_frac == 0.666667
+    assert h1.mean_chars == round((2 * len(good) + len("short junk")) / 3, 6)
+    h2 = rows["h2"]
+    assert h2.n_docs == 1 and h2.n_dup_docs == 0 and h2.n_gopher_keep == 0

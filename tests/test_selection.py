@@ -210,3 +210,32 @@ def test_score_tiers_by_group_histogram_semantics(spark):
                              labels=["head", "middle", "tail"])
     gd = {r["doc_id"]: r["tier"] for r in d.collect()}
     assert gd[8] == "head" and gd[0] == "tail"
+
+
+def test_ngram_novelty_broadcast_and_join(spark):
+    from eventanalysis_spark.operators.selection import ngram_novelty
+
+    ref = spark.createDataFrame([(100, "a b c d e")], "doc_id int, text string")
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "x y z w"), (2, "a b c x y"), (3, "")],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in ngram_novelty(docs, ref, k=3, id_col="doc_id").collect()
+    }
+    assert out[0].novelty_frac == 0.0                      # fully re-crawled
+    assert out[1].novelty_frac == 1.0 and out[1].n_grams == 2
+    # grams of doc2: 'a b c' (seen), 'b c x', 'c x y' → 2/3 novel
+    assert out[2].n_grams == 3 and out[2].n_novel == 2
+    assert out[2].novelty_frac == 0.666667
+    assert out[3].n_grams == 0 and out[3].novelty_frac == 0.0
+    # the shuffle-join path is result-identical to the broadcast path
+    j = {
+        r.doc_id: r
+        for r in ngram_novelty(docs, ref, k=3, id_col="doc_id", method="join").collect()
+    }
+    for i in out:
+        assert (out[i].n_grams, out[i].n_novel, out[i].novelty_frac) == (
+            j[i].n_grams, j[i].n_novel, j[i].novelty_frac
+        )
