@@ -2728,6 +2728,24 @@ def q_host_profile(spark, sf):
     return host_quality_profile(docs).orderBy("host")
 
 
+def q_pq_topk(spark, sf):
+    """Product-quantization ANN (operators/kmeans.py::pq_fit/pq_encode/
+    pq_topk; Jégou et al. 2011): train a 2-subspace × 8-centroid
+    quantizer on the embeddings (deterministic hash seeds + 6-dp
+    centroid rounds → SQL-replicable), encode every vector to 2 codes,
+    and score ADC squared-L2 against vec_id 0's embedding — encode +
+    table lookup is one narrow projection, the scan-bound ANN shape at
+    10^12 vectors. Exact oracle: the whole fit/encode/ADC pipeline
+    replayed as unrolled DuckDB CTEs."""
+    from eventanalysis_spark.operators.kmeans import pq_fit, pq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    books = pq_fit(emb, m=2, k_sub=8, iterations=2, dim=64)
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return pq_topk(emb, books, q, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the correctness driver certifies the FIRST 50
     # entries, so the window below is 50 exact-oracle showcase queries spanning
@@ -2866,6 +2884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "ngram_novelty": q_ngram_novelty,
         "host_profile": q_host_profile,
+        "pq_topk": q_pq_topk,
         "bpe_tokens": q_bpe_tokens,
         "multimodal_image_features": q_multimodal_image_features,
     }
@@ -3386,6 +3405,91 @@ def _kmeans_assign_oracle() -> str:
     """
 
 
+def _pq_cte(dim: int = 64, m: int = 2, k: int = 8, iters: int = 2) -> str:
+    """WITH-clause body replaying operators/kmeans.py::pq_fit(m, k_sub=k,
+    iterations=iters) + pq_encode in DuckDB: per subspace j, the same
+    seed → assign → 6-dp-rounded means → assign recurrence as
+    `_kmeans_cte`, over the v[lo:hi] slice; `enc(vec_id, code_0..)` is
+    the final per-subspace argmin. Seeds are the SAME hash-ranked ids in
+    every subspace (id hash doesn't depend on the slice), matching the
+    Spark fit."""
+    sub = dim // m
+    parts = ["ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+
+    def assign(j: int, cents: str, name: str) -> str:
+        s = (
+            "-2 * list_dot_product(e.v, c.c)"
+            " + list_dot_product(c.c, c.c)"
+        )
+        return f"""
+        {name} AS (
+          SELECT vec_id, cid, v FROM (
+            SELECT e.vec_id, c.cid, e.v,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {s} ASC, c.cid ASC) AS r
+            FROM ev{j} e CROSS JOIN {cents} c
+          ) WHERE r = 1
+        )"""
+
+    means = ", ".join(f"ROUND(avg(v[{i + 1}]), 6)" for i in range(sub))
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(
+            f"ev{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM ev)"
+        )
+        parts.append(
+            f"""c{j}_0 AS (
+          SELECT vec_id AS cid, v AS c FROM ev{j}
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+        )"""
+        )
+        for it in range(iters):
+            parts.append(assign(j, f"c{j}_{it}", f"a{j}_{it}"))
+            parts.append(
+                f"m{j}_{it} AS (SELECT cid, list_value({means}) AS c"
+                f" FROM a{j}_{it} GROUP BY cid)"
+            )
+            parts.append(
+                f"c{j}_{it + 1} AS (SELECT s.cid, COALESCE(mm.c, s.c) AS c"
+                f" FROM c{j}_{it} s LEFT JOIN m{j}_{it} mm USING (cid))"
+            )
+        parts.append(assign(j, f"c{j}_{iters}", f"a{j}F"))
+    joins = " ".join(
+        f"JOIN a{j}F USING (vec_id)" if j else f"a{j}F" for j in range(m)
+    )
+    codes = ", ".join(f"a{j}F.cid AS code_{j}" for j in range(m))
+    parts.append(f"enc AS (SELECT a0F.vec_id, {codes} FROM {joins})")
+    return ",\n".join(parts)
+
+
+def _pq_topk_oracle(dim: int = 64, m: int = 2, k: int = 8,
+                    iters: int = 2, topk: int = 10) -> str:
+    sub = dim // m
+    dist_terms = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        q = f"q.v[{lo}:{hi}]"
+        dist_terms.append(
+            f"(list_dot_product({q}, {q})"
+            f" - 2 * list_dot_product({q}, b{j}.c)"
+            f" + list_dot_product(b{j}.c, b{j}.c))"
+        )
+    book_joins = " ".join(
+        f"JOIN c{j}_{iters} b{j} ON e.code_{j} = b{j}.cid" for j in range(m)
+    )
+    return f"""
+        WITH {_pq_cte(dim, m, k, iters)},
+        q AS (SELECT v FROM ev WHERE vec_id = 0),
+        scored AS (
+          SELECT e.vec_id,
+                 ROUND({" + ".join(dist_terms)}, 6) AS approx_dist
+          FROM enc e {book_joins}, q
+        )
+        SELECT vec_id, approx_dist FROM scored
+        ORDER BY approx_dist, vec_id LIMIT {topk}
+    """
+
+
 def _textrank_oracle(iterations: int = 5, k: int = 20, d: float = 0.85) -> str:
     """Unrolled-CTE DuckDB twin of q_textrank_keywords: one CTE layer
     per PageRank iteration (same recurrence the DataFrame loop runs).
@@ -3512,6 +3616,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "minhash_signature": _minhash_oracle(),
         "kmeans_assign": _kmeans_assign_oracle(),
+        "pq_topk": _pq_topk_oracle(),
         "shuffle_corpus": """
             SELECT doc_id,
                    CAST(row_number() OVER (

@@ -271,3 +271,141 @@ def prototypicality_prune(
             <= F.ceil(F.lit(float(keep_fraction)) * F.count(F.lit(1)).over(wc))
         ).alias("keep"),
     )
+
+
+# ---- Product quantization (Jégou et al. 2011, "Product Quantization
+# for Nearest Neighbor Search", IEEE TPAMI) --------------------------------
+
+
+def _fold_dot(a: list[float], b: list[float]) -> float:
+    # sequential left fold from 0.0 — the same add order as the Spark
+    # F.aggregate fold and DuckDB's list_dot_product, so driver-side
+    # table entries are bit-identical to engine-side recomputation
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = 2,
+    k_sub: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    round_decimals: int = 6,
+) -> list[Centroids]:
+    """Train an m-subspace product quantizer: split the vector into m
+    contiguous sub-vectors and run the deterministic `kmeans_fit` on
+    each slice independently. Returns m codebooks of k_sub sub-centroids
+    each — m·k_sub·(dim/m) floats total, a driver/broadcast-sized
+    artifact that encodes every vector into m small codes (m·log2(k_sub)
+    bits), the memory-bound regime ANN at 10^12 vectors lives in.
+
+    Seeding is the same hash-ranked id sample for every subspace (ids
+    don't depend on the slice), and the per-iteration 6-dp centroid
+    round pins all m fits across partition counts and engines — the
+    whole quantizer is SQL-replicable, which is what the `pq_topk`
+    oracle certifies. Training is a driver-coordinated job like
+    `kmeans_fit` (fit once, reuse the artifact); each of the m fits is
+    one corpus scan per iteration over a dim/m-wide projection."""
+    if dim is None:
+        dim = len(emb.select(vec_col).head()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sub = dim // m
+    books: list[Centroids] = []
+    for j in range(m):
+        sliced = emb.select(
+            F.col(id_col),
+            F.expr(
+                f"slice(CAST(`{vec_col}` AS ARRAY<DOUBLE>), {j * sub + 1}, {sub})"
+            ).alias("__sub"),
+        )
+        books.append(
+            kmeans_fit(
+                sliced,
+                k=k_sub,
+                iterations=iterations,
+                id_col=id_col,
+                vec_col="__sub",
+                round_decimals=round_decimals,
+            )
+        )
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[Centroids],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code_0..code_{m-1}): nearest sub-centroid id per subspace —
+    the PQ code. ONE narrow projection (m argmin-`least()` expressions
+    with inlined literals, the `kmeans_assign` shape): zero Exchange,
+    zero Python, runs at scan speed over any corpus size. Ties break to
+    the smaller cid (struct comparison), matching the SQL row_number
+    twin."""
+    if not codebooks:
+        raise ValueError("pq_encode: empty codebooks")
+    sub = len(codebooks[0][0][1])
+    cols = [F.col(id_col)]
+    for j, cb in enumerate(codebooks):
+        vec_sql = (
+            f"slice(CAST(`{vec_col}` AS ARRAY<DOUBLE>), {j * sub + 1}, {sub})"
+        )
+        cols.append(
+            F.expr(f"({_assign_best_sql(vec_sql, cb)}).cid").alias(f"code_{j}")
+        )
+    return emb.select(*cols)
+
+
+def pq_topk(
+    emb: DataFrame,
+    codebooks: list[Centroids],
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query stays exact, every
+    corpus vector is represented by its PQ code, and the approximate
+    squared-L2 distance is the sum over subspaces of ‖q_j − c_{code_j}‖².
+
+    The m×k_sub distance table is computed DRIVER-side from the query
+    and the codebooks (m·k_sub doubles — the classic ADC lookup table)
+    and inlined as CASE literals, so scoring is encode + m table lookups
+    + (m−1) adds per row: one narrow projection, no join, no shuffle,
+    no Python — then ONE TakeOrderedAndProject for the top-k. At 10^12
+    vectors this is the scan-bound ANN shape; compose with the IVF
+    coarse quantizer (`ivf_assign`) to prune the scan to nprobe cells.
+
+    Table entries are built with the engines' exact fold order
+    (`_fold_dot`), so the 6-dp-rounded output is replayable in SQL —
+    the oracle contract. Output: (id, approx_dist), ordered by
+    (approx_dist, id)."""
+    if not codebooks:
+        raise ValueError("pq_topk: empty codebooks")
+    sub = len(codebooks[0][0][1])
+    enc = pq_encode(emb, codebooks, id_col, vec_col)
+    terms = []
+    for j, cb in enumerate(codebooks):
+        qs = [float(x) for x in query[j * sub : (j + 1) * sub]]
+        dq = _fold_dot(qs, qs)
+        whens = " ".join(
+            f"WHEN {int(cid)}L THEN "
+            + _dbl(dq - 2.0 * _fold_dot(qs, c) + _fold_dot(c, c))
+            for cid, c in cb
+        )
+        terms.append(f"(CASE code_{j} {whens} END)")
+    return (
+        enc.select(
+            F.col(id_col),
+            F.round(F.expr(" + ".join(terms)), 6).alias("approx_dist"),
+        )
+        .orderBy("approx_dist", id_col)
+        .limit(k)
+    )

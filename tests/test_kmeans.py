@@ -176,3 +176,86 @@ def test_prune_quantile_method_close_to_rank(spark, emb):
     nr = rank.where("keep").count()
     nq = quant.where("keep").count()
     assert abs(nr - nq) <= 0.1 * N  # sketch-accurate at the boundary
+
+
+# ---- product quantization ---------------------------------------------------
+
+
+def _py_pq_encode(v, books, sub):
+    codes = []
+    for j, cb in enumerate(books):
+        s = v[j * sub:(j + 1) * sub]
+        best = None
+        for cid, c in cb:
+            dot = 0.0
+            cc = 0.0
+            for x, y in zip(s, c):
+                dot += float(x) * float(y)
+            for x in c:
+                cc += float(x) * float(x)
+            score = -2 * dot + cc
+            if best is None or (score, cid) < best:
+                best = (score, cid)
+        codes.append(best[1])
+    return tuple(codes)
+
+
+def test_pq_encode_matches_python_replica(spark, emb):
+    from eventanalysis_spark.operators.kmeans import pq_encode, pq_fit
+
+    books = pq_fit(emb, m=2, k_sub=4, iterations=2, dim=DIM)
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+    sub = DIM // 2
+    got = {r.vec_id: (r.code_0, r.code_1) for r in pq_encode(emb, books).collect()}
+    for i in range(N):
+        assert got[i] == _py_pq_encode(_vec(i), books, sub), f"vec {i}"
+
+
+def test_pq_topk_adc_matches_python_replica(spark, emb):
+    from eventanalysis_spark.operators.kmeans import pq_fit, pq_topk
+
+    books = pq_fit(emb, m=2, k_sub=4, iterations=2, dim=DIM)
+    sub = DIM // 2
+    q = _vec(7)
+
+    def adc(v):
+        codes = _py_pq_encode(v, books, sub)
+        d = 0.0
+        terms = []
+        for j, code in enumerate(codes):
+            qs = q[j * sub:(j + 1) * sub]
+            c = dict(books[j])[code]
+            dq = 0.0
+            for x in qs:
+                dq += x * x
+            dqc = 0.0
+            for x, y in zip(qs, c):
+                dqc += x * y
+            cc = 0.0
+            for x in c:
+                cc += x * x
+            terms.append(dq - 2.0 * dqc + cc)
+        d = terms[0]
+        for t in terms[1:]:
+            d = d + t
+        return round(d, 6)
+
+    expect = sorted(((adc(_vec(i)), i) for i in range(N)))[:10]
+    got = [(r.approx_dist, r.vec_id) for r in pq_topk(emb, books, q, k=10).collect()]
+    assert got == expect
+
+
+def test_pq_topk_overlaps_exact_topk(spark, emb):
+    """ADC is approximate; on the 3-cluster fixture the PQ top-10 must
+    still share most of the exact squared-L2 top-10."""
+    from eventanalysis_spark.operators.kmeans import pq_fit, pq_topk
+
+    books = pq_fit(emb, m=2, k_sub=4, iterations=2, dim=DIM)
+    q = _vec(7)
+
+    def l2(v):
+        return sum((x - y) ** 2 for x, y in zip(v, q))
+
+    exact = {i for _, i in sorted(((l2(_vec(i)), i) for i in range(N)))[:10]}
+    approx = {r.vec_id for r in pq_topk(emb, books, q, k=10).collect()}
+    assert len(exact & approx) >= 5
