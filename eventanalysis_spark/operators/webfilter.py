@@ -439,6 +439,7 @@ def c4_clean(
     badwords: tuple[str, ...] = C4_BADWORDS,
     banned_line_terms: tuple[str, ...] = C4_BANNED_LINE_TERMS,
     banned_doc_substrings: tuple[str, ...] = C4_BANNED_DOC_SUBSTRINGS,
+    passthrough: bool = False,
 ) -> DataFrame:
     """The published C4 cleaning recipe (Raffel et al. 2020, "Exploring
     the Limits of Transfer Learning", §2.2) as one narrow projection:
@@ -452,7 +453,9 @@ def c4_clean(
       gate      — keep = enough surviving lines AND no doc-level flag.
 
     Output: (id, text_clean, n_lines, n_kept_lines, had_badword,
-    had_banned_substring, keep). One projection over the corpus: no
+    had_banned_substring, keep) — or, with passthrough=True, EVERY
+    original column plus those outputs (the pipeline/CLI mode, still
+    one projection — no join back on id). One projection over the corpus: no
     shuffle, no Python, every rule whole-stage-codegen'd — at 10^12 docs
     this runs at scan speed and composes with `gopher_quality_flags`
     (statistical gates) the way the public pipelines stack them.
@@ -466,8 +469,11 @@ def c4_clean(
     sub = F.lit(False)
     for s in banned_doc_substrings:
         sub = sub | F.lower(text).contains(s)
+    lead = (
+        [F.col(c) for c in df.columns] if passthrough else [F.col(id_col)]
+    )
     return df.withColumn("__lf", lf).select(
-        F.col(id_col),
+        *lead,
         F.col("__lf.text_clean").alias("text_clean"),
         F.col("__lf.n_lines").alias("n_lines"),
         F.col("__lf.n_kept_lines").alias("n_kept_lines"),

@@ -39,6 +39,9 @@ Subcommands:
   drift     — crawl-over-crawl drift report: KS + PSI on the length
               distribution, chi-square + Cramér's V on the lang mix,
               optional unigram KL/JS token divergence (--tokens)
+  clean     — C4-style corpus cleaning: line filter + badword /
+              placeholder-text doc gates (+ --gopher statistical gate);
+              writes survivors with cleaned text, prints the audit
 """
 
 from __future__ import annotations
@@ -569,6 +572,69 @@ def cmd_drift(args) -> int:
     return 0
 
 
+def cmd_clean(args) -> int:
+    """C4-style corpus cleaning (Raffel et al. 2020 §2.2): line-level
+    filter (terminal punctuation, min words, banned line terms) + doc
+    gates (badword list, lorem-ipsum/brace substrings) and optionally
+    the Gopher statistical gate on the CLEANED text (--gopher). Writes
+    surviving docs with text replaced by text_clean; prints one JSON
+    audit line with per-reason drop counts. One projection + one
+    pass — the flags frame is persisted so the write and the audit
+    share the scan."""
+    from pyspark.sql import functions as F
+
+    from eventanalysis_spark.operators.webfilter import (
+        c4_clean,
+        gopher_quality_flags,
+    )
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.source)
+    flags = c4_clean(
+        docs,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        min_words_per_line=args.min_words_per_line,
+        min_kept_lines=args.min_kept_lines,
+        passthrough=True,
+    )
+    keep = F.col("keep")
+    if args.gopher:
+        g = gopher_quality_flags(F.col("text_clean"))
+        flags = flags.withColumn("__gopher_keep", g["keep"])
+        keep = keep & F.col("__gopher_keep")
+    flags = flags.withColumn("__final_keep", keep).persist()
+    out_cols = [
+        F.col("text_clean").alias(args.text_col) if c == args.text_col
+        else F.col(c)
+        for c in docs.columns
+    ]
+    flags.where(F.col("__final_keep")).select(*out_cols).write.mode(
+        "overwrite"
+    ).parquet(args.out)
+    audit_aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("__final_keep").cast("long")).alias("n_kept"),
+        F.sum(F.col("had_badword").cast("long")).alias("n_badword"),
+        F.sum(F.col("had_banned_substring").cast("long")).alias("n_banned_substring"),
+        F.sum((F.col("n_kept_lines") < args.min_kept_lines).cast("long")).alias(
+            "n_too_few_lines"
+        ),
+        F.sum("n_lines").alias("lines_in"),
+        F.sum("n_kept_lines").alias("lines_kept"),
+    ]
+    if args.gopher:
+        audit_aggs.append(
+            F.sum((F.col("keep") & ~F.col("__gopher_keep")).cast("long")).alias(
+                "n_gopher_only_drop"
+            )
+        )
+    rep = flags.agg(*audit_aggs).collect()[0]
+    flags.unpersist()
+    print(json.dumps({k: rep[k] for k in rep.asDict()}, default=str))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="eventanalysis-spark")
     p.add_argument("--master", default=None, help="override master (tests only)")
@@ -757,6 +823,17 @@ def main(argv=None) -> int:
     dr.add_argument("--tokens", action="store_true",
                     help="also compute unigram KL/JS token divergence")
     dr.set_defaults(fn=cmd_drift)
+
+    cl = sub.add_parser("clean")
+    cl.add_argument("--source", required=True, help="pages parquet to clean")
+    cl.add_argument("--out", required=True, help="cleaned-corpus parquet dir")
+    cl.add_argument("--text-col", default="text")
+    cl.add_argument("--id-col", default="url")
+    cl.add_argument("--min-words-per-line", type=int, default=5)
+    cl.add_argument("--min-kept-lines", type=int, default=3)
+    cl.add_argument("--gopher", action="store_true",
+                    help="also require the Gopher statistical gate on the cleaned text")
+    cl.set_defaults(fn=cmd_clean)
 
     args = p.parse_args(argv)
     return args.fn(args)

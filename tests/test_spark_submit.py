@@ -384,3 +384,39 @@ def test_drift_cli(tmp_path, spark, capsys):
     same = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert same["length_ks"] == 0.0 and same["length_psi"] == 0.0
     assert same["lang_chi2"] == 0.0
+
+
+def test_clean_cli(tmp_path, spark, capsys):
+    """clean verb: C4 line filter + doc gates over a hand-built corpus —
+    survivors carry cleaned text, audit counts match construction."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import spark_submit_main as cli
+
+    ok_line = "alpha beta gamma delta epsilon."
+    junk_line = "no terminal punctuation here at all"
+    docs = [
+        ("u0", "\n".join([ok_line, junk_line, ok_line, ok_line])),  # keep
+        ("u1", "\n".join([ok_line] * 3) + "\nwin big at the casino."),  # badword
+        ("u2", "\n".join([ok_line] * 3) + "\nlorem ipsum dolor sit amet."),  # placeholder
+        ("u3", "\n".join([ok_line] * 2)),  # too few kept lines
+    ]
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "cleaned")
+    spark.createDataFrame(docs, "url string, text string").write.parquet(src)
+
+    capsys.readouterr()
+    assert cli.main([
+        "--master", "local[4]", "clean",
+        "--source", src, "--out", out,
+    ]) == 0
+    audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert audit["n_docs"] == 4 and audit["n_kept"] == 1
+    assert audit["n_badword"] == 1 and audit["n_banned_substring"] == 1
+    assert audit["n_too_few_lines"] == 1  # u3 only (u1/u2 extra lines pass)
+
+    got = {r.url: r.text for r in spark.read.parquet(out).collect()}
+    assert set(got) == {"u0"}
+    assert got["u0"] == "\n".join([ok_line, ok_line, ok_line])  # junk line cut
