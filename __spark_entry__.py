@@ -2746,6 +2746,26 @@ def q_pq_topk(spark, sf):
     return pq_topk(emb, books, q, k=10)
 
 
+def q_ivfpq_topk(spark, sf):
+    """IVFADC (operators/kmeans.py::ivfpq_topk; Jégou et al. 2011 §IV):
+    IVF coarse quantizer (16 hash-sampled cells, nprobe=4 ranked
+    driver-side) pruning the scan to ~1/4 of the corpus, then PQ
+    asymmetric-distance top-10 over the probed cells only — the
+    composed memory-and-scan-bound ANN stack for 10^12 vectors. Both
+    quantizers are deterministic, so the exact oracle replays coarse
+    sample → cell argmin → probe ranking → PQ fit/encode → ADC in
+    unrolled DuckDB CTEs."""
+    from eventanalysis_spark.operators.kmeans import ivfpq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return ivfpq_topk(
+        emb, q, k=10, n_centroids=16, nprobe=4,
+        m=2, k_sub=8, iterations=2, dim=64,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the correctness driver certifies the FIRST 50
     # entries, so the window below is 50 exact-oracle showcase queries spanning
@@ -2885,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "host_profile": q_host_profile,
         "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "bpe_tokens": q_bpe_tokens,
         "multimodal_image_features": q_multimodal_image_features,
     }
@@ -3490,6 +3511,66 @@ def _pq_topk_oracle(dim: int = 64, m: int = 2, k: int = 8,
     """
 
 
+def _ivfpq_topk_oracle(dim: int = 64, m: int = 2, k: int = 8,
+                       iters: int = 2, n_cent: int = 16, nprobe: int = 4,
+                       topk: int = 10) -> str:
+    """Exact DuckDB twin of q_ivfpq_topk: `_pq_cte`'s fit/encode CTEs
+    plus the IVF coarse stage — hash-sampled cents, argmin-L2 cell
+    assignment (dist, cid row_number — the `least()` struct tie-break),
+    nprobe probe ranking — and ADC restricted to probed cells. All
+    distances via list_dot_product (same left-fold order as the
+    engine's _fold_dot)."""
+    sub = dim // m
+    dist_terms = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        q = f"q.v[{lo}:{hi}]"
+        dist_terms.append(
+            f"(list_dot_product({q}, {q})"
+            f" - 2 * list_dot_product({q}, b{j}.c)"
+            f" + list_dot_product(b{j}.c, b{j}.c))"
+        )
+    book_joins = " ".join(
+        f"JOIN c{j}_{iters} b{j} ON e.code_{j} = b{j}.cid" for j in range(m)
+    )
+    return f"""
+        WITH {_pq_cte(dim, m, k, iters)},
+        cents AS (
+          SELECT vec_id AS cid, v AS c FROM ev
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cent}
+        ),
+        q AS (SELECT v FROM ev WHERE vec_id = 0),
+        probes AS (
+          SELECT cid FROM (
+            SELECT c.cid, row_number() OVER (ORDER BY
+              list_dot_product(q.v, q.v)
+              - 2 * list_dot_product(q.v, c.c)
+              + list_dot_product(c.c, c.c) ASC, c.cid ASC) AS r
+            FROM cents c, q
+          ) WHERE r <= {nprobe}
+        ),
+        cell AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_dot_product(e.v, e.v)
+                     - 2 * list_dot_product(e.v, c.c)
+                     + list_dot_product(c.c, c.c) ASC, c.cid ASC) AS r
+            FROM ev e CROSS JOIN cents c
+          ) WHERE r = 1
+        ),
+        scored AS (
+          SELECT e.vec_id,
+                 ROUND({" + ".join(dist_terms)}, 6) AS approx_dist
+          FROM enc e {book_joins}
+          JOIN cell a ON e.vec_id = a.vec_id
+          JOIN probes p ON a.cid = p.cid, q
+        )
+        SELECT vec_id, approx_dist FROM scored
+        ORDER BY approx_dist, vec_id LIMIT {topk}
+    """
+
+
 def _textrank_oracle(iterations: int = 5, k: int = 20, d: float = 0.85) -> str:
     """Unrolled-CTE DuckDB twin of q_textrank_keywords: one CTE layer
     per PageRank iteration (same recurrence the DataFrame loop runs).
@@ -3617,6 +3698,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signature": _minhash_oracle(),
         "kmeans_assign": _kmeans_assign_oracle(),
         "pq_topk": _pq_topk_oracle(),
+        "ivfpq_topk": _ivfpq_topk_oracle(),
         "shuffle_corpus": """
             SELECT doc_id,
                    CAST(row_number() OVER (

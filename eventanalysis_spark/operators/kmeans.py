@@ -409,3 +409,84 @@ def pq_topk(
         .orderBy("approx_dist", id_col)
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 2,
+    k_sub: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    codebooks: list[Centroids] | None = None,
+    coarse: list[tuple] | None = None,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV): compose the IVF coarse quantizer
+    with PQ asymmetric-distance scoring — the memory-AND-scan-bound ANN
+    stack a 10^12-vector corpus actually runs.
+
+    Stage shapes (each one the already-audited primitive):
+
+    1. **Coarse codebook** — `similarity.ivf_centroids`' deterministic
+       hash-sample (or a caller-supplied trained codebook via `coarse`);
+       a driver/broadcast-sized artifact.
+    2. **Probe selection** — DRIVER-side: rank the ≤10³ coarse cells by
+       exact L2 to the query (the codebook is a driver artifact; no
+       Spark job, no shuffle). Ties break to the smaller cid, matching
+       the SQL row_number twin. Distances use `_fold_dot`'s left-fold
+       order so the probe set is bit-identical to the oracle's.
+    3. **Cell pruning** — `similarity.ivf_assign`'s single narrow
+       argmin-`least()` projection, then a literal `cid IN (probes)`
+       filter: the corpus scan shrinks to ~nprobe/n_centroids of the
+       data BEFORE any PQ work. No join, no shuffle.
+    4. **ADC top-k** — `pq_topk` over the pruned cells: encode + m
+       CASE-table lookups per row, one TakeOrderedAndProject.
+
+    PQ codebooks are trained on the FULL corpus (`pq_fit`) — the
+    non-residual IVF-PQ variant: codes don't depend on the coarse cell,
+    so one global quantizer serves every cell and incremental corpus
+    growth never re-trains per-cell books. (Residual encoding — PQ on
+    v − coarse_centroid(v) — is the production refinement when recall
+    at low m matters; it swaps step 4's input for a per-cell-shifted
+    vector, one extra narrow projection.)
+
+    Both quantizers are deterministic and SQL-replicable, so the whole
+    pipeline has an exact DuckDB oracle (the registry certifies it).
+    Pass `codebooks`/`coarse` to reuse pre-built index artifacts
+    across queries — the production path; building them inline here is
+    the index-build job, not per-query work.
+
+    Output: (id, approx_dist) — ADC squared-L2, 6-dp, ordered by
+    (approx_dist, id), top k over the probed cells only.
+    """
+    from .similarity import ivf_assign, ivf_centroids
+
+    if coarse is None:
+        cents = ivf_centroids(emb, n_centroids, id_col, vec_col)
+        # the ONE collect is the coarse index build (driver artifact),
+        # same as ivf_topk — production reuses it across queries
+        coarse = [(r["cid"], list(r["__c"])) for r in cents.collect()]
+    if codebooks is None:
+        codebooks = pq_fit(
+            emb, m=m, k_sub=k_sub, iterations=iterations,
+            id_col=id_col, vec_col=vec_col, dim=dim,
+        )
+
+    q = [float(x) for x in query]
+    ranked = sorted(
+        (
+            _fold_dot(q, q) - 2.0 * _fold_dot(q, c) + _fold_dot(c, c),
+            int(cid),
+        )
+        for cid, c in coarse
+    )
+    probe_cids = [cid for _, cid in ranked[:nprobe]]
+
+    assigned = ivf_assign(emb, coarse, id_col, vec_col)
+    pruned = assigned.where(F.col("cid").isin(probe_cids))
+    return pq_topk(pruned, codebooks, q, k=k, id_col=id_col, vec_col="__v")

@@ -259,3 +259,70 @@ def test_pq_topk_overlaps_exact_topk(spark, emb):
     exact = {i for _, i in sorted(((l2(_vec(i)), i) for i in range(N)))[:10]}
     approx = {r.vec_id for r in pq_topk(emb, books, q, k=10).collect()}
     assert len(exact & approx) >= 5
+
+
+def test_ivfpq_equals_pq_when_probing_all_cells(spark, emb):
+    """nprobe == n_centroids means no pruning: IVFADC must return exactly
+    the full-scan ADC top-k (same codebooks, same query)."""
+    from eventanalysis_spark.operators.kmeans import ivfpq_topk, pq_fit, pq_topk
+
+    q = _vec(0)
+    books = pq_fit(emb, m=2, k_sub=4, iterations=2, dim=DIM)
+    full = [(r.vec_id, r.approx_dist)
+            for r in pq_topk(emb, books, q, k=10).collect()]
+    got = [(r.vec_id, r.approx_dist)
+           for r in ivfpq_topk(
+               emb, q, k=10, n_centroids=6, nprobe=6,
+               m=2, k_sub=4, iterations=2, dim=DIM, codebooks=books,
+           ).collect()]
+    assert got == full
+
+
+def test_ivfpq_matches_python_replica_on_probed_cells(spark, emb):
+    """nprobe < n_centroids: result must equal the pure-Python IVFADC —
+    hash-sampled coarse codebook, argmin-L2 cell assignment, driver probe
+    ranking, ADC over probed cells only."""
+    import hashlib
+
+    from eventanalysis_spark.operators.kmeans import (
+        _fold_dot, ivfpq_topk, pq_fit,
+    )
+
+    vecs = {i: _vec(i) for i in range(N)}
+    q = _vec(7)
+    n_cent, nprobe = 6, 2
+
+    # coarse codebook: smallest md5(id) ranks (similarity.ivf_centroids)
+    ids = sorted(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    coarse = [(i, vecs[i]) for i in sorted(ids[:n_cent])]
+
+    def l2(a, b):
+        return _fold_dot(a, a) - 2.0 * _fold_dot(a, b) + _fold_dot(b, b)
+
+    probes = [cid for _, cid in sorted((l2(q, c), cid) for cid, c in coarse)][:nprobe]
+    cell = {i: min(((l2(v, c), cid) for cid, c in coarse))[1]
+            for i, v in vecs.items()}
+    members = [i for i in vecs if cell[i] in probes]
+    assert 0 < len(members) < N  # pruning actually happened
+
+    books = pq_fit(emb, m=2, k_sub=4, iterations=2, dim=DIM)
+    sub = DIM // 2
+
+    def adc(i):
+        v = vecs[i]
+        total = 0.0
+        for j, cb in enumerate(books):
+            qs = q[j * sub:(j + 1) * sub]
+            vsub = v[j * sub:(j + 1) * sub]
+            best = min(((l2(vsub, c), cid) for cid, c in cb))[1]
+            c = dict(cb)[best]
+            total += l2(qs, c)
+        return round(total, 6)
+
+    want = sorted(((adc(i), i) for i in members))[:10]
+    got = [(r.approx_dist, r.vec_id)
+           for r in ivfpq_topk(
+               emb, q, k=10, n_centroids=n_cent, nprobe=nprobe,
+               m=2, k_sub=4, iterations=2, dim=DIM, codebooks=books,
+           ).collect()]
+    assert got == want
