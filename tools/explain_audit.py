@@ -355,6 +355,38 @@ def main() -> None:
         "aggregate (operators/kmeans.py).",
     )
 
+    # 13b. IVFADC: coarse-probe pruning + PQ ADC — one narrow scan, top-k
+    from eventanalysis_spark.operators.kmeans import ivfpq_topk, pq_fit
+
+    books13b = pq_fit(emb13, m=2, k_sub=4, iterations=1, dim=4)
+    q13b = [float(x) for x in
+            emb13.select("embedding").head()[0]]
+    ivfpq13 = ivfpq_topk(
+        emb13, q13b, k=5, n_centroids=4, nprobe=2,
+        m=2, k_sub=4, iterations=1, dim=4, codebooks=books13b,
+    )
+    plan13b = ivfpq13._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "IVFADC top-k (ivfpq_topk): probe-pruned narrow ADC scan, "
+        "no join, no shuffle",
+        ivfpq13,
+        [
+            ("no Python in the plan", "Python" not in plan13b),
+            ("no join (coarse cells, PQ codes and the ADC table are all "
+             "inlined literals)", "Join" not in plan13b),
+            ("zero Exchange before the top-k",
+             "Exchange" not in plan13b.split("TakeOrderedAndProject")[-1]),
+            ("top-k via TakeOrderedAndProject (no global sort)",
+             "TakeOrderedAndProject" in plan13b),
+        ],
+        "IVF-PQ composed (Jégou et al. 2011): the coarse argmin + literal "
+        "`cid IN (probes)` filter prunes the scan to ~nprobe/n_centroids "
+        "of the corpus BEFORE the PQ encode, then ADC is m CASE-table "
+        "lookups per row and ONE TakeOrderedAndProject — the whole "
+        "10^12-vector query is a fraction of one narrow corpus scan "
+        "(operators/kmeans.py::ivfpq_topk).",
+    )
+
     # 14. budget_select: two-phase cumsum — range partition, tiny offsets
     from eventanalysis_spark.operators.selection import (
         budget_select,
