@@ -2746,6 +2746,27 @@ def q_pq_topk(spark, sf):
     return pq_topk(emb, books, q, k=10)
 
 
+def q_hard_negatives(spark, sf):
+    """Hard-negative mining (operators/similarity.py::hard_negative_mine;
+    the DPR recipe): anchors vec_id 0/1/2 with labeled positives
+    (anchor+1, anchor+2), top-10 most-cosine-similar non-positive corpus
+    vectors each — one broadcast anchor join + one corpus stream, no
+    corpus shuffle. Exact oracle: cross-score + NOT EXISTS anti-join +
+    ROW_NUMBER replay in SQL."""
+    from eventanalysis_spark.operators.similarity import hard_negative_mine
+
+    emb = _t(spark, sf, "embeddings")
+    base = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id")
+    )
+    positives = base.select(
+        "query_id", (F.col("query_id") + 1).alias("pos_id")
+    ).unionAll(
+        base.select("query_id", (F.col("query_id") + 2).alias("pos_id"))
+    )
+    return hard_negative_mine(emb, positives, k=10)
+
+
 def q_ivfpq_topk(spark, sf):
     """IVFADC (operators/kmeans.py::ivfpq_topk; Jégou et al. 2011 §IV):
     IVF coarse quantizer (16 hash-sampled cells, nprobe=4 ranked
@@ -2906,6 +2927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_profile": q_host_profile,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
+        "hard_negatives": q_hard_negatives,
         "bpe_tokens": q_bpe_tokens,
         "multimodal_image_features": q_multimodal_image_features,
     }
@@ -3699,6 +3721,44 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign": _kmeans_assign_oracle(),
         "pq_topk": _pq_topk_oracle(),
         "ivfpq_topk": _ivfpq_topk_oracle(),
+        "hard_negatives": """
+            WITH qids AS (
+              SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 3
+            ),
+            pos AS (
+              SELECT query_id, query_id + 1 AS pos_id FROM qids
+              UNION ALL
+              SELECT query_id, query_id + 2 AS pos_id FROM qids
+            ),
+            anchors AS (
+              SELECT q.query_id, e.embedding::DOUBLE[] AS qv
+              FROM qids q JOIN embeddings e ON e.vec_id = q.query_id
+            ),
+            scored AS (
+              SELECT a.query_id, e.vec_id,
+                     ROUND(list_dot_product(e.embedding::DOUBLE[], a.qv)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(a.qv, a.qv))), 6) AS cos_sim
+              FROM embeddings e CROSS JOIN anchors a
+              WHERE e.vec_id <> a.query_id
+            ),
+            filt AS (
+              SELECT s.* FROM scored s
+              WHERE NOT EXISTS (
+                SELECT 1 FROM pos p
+                WHERE p.query_id = s.query_id AND p.pos_id = s.vec_id
+              )
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, cos_sim,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, vec_id ASC) AS rank
+              FROM filt
+            )
+            SELECT query_id, vec_id, cos_sim, rank::INT AS rank
+            FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+        """,
         "shuffle_corpus": """
             SELECT doc_id,
                    CAST(row_number() OVER (

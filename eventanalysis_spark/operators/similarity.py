@@ -353,3 +353,71 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .orderBy(query_id_col, "rank")
     )
+
+
+def hard_negative_mine(
+    emb: DataFrame,
+    positives: DataFrame,
+    k: int = 10,
+    sim_ceiling: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    pos_id_col: str = "pos_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retriever training (the DPR
+    recipe, Karpukhin et al. 2020 §4.2): for each anchor in `positives`
+    (query_id, pos_id) pairs, the k corpus vectors MOST similar to the
+    anchor that are neither the anchor itself nor one of its labeled
+    positives — the negatives that actually move a bi-encoder.
+
+    `sim_ceiling` drops candidates with cos_sim ≥ ceiling first — the
+    standard false-negative guard (an unlabeled near-duplicate of the
+    positive is almost certainly a positive, not a negative; mining it
+    poisons the batch).
+
+    Scale shape: the labeled set is dimension-sized next to the corpus,
+    so anchors are fished out with ONE broadcast equi-join and the
+    corpus then streams ONCE through a broadcast nested-loop score
+    against all |Q| anchors — no corpus shuffle; the per-anchor top-k
+    window partitions by query_id over k·|Q| pre-ranked rows. At 10^12
+    vectors swap the exact scan for the IVF/PQ candidate generators
+    (`ivf_assign` cell filter or `kmeans.ivfpq_topk`'s probe pruning)
+    and re-rank exactly here — the mining semantics (anti-join the
+    positives, ceiling, top-k) are unchanged.
+
+    Output: (query_id, vec_id, cos_sim 6dp, rank), ordered.
+    """
+    from pyspark.sql.window import Window
+
+    qids = positives.select(query_id_col).distinct()
+    anchors = (
+        emb.join(F.broadcast(qids), F.col(id_col) == F.col(query_id_col))
+        .select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("__q"))
+    )
+    e = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    scored = (
+        e.crossJoin(F.broadcast(anchors))
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("__v"), F.col("__q")), 6).alias("cos_sim"),
+        )
+    )
+    labeled = positives.select(
+        F.col(query_id_col), F.col(pos_id_col).alias(id_col)
+    )
+    scored = scored.join(
+        F.broadcast(labeled), [query_id_col, id_col], "left_anti"
+    )
+    if sim_ceiling is not None:
+        scored = scored.where(F.col("cos_sim") < float(sim_ceiling))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )

@@ -529,3 +529,50 @@ def test_near_duplicate_pairs_default_cap_bounds_degenerate_cluster(spark):
     for a, b in got:
         parent[find(a)] = find(b)
     assert len({find(i) for i in range(n)}) == 1
+
+
+def test_hard_negative_mine_excludes_self_and_positives(spark, embeddings):
+    """Mined negatives = brute-force top-k minus the anchor and its labeled
+    positives — verified against a pure recompute from brute_force_topk."""
+    from eventanalysis_spark.operators.similarity import hard_negative_mine
+
+    positives = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 5)], "query_id long, pos_id long"
+    )
+    out = hard_negative_mine(embeddings, positives, k=5).collect()
+    assert len(out) == 10
+    banned = {0: {0, 1, 2}, 1: {1, 5}}
+    for qid in (0, 1):
+        rows = [r for r in out if r.query_id == qid]
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        assert all(r.vec_id not in banned[qid] for r in rows)
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+    # cross-check vs brute_force_topk with the positives dropped by hand
+    q = embeddings.where(F.col("vec_id").isin([0, 1])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = brute_force_topk(embeddings, q, k=5 + 3).collect()
+    for qid in (0, 1):
+        want = [r.vec_id for r in brute
+                if r.query_id == qid and r.vec_id not in banned[qid]][:5]
+        got = [r.vec_id for r in out if r.query_id == qid]
+        assert got == want
+
+
+def test_hard_negative_mine_sim_ceiling(spark, embeddings):
+    """The false-negative guard: candidates at/above the ceiling vanish and
+    the ranking re-closes over the remainder."""
+    from eventanalysis_spark.operators.similarity import hard_negative_mine
+
+    positives = spark.createDataFrame([(0, 1)], "query_id long, pos_id long")
+    full = hard_negative_mine(embeddings, positives, k=3).collect()
+    ceiling = full[0].cos_sim  # knock out exactly the top candidate
+    capped = hard_negative_mine(
+        embeddings, positives, k=3, sim_ceiling=ceiling
+    ).collect()
+    assert [r.vec_id for r in capped] == [r.vec_id for r in full[1:]] + \
+        [r.vec_id for r in hard_negative_mine(embeddings, positives, k=4)
+         .collect()][3:]
+    assert all(r.cos_sim < ceiling for r in capped)
