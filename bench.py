@@ -283,6 +283,17 @@ def timed_queries(spark) -> dict[str, float]:
         "host_pagerank",
         "link_degree_stats",
         "daily_trend",
+        # round-5 additions: winnowing passage reconstruction, C4 cleaning,
+        # PQ / IVFADC ANN, bigram-LM fluency, eval metrics, host profiles,
+        # hard-negative mining.
+        "winnow_passages",
+        "c4_clean",
+        "pq_topk",
+        "ivfpq_topk",
+        "bigram_logprob",
+        "eval_roc_auc",
+        "host_profile",
+        "hard_negatives",
     ]
     qs = entry.queries()
     best: dict[str, float] = {}

@@ -529,23 +529,65 @@ def simhash_near_pairs(
         )
         return rep_pairs.unionByName(star)
     h = df.select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sh"))
-    blocked = h.select(
-        "doc_id",
-        "sh",
+    return hamming64_near_pairs(h, hash_col="sh", max_hamming=max_hamming, n_blocks=4)
+
+
+def hamming64_near_pairs(
+    hashes: DataFrame,
+    hash_col: str = "sh",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    max_bucket_size: int | None = 4096,
+) -> DataFrame:
+    """Generic 64-bit Hamming near-pair search over a precomputed hash
+    column — the blocking core shared by SimHash text dedup and
+    perceptual-hash image dedup (multimodal.image_near_dups).
+
+    Pigeonhole blocking: the hash splits into `n_blocks` equal-width bit
+    blocks; any pair within Hamming distance < n_blocks shares at least
+    one identical block, so an equi-join on (block_idx, block_key) has
+    recall 1.0 for max_hamming ≤ n_blocks - 1 (asserted). Exact
+    `bit_count(xor)` verification runs only on the candidate pairs.
+
+    Scale shape: the only shuffle is the (blk, key) equi-join; per-bucket
+    postings are capped at `max_bucket_size` smallest ids (same guard as
+    the MinHash LSH path — a constant-image / constant-text corpus would
+    otherwise make one bucket quadratic). Output: (id_a, id_b, hamming)
+    with id_a < id_b, exact distances ≤ max_hamming."""
+    if 64 % n_blocks != 0:
+        raise ValueError(f"n_blocks must divide 64, got {n_blocks}")
+    if max_hamming > n_blocks - 1:
+        raise ValueError(
+            f"pigeonhole recall needs max_hamming ≤ n_blocks-1 "
+            f"({max_hamming} > {n_blocks - 1}): raise n_blocks"
+        )
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    blocked = hashes.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(hash_col).alias("sh"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftright(F.col("sh"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col(hash_col), i * width)
+                        .bitwiseAND(F.lit(mask))
                         .alias("key"),
                     )
-                    for i in range(4)
+                    for i in range(n_blocks)
                 ]
             )
         ).alias("b"),
     ).select("doc_id", "sh", "b.blk", "b.key")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("blk", "key").orderBy("doc_id")
+        blocked = (
+            blocked.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= max_bucket_size)
+            .drop("__rn")
+        )
     a, b = blocked.alias("a"), blocked.alias("b")
     cand = (
         a.join(

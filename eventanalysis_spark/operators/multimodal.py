@@ -450,6 +450,100 @@ def video_frame_sample(media: DataFrame, k: int = 4, thumb: int = 4) -> DataFram
     return pruned.mapInPandas(op, VIDEO_FRAMES_SCHEMA)
 
 
+# ---- perceptual-hash image dedup --------------------------------------------
+
+IMAGE_DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("dhash", LongType()),
+        StructField("oversize", IntegerType()),
+    ]
+)
+
+
+def image_dhash(media: DataFrame, max_bytes: int = MAX_MEDIA_BYTES) -> DataFrame:
+    """64-bit difference hash (dHash) per image: decode → 9x9 block-mean
+    grayscale grid → sign of the horizontal gradient over the first 8
+    rows (8 rows x 8 adjacent-column comparisons = 64 bits, row-major,
+    bit 0 = top-left). Near-identical images (recompression, small
+    crops/brightness shifts under a real codec; byte-identical content
+    under the deterministic fake) land within a few bits of Hamming
+    distance — the standard web-scale image near-dup signature.
+
+    Same codec ladder as image_features: Pillow → stdlib PNG → fake;
+    oversize payloads (> max_bytes, tlob cap analog) emit dhash=NULL,
+    oversize=1. One decode pass; compose with
+    dedup.hamming64_near_pairs for the banded candidate join."""
+
+    def op(batches):
+        for pdf in batches:
+            ids, hashes, oversize = [], [], []
+            for mid, content, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"]
+            ):
+                n_bytes = len(content) if content is not None else 0
+                if n_bytes > max_bytes:
+                    ids.append(mid); hashes.append(None); oversize.append(1)
+                    continue
+                w = int(meta["width"] or 16) if meta is not None else 16
+                h = int(meta["height"] or 16) if meta is not None else 16
+                try:
+                    px = _decode_image_any(content)
+                except Exception:
+                    px = _fake_pixels(content, h, w)
+                gray = _pool_to_thumb(px, 9).mean(axis=2)  # 9x9 grid
+                bits = (gray[:8, 1:] > gray[:8, :-1]).reshape(-1)  # 64 bools
+                v = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        v |= 1 << i
+                if v >= 1 << 63:  # two's-complement into a Spark long
+                    v -= 1 << 64
+                ids.append(mid); hashes.append(v); oversize.append(0)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                    "oversize": pd.array(oversize, dtype="Int32"),
+                }
+            )
+
+    pruned = media.where(F.col("modality") == "image").select(
+        "media_id", "content", "meta"
+    )
+    return pruned.mapInPandas(op, IMAGE_DHASH_SCHEMA)
+
+
+def image_near_dups(
+    media: DataFrame,
+    max_hamming: int = 6,
+    max_bytes: int = MAX_MEDIA_BYTES,
+    max_bucket_size: int | None = 4096,
+) -> DataFrame:
+    """Image near-duplicate pairs: one dHash decode pass, then the generic
+    64-bit pigeonhole Hamming join (dedup.hamming64_near_pairs, 8x8-bit
+    blocks so recall is exact for max_hamming ≤ 7). Scale shape: the blob
+    column dies at the hash step — the candidate join moves only
+    (media_id, dhash) postings, bucket-capped like every LSH path.
+    Output: (id_a, id_b, hamming), id_a < id_b."""
+    from eventanalysis_spark.operators.dedup import hamming64_near_pairs
+
+    hashes = image_dhash(media, max_bytes=max_bytes).where(
+        F.col("oversize") == 0
+    )
+    return hamming64_near_pairs(
+        hashes.select(F.col("media_id").alias("doc_id"), "dhash"),
+        hash_col="dhash",
+        max_hamming=max_hamming,
+        n_blocks=8,
+        max_bucket_size=max_bucket_size,
+    ).select(
+        F.col("id_a").alias("media_a"),
+        F.col("id_b").alias("media_b"),
+        "hamming",
+    )
+
+
 # ---- synthetic media table (deterministic, for tests/bench) -----------------
 
 def media_batch(ids: np.ndarray, seed: int = 42) -> pd.DataFrame:

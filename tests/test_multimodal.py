@@ -241,3 +241,111 @@ def test_image_features_real_for_png_fake_for_jpeg(spark):
     assert p["feature"] == pytest.approx([200.0 / 3 / 255.0] * 64)
     j = got["jpg1"]
     assert (j["width"], j["height"]) == (16, 16)  # meta-driven fake path
+
+
+# ---- perceptual-hash image dedup --------------------------------------------
+
+def _media_rows_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "media_id string, modality string, mime string, content binary, "
+        "meta struct<width:int,height:int,duration_ms:bigint,"
+        "sample_rate:int,n_bytes:bigint>",
+    )
+
+
+def _ref_dhash(gray9: np.ndarray) -> int:
+    """Independent dHash oracle: 9x9 grayscale grid → 64-bit row-major
+    gradient-sign hash (signed two's-complement, like the operator)."""
+    bits = (gray9[:8, 1:] > gray9[:8, :-1]).reshape(-1)
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _grid_png(gray9: np.ndarray) -> bytes:
+    """9x9 grayscale grid as a real RGB PNG (all channels equal), so the
+    dHash test runs through the REAL stdlib decode path."""
+    px = np.repeat(gray9.astype(np.uint8)[:, :, None], 3, axis=2)
+    return _make_png(px, [0, 1, 2])
+
+
+def test_image_dhash_real_png_matches_independent_oracle(spark):
+    from eventanalysis_spark.operators.multimodal import image_dhash
+
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 256, size=(9, 9)).astype(np.float64)
+    png = _grid_png(g)
+    df = _media_rows_df(
+        spark,
+        [("m1", "image", "image/png", bytearray(png),
+          (9, 9, None, None, len(png)))],
+    )
+    got = image_dhash(df).collect()[0]
+    # 9x9 input pools to the identity grid, so the operator's hash must
+    # equal the pure-numpy oracle over the same grid
+    assert got["dhash"] == _ref_dhash(g)
+    assert got["oversize"] == 0
+
+
+def test_image_near_dups_planted_pair(spark):
+    """Near-identical real PNGs (2 flipped gradient cells → hamming 2)
+    pair up; an unrelated image does not. Exercises decode → dHash →
+    pigeonhole Hamming join end-to-end on real bytes."""
+    from eventanalysis_spark.operators.multimodal import image_near_dups
+
+    base = np.where(np.arange(9)[None, :] % 2 == 0, 40.0, 200.0) * np.ones((9, 1))
+    variant = base.copy()
+    variant[2, 3] = 0.0  # flips comparisons (2,2) and (2,3) exactly
+    rng = np.random.default_rng(5)
+    other = rng.integers(0, 256, size=(9, 9)).astype(np.float64)
+    rows = []
+    for mid, g in [("a_base", base), ("b_variant", variant), ("c_other", other)]:
+        png = _grid_png(g)
+        rows.append((mid, "image", "image/png", bytearray(png),
+                     (9, 9, None, None, len(png))))
+    pairs = image_near_dups(_media_rows_df(spark, rows), max_hamming=6).collect()
+    got = {(r["media_a"], r["media_b"]): r["hamming"] for r in pairs}
+    assert got == {("a_base", "b_variant"): 2}
+    # sanity: the unrelated image really is far from base
+    assert bin((_ref_dhash(base) ^ _ref_dhash(other)) & ((1 << 64) - 1)).count("1") > 6
+
+
+def test_hamming64_near_pairs_matches_bruteforce(spark):
+    """Pigeonhole blocking (8 blocks, max_hamming 7) returns EXACTLY the
+    brute-force O(n²) pair set — recall 1.0 by pigeonhole, precision 1.0
+    by the bit_count verify."""
+    from eventanalysis_spark.operators.dedup import hamming64_near_pairs
+
+    rng = np.random.default_rng(3)
+    hashes = []
+    for i in range(25):
+        h = int(rng.integers(0, 2**63, dtype=np.int64))
+        hashes.append(h)
+        # planted neighbors at controlled distances 1..9 (some past the cap)
+        flips = rng.choice(64, size=(i % 9) + 1, replace=False)
+        v = h
+        for b in flips:
+            v ^= 1 << int(b)
+        hashes.append(v - (1 << 64) if v >= (1 << 63) else v)
+    ids = [f"d{i:03d}" for i in range(len(hashes))]
+    df = spark.createDataFrame(
+        list(zip(ids, hashes)), "doc_id string, sh long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming64_near_pairs(df, max_hamming=7, n_blocks=8).collect()
+    }
+    mask = (1 << 64) - 1
+    want = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = bin((hashes[i] ^ hashes[j]) & mask).count("1")
+            if d <= 7:
+                a, b = sorted((ids[i], ids[j]))
+                want[(a, b)] = d
+    assert got == want
+    with pytest.raises(ValueError):
+        hamming64_near_pairs(df, max_hamming=8, n_blocks=8)  # recall hole
