@@ -539,10 +539,17 @@ def hamming64_near_pairs(
     max_hamming: int = 3,
     n_blocks: int = 4,
     max_bucket_size: int | None = 4096,
+    pin: str | None = "local",
 ) -> DataFrame:
     """Generic 64-bit Hamming near-pair search over a precomputed hash
     column — the blocking core shared by SimHash text dedup and
     perceptual-hash image dedup (multimodal.image_near_dups).
+
+    `pin` (plans/pin.py strategy, None = off) materializes the
+    (doc_id, hash) table ONCE before the self-join: both join sides
+    otherwise re-execute the upstream hash computation — a 64-aggregate
+    Catalyst tree for SimHash, a full image-decode UDF pass for dHash —
+    doubling the dominant cost. The pinned frame is 16 bytes/row.
 
     Pigeonhole blocking: the hash splits into `n_blocks` equal-width bit
     blocks; any pair within Hamming distance < n_blocks shares at least
@@ -564,15 +571,22 @@ def hamming64_near_pairs(
         )
     width = 64 // n_blocks
     mask = (1 << width) - 1
+    hashes = hashes.select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("sh")
+    )
+    if pin is not None:
+        from eventanalysis_spark.plans.pin import Pinner
+
+        hashes = Pinner(pin)(hashes)
     blocked = hashes.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(hash_col).alias("sh"),
+        F.col("doc_id"),
+        F.col("sh"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftright(F.col(hash_col), i * width)
+                        F.shiftright(F.col("sh"), i * width)
                         .bitwiseAND(F.lit(mask))
                         .alias("key"),
                     )

@@ -519,13 +519,16 @@ def image_near_dups(
     max_hamming: int = 6,
     max_bytes: int = MAX_MEDIA_BYTES,
     max_bucket_size: int | None = 4096,
+    pin: str | None = "local",
 ) -> DataFrame:
     """Image near-duplicate pairs: one dHash decode pass, then the generic
     64-bit pigeonhole Hamming join (dedup.hamming64_near_pairs, 8x8-bit
     blocks so recall is exact for max_hamming ≤ 7). Scale shape: the blob
     column dies at the hash step — the candidate join moves only
-    (media_id, dhash) postings, bucket-capped like every LSH path.
-    Output: (id_a, id_b, hamming), id_a < id_b."""
+    (media_id, dhash) postings, bucket-capped like every LSH path — and
+    `pin` (default 'local', plans/pin.py) materializes the hash table
+    once so the self-join does NOT run the decode pass twice.
+    Output: (media_a, media_b, hamming), media_a < media_b."""
     from eventanalysis_spark.operators.dedup import hamming64_near_pairs
 
     hashes = image_dhash(media, max_bytes=max_bytes).where(
@@ -537,6 +540,7 @@ def image_near_dups(
         max_hamming=max_hamming,
         n_blocks=8,
         max_bucket_size=max_bucket_size,
+        pin=pin,
     ).select(
         F.col("id_a").alias("media_a"),
         F.col("id_b").alias("media_b"),

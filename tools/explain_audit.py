@@ -1211,6 +1211,44 @@ def main() -> None:
         "doc id (skew-free by construction).",
     )
 
+    # 41. image near-dup: blob dies at the hash step, capped pigeonhole join
+    from eventanalysis_spark.operators.multimodal import (
+        image_near_dups,
+        media_df,
+    )
+
+    q41 = image_near_dups(media_df(spark, 200, partitions=4), max_hamming=6)
+    plan41 = q41._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Image near-dup (dHash): blob-free candidate join, bucket-capped",
+        q41,
+        [
+            ("the (media_id, dhash) table is pinned before the self-join "
+             "(Scan ExistingRDD leaf) — decode + dHash run ONCE, not once "
+             "per join side",
+             "Scan ExistingRDD" in plan41),
+            ("NO Python stage in the join plan (the decode UDF lives "
+             "entirely inside the pinned subtree; this plan moves only "
+             "8-byte hashes)",
+             "MapInPandas" not in plan41 and "ArrowEvalPython" not in plan41),
+            ("every Exchange moves only (doc_id, dhash, blk, key) postings "
+             "— no 'content' column in any shuffle",
+             all("content" not in ln for ln in plan41.splitlines()
+                 if "Exchange" in ln)),
+            ("per-(blk, key) posting cap window present (row_number "
+             "before the self-join — a constant-image corpus stays O(n·cap))",
+             "row_number" in plan41),
+            ("candidate generation is ONE equi-join on the block keys",
+             plan41.count("SortMergeJoin") + plan41.count("ShuffledHashJoin")
+             + plan41.count("BroadcastHashJoin") == 1),
+        ],
+        "operators/multimodal.py::image_near_dups → "
+        "dedup.py::hamming64_near_pairs — the SimHash pigeonhole core "
+        "reused over a perceptual hash: 8×8-bit blocks give recall 1.0 for "
+        "Hamming ≤ 7, bit_count(xor) verifies exactly, and the image bytes "
+        "are reduced to 8 bytes/row before anything wide happens.",
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the engine's key paths\n\n"
