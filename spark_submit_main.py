@@ -340,6 +340,54 @@ def cmd_dedup_corpus(args) -> int:
     return 0
 
 
+def cmd_media_dedup(args) -> int:
+    """'Dedup these images' end-to-end: one dHash decode pass over the
+    media table (operators/multimodal.py::image_near_dups — codec ladder
+    Pillow → stdlib PNG → deterministic fake), pigeonhole Hamming
+    candidate join, connected components over the near-dup pairs, keep
+    the min-id representative per cluster. Non-image modalities and
+    oversize payloads pass through untouched. Writes SURVIVORS and a
+    TOMBSTONES table (media_id, reason, duplicate_of)."""
+    from pyspark.sql import functions as F
+
+    from eventanalysis_spark.operators.cluster import connected_components
+    from eventanalysis_spark.operators.multimodal import image_near_dups
+
+    spark = _spark(args)
+    media = spark.read.parquet(args.source)
+    n_in = media.count()
+    pairs = image_near_dups(
+        media,
+        max_hamming=args.max_hamming,
+        max_bucket_size=args.max_bucket_size,
+        pin=args.pin,
+    )
+    comp = connected_components(
+        pairs, "media_a", "media_b", pin=args.pin,
+        checkpoint_every=args.checkpoint_every,
+    )
+    tombstones = comp.where(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("media_id"),
+        F.lit("image_near_dup").alias("reason"),
+        F.col("comp").alias("duplicate_of"),
+    )
+    survivors = media.join(
+        tombstones.select("media_id"), "media_id", "left_anti"
+    )
+    tomb_path = args.tombstones or (args.out.rstrip("/") + "_tombstones")
+    survivors.write.mode("overwrite").parquet(args.out)
+    tombstones.write.mode("overwrite").parquet(tomb_path)
+    n_out = spark.read.parquet(args.out).count()
+    print(json.dumps({
+        "media_in": n_in,
+        "survivors": n_out,
+        "tombstones": n_in - n_out,
+        "out": args.out,
+        "tombstones_path": tomb_path,
+    }))
+    return 0
+
+
 def cmd_overview(args) -> int:
     """AppOverview/AppOverview2.fs analog: per (host, lang, event_class,
     ever) counts with dimension attributes, deterministic order."""
@@ -778,6 +826,19 @@ def main(argv=None) -> int:
     dc.add_argument("--template-min-pages", type=int, default=2)
     dc.add_argument("--template-min-frac", type=float, default=0.5)
     dc.set_defaults(fn=cmd_dedup_corpus)
+
+    md = sub.add_parser("media-dedup")
+    md.add_argument("--source", required=True, help="media parquet (MEDIA_SCHEMA)")
+    md.add_argument("--out", required=True, help="survivors parquet")
+    md.add_argument("--tombstones", default=None,
+                    help="tombstones parquet (default <out>_tombstones)")
+    md.add_argument("--max-hamming", type=int, default=6,
+                    help="dHash Hamming radius (≤ 7 with the 8-block join)")
+    md.add_argument("--max-bucket-size", type=int, default=4096)
+    md.add_argument("--pin", default="local",
+                    help="materialization strategy: local|persist|checkpoint")
+    md.add_argument("--checkpoint-every", type=int, default=4)
+    md.set_defaults(fn=cmd_media_dedup)
 
     sq = sub.add_parser("sql")
     sq.add_argument("--warehouse", required=True)

@@ -420,3 +420,51 @@ def test_clean_cli(tmp_path, spark, capsys):
     got = {r.url: r.text for r in spark.read.parquet(out).collect()}
     assert set(got) == {"u0"}
     assert got["u0"] == "\n".join([ok_line, ok_line, ok_line])  # junk line cut
+
+
+def test_media_dedup_cli(tmp_path, spark):
+    """media-dedup verb: near-identical real PNGs collapse to the min-id
+    representative; distinct images, audio rows, and the representative
+    itself survive; tombstones name the surviving duplicate_of."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo")
+    import spark_submit_main as cli
+    from test_multimodal import _grid_png
+
+    base = np.where(np.arange(9)[None, :] % 2 == 0, 40.0, 200.0) * np.ones((9, 1))
+    variant = base.copy()
+    variant[2, 3] = 0.0  # dHash hamming 2 from base
+    other = np.random.default_rng(9).integers(0, 256, (9, 9)).astype(np.float64)
+    meta = (9, 9, None, None, 100)
+    rows = [
+        ("m0", "image", "image/png", bytearray(_grid_png(base)), meta),
+        ("m1", "image", "image/png", bytearray(_grid_png(base)), meta),  # exact
+        ("m2", "image", "image/png", bytearray(_grid_png(variant)), meta),
+        ("m3", "image", "image/png", bytearray(_grid_png(other)), meta),
+        ("m4", "audio", "audio/wav", bytearray(b"\x00" * 64), meta),
+    ]
+    src = str(tmp_path / "media")
+    spark.createDataFrame(
+        rows,
+        "media_id string, modality string, mime string, content binary, "
+        "meta struct<width:int,height:int,duration_ms:bigint,"
+        "sample_rate:int,n_bytes:bigint>",
+    ).write.parquet(src)
+    out = str(tmp_path / "media_survivors")
+
+    assert cli.main([
+        "--master", "local[4]", "media-dedup",
+        "--source", src, "--out", out,
+    ]) == 0
+
+    survivors = {r["media_id"] for r in spark.read.parquet(out).collect()}
+    assert survivors == {"m0", "m3", "m4"}
+    tomb = {r["media_id"]: (r["reason"], r["duplicate_of"])
+            for r in spark.read.parquet(out + "_tombstones").collect()}
+    assert tomb == {
+        "m1": ("image_near_dup", "m0"),
+        "m2": ("image_near_dup", "m0"),
+    }
