@@ -596,8 +596,12 @@ def main() -> None:
         ensure_pages(spark, max(SCALING_DOCS // 8, 100_000))
     warmup(spark)
 
-    qtimes = timed_queries(spark)
-
+    # Pipeline FIRST, query suite after: the pipeline docs/sec is the
+    # headline metric and must be measured in a comparably-aged JVM every
+    # round — running the (growing) query suite first front-loads heap
+    # growth and old-gen pressure, so adding queries to the suite would
+    # silently tax the pipeline number (observed: +35% pipeline wall after
+    # the suite grew 34 → 42 queries).
     # headline = min of REPS runs from THIS session only (no cross-run
     # cache: a graded report must reflect the run that produced it)
     best = None
@@ -605,6 +609,8 @@ def main() -> None:
         r = run_pipeline(spark, pages)
         if best is None or r["seconds"] < best["seconds"]:
             best = r
+
+    qtimes = timed_queries(spark)
     pipeline = {
         "seconds": round(best["seconds"], 3),
         "docs": best["docs"],

@@ -206,6 +206,55 @@ def _decode_audio_real(content: bytes) -> np.ndarray:
     return data.astype(np.float32)
 
 
+def _decode_wav_stdlib(content: bytes) -> np.ndarray:
+    """Pure-stdlib WAV (RIFF/PCM) decode → mono float32 in [-1, 1] — the
+    audio analog of the stdlib PNG tier: real sample stats for WAV bytes
+    even where soundfile/ffmpeg are absent (this sandbox). Supports PCM
+    sample widths 1 (unsigned 8-bit), 2, 3 (packed 24-bit), and 4 bytes;
+    anything else (compressed WAV, non-RIFF bytes) raises
+    NotImplementedError so the caller falls back to the deterministic
+    fake."""
+    import io
+    import wave
+
+    if not content or content[:4] != b"RIFF":
+        raise NotImplementedError("not RIFF/WAV bytes")
+    try:
+        with wave.open(io.BytesIO(content)) as w:
+            n_ch = w.getnchannels()
+            width = w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise NotImplementedError(f"un-decodable WAV: {e}") from e
+    if width == 1:  # WAV 8-bit is unsigned
+        x = np.frombuffer(frames, dtype=np.uint8).astype(np.float32)
+        x = (x - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 3:  # packed little-endian 24-bit: widen via zero LSB
+        raw = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3)
+        b4 = np.zeros((raw.shape[0], 4), dtype=np.uint8)
+        b4[:, 1:] = raw
+        x = b4.view("<i4").reshape(-1).astype(np.float32) / 2147483648.0
+    elif width == 4:
+        x = np.frombuffer(frames, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise NotImplementedError(f"unsupported PCM width {width}")
+    if n_ch > 1:
+        x = x[: (len(x) // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x.astype(np.float32)
+
+
+def _decode_audio_any(content: bytes) -> np.ndarray:
+    """Decode tier: soundfile (all formats, when installed) → stdlib WAV
+    (PCM bytes, everywhere) → raise, letting the caller fall back to the
+    deterministic fake."""
+    try:
+        return _decode_audio_real(content)
+    except NotImplementedError:
+        return _decode_wav_stdlib(content)
+
+
 def _decode_video_frames_real(content: bytes, n_frames: int) -> np.ndarray:
     """Real video frame sampling → (n_frames, H, W, 3) uint8 via PyAV,
     when available (frames spread evenly across the stream)."""
@@ -355,8 +404,9 @@ AUDIO_FEATURES_SCHEMA = StructType(
 
 
 def audio_features(media: DataFrame, n_bands: int = 32) -> DataFrame:
-    """Decode (fake) 1s of samples → RMS, zero-crossing count, coarse
-    band energies."""
+    """Decode (soundfile → stdlib WAV → deterministic fake) → RMS,
+    zero-crossing count, coarse band energies. PCM WAV bytes get REAL
+    sample stats even in this codec-less sandbox."""
 
     def op(batches):
         for pdf in batches:
@@ -365,7 +415,7 @@ def audio_features(media: DataFrame, n_bands: int = 32) -> DataFrame:
                 sr = int(meta["sample_rate"] or 16000) if meta is not None else 16000
                 dur = int(meta["duration_ms"] or 1000) if meta is not None else 1000
                 try:
-                    x = _decode_audio_real(content)
+                    x = _decode_audio_any(content)
                     if x.size == 0:
                         raise NotImplementedError("empty audio stream")
                 except Exception:

@@ -349,3 +349,74 @@ def test_hamming64_near_pairs_matches_bruteforce(spark):
     assert got == want
     with pytest.raises(ValueError):
         hamming64_near_pairs(df, max_hamming=8, n_blocks=8)  # recall hole
+
+
+# ---- stdlib WAV decode tier --------------------------------------------------
+
+def _make_wav(x: np.ndarray, sr: int = 8000, width: int = 2, n_ch: int = 1) -> bytes:
+    """Stdlib WAV encoder for the golden test (float [-1,1] → PCM)."""
+    import io, wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_ch)
+        w.setsampwidth(width)
+        w.setframerate(sr)
+        if width == 1:
+            pcm = (np.clip(x, -1, 1) * 127 + 128).astype(np.uint8).tobytes()
+        elif width == 2:
+            pcm = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+        elif width == 4:
+            pcm = (np.clip(x, -1, 1) * 2147483647).astype("<i4").tobytes()
+        else:
+            raise ValueError(width)
+        w.writeframes(pcm)
+    return buf.getvalue()
+
+
+def test_stdlib_wav_decode_roundtrips_widths():
+    from eventanalysis_spark.operators.multimodal import _decode_wav_stdlib
+
+    t = np.arange(800) / 8000.0
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    for width, tol in [(1, 2e-2), (2, 1e-4), (4, 1e-7)]:
+        got = _decode_wav_stdlib(_make_wav(x, width=width))
+        assert got.shape == x.shape
+        assert np.abs(got - x).max() < tol, f"width {width}"
+    # stereo mixes down to mono
+    stereo = np.stack([x, -x], axis=1).reshape(-1)
+    got = _decode_wav_stdlib(_make_wav(stereo, width=2, n_ch=2))
+    assert got.shape == x.shape
+    assert np.abs(got).max() < 1e-4  # L + R cancel
+    # non-WAV bytes route to the deterministic fake
+    with pytest.raises(NotImplementedError):
+        _decode_wav_stdlib(b"OggS not a riff")
+
+
+def test_audio_features_real_for_wav_fake_otherwise(spark):
+    """PCM WAV content takes the REAL decode path in-sandbox: RMS and
+    zero-crossings match the generating sine. Non-WAV bytes keep the
+    deterministic fake."""
+    from eventanalysis_spark.operators.multimodal import audio_features
+
+    sr, dur_s, f0, amp = 8000, 1.0, 440, 0.5
+    t = np.arange(int(sr * dur_s)) / sr
+    # phase offset keeps every sample off exact zero (sign(0) would count
+    # as two transitions in the operator's crossing count)
+    x = (amp * np.sin(2 * np.pi * f0 * t + 0.1)).astype(np.float32)
+    wav = _make_wav(x, sr=sr, width=2)
+    rows = [
+        ("wav1", "audio", "audio/wav", bytearray(wav),
+         (None, None, 1000, sr, len(wav))),
+        ("ogg1", "audio", "audio/ogg", bytearray(b"OggS fake stream"),
+         (None, None, 1000, sr, 16)),
+    ]
+    df = _media_rows_df(spark, rows)
+    got = {r["media_id"]: r for r in audio_features(df).collect()}
+    w = got["wav1"]
+    assert w["rms"] == pytest.approx(amp / np.sqrt(2), rel=1e-3)
+    # a 440 Hz sine crosses zero 2·f0·dur ≈ 880 times
+    assert abs(w["zero_crossings"] - 2 * f0 * dur_s) <= 2
+    assert len(w["feature"]) == 32
+    # fake path still total + deterministic
+    assert got["ogg1"]["rms"] is not None
