@@ -2,13 +2,14 @@
 typed metadata, processed by Arrow-batched pandas UDFs over mapInPandas.
 
 The Spark-side plumbing — schemas, partitioning, UDF signatures, batch
-shapes, size accounting — is real and tested. The codec step itself
-(JPEG decode, audio resample, video frame extraction) is STUBBED: the
-sandbox image ships no imaging/audio libraries, so each `_decode_*_real`
-raises NotImplementedError and the pipeline runs a clearly-marked
-deterministic fake that derives the same-shaped outputs from the bytes.
-Swapping in Pillow/torchaudio/PyAV is a one-function change per modality;
-nothing in the distributed plan changes.
+shapes, size accounting — is real and tested. The codec layer is a
+three-tier ladder per modality: the full codec library when installed
+(Pillow / soundfile / PyAV — absent in this sandbox), then a pure-stdlib
+decoder where the format allows (PNG via zlib inflate + unfilter; WAV
+via wave + PCM widening — both REAL here, golden-tested), then a
+clearly-marked deterministic fake that derives same-shaped outputs from
+the bytes so non-decodable content (JPEG, Ogg, MP4) never kills a task.
+Nothing in the distributed plan changes across tiers.
 
 Design notes for 100 TB:
   - media bytes ride a dedicated `content` column; metadata is a typed
