@@ -1046,6 +1046,18 @@ def q_unigram_logprob(spark, sf):
     return unigram_logprob_scores(docs, parallelism=8).orderBy("doc_id")
 
 
+def q_vocab_oov(spark, sf):
+    """Per-doc out-of-vocabulary rate against the corpus top-200
+    vocabulary — the tokenizer-prep diagnostic (what fraction of each doc
+    a k-entry word vocab covers). The k-row vocab broadcasts against the
+    exploded token stream; the only row-scale shuffle is the per-doc
+    aggregate; operators/textstats.py::oov_stats."""
+    from eventanalysis_spark.operators.textstats import oov_stats
+
+    docs = _t(spark, sf, "documents")
+    return oov_stats(docs, k=200).orderBy("doc_id")
+
+
 def q_split_corpus(spark, sf):
     """Deterministic 3-way train/val/test split (90/5/5) keyed by content
     id — disjoint, exhaustive, partition/rerun-invariant, and leak-proof
@@ -2866,6 +2878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokencount_bpe": q_tokencount_bpe,
         "split_corpus": q_split_corpus,
         "unigram_logprob": q_unigram_logprob,
+        "vocab_oov": q_vocab_oov,
         "sample_stratified": q_sample_stratified,
         "quota_sample": q_quota_sample,
         "rep_dup5gram": q_rep_dup5gram,
@@ -5299,6 +5312,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
                    s.avg_neg_logprob
             FROM documents d LEFT JOIN scored s USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "vocab_oov": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            vocab AS (
+              SELECT token FROM (
+                SELECT token, count(*) AS cnt FROM toks GROUP BY token
+              ) ORDER BY cnt DESC, token LIMIT 200
+            ),
+            per AS (
+              SELECT t.doc_id, count(*) AS n_tokens,
+                     sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+              FROM toks t LEFT JOIN vocab v USING (token)
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+                   ROUND(CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0.0
+                              ELSE COALESCE(p.n_oov, 0)
+                                   / CAST(p.n_tokens AS DOUBLE) END,
+                         6) AS oov_rate
+            FROM documents d LEFT JOIN per p USING (doc_id)
             ORDER BY doc_id
         """,
         "split_corpus": f"""

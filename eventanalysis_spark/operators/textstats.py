@@ -144,6 +144,79 @@ def corpus_token_counts(
     return toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def vocab_topk(docs: DataFrame, k: int = 1000, text_col: str = "text") -> DataFrame:
+    """Top-k corpus vocabulary by frequency → (rank, token, cnt),
+    deterministic order (cnt DESC, token ASC). The only row-scale work is
+    corpus_token_counts' map-side-partial aggregate; the top-k itself is
+    a TakeOrderedAndProject (per-partition heaps, no full sort) and the
+    rank window runs over the k-row result only."""
+    from pyspark.sql import Window
+
+    counts = corpus_token_counts(docs, text_col)
+    top = counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    return top.select(
+        F.row_number().over(w).alias("rank"), "token", "cnt"
+    )
+
+
+def oov_stats(
+    docs: DataFrame,
+    vocab: DataFrame | None = None,
+    k: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a top-k corpus
+    vocabulary — the tokenizer-prep diagnostic (how much of each doc a
+    k-entry word vocab would cover; high OOV → gibberish, rare langs, or
+    a vocab trained on the wrong mix). Returns (id, n_tokens, n_oov,
+    oov_rate); empty docs get oov_rate 0.0 (not NULL) so downstream
+    aggregates never trip on NULL ratios.
+
+    Scale shape: the vocab side is k rows → broadcast hash join against
+    the exploded token stream; the only row-scale shuffle is the final
+    per-doc aggregate keyed by id. Pass `vocab` (any frame with a
+    `token` column, e.g. a persisted vocab_topk) to score against a
+    FIXED vocabulary — the cross-corpus form (train-vocab vs new crawl)."""
+    if vocab is None:
+        vocab = vocab_topk(docs, k=k, text_col=text_col)
+    vocab = vocab.select("token").distinct().withColumn("__in_v", F.lit(1))
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.length(F.trim(F.col(text_col))) == 0,
+                F.array().cast("array<string>"),
+            ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("token"),
+    )
+    scored = toks.join(F.broadcast(vocab), "token", "left")
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("__in_v").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )
+    # left join back so token-less docs appear with zeros
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            F.round(
+                F.when(
+                    F.coalesce("n_tokens", F.lit(0)) == 0, F.lit(0.0)
+                ).otherwise(
+                    F.coalesce("n_oov", F.lit(0))
+                    / F.coalesce("n_tokens", F.lit(0)).cast("double")
+                ),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
 def unigram_logprob_scores(
     docs: DataFrame,
     counts: DataFrame | None = None,

@@ -270,3 +270,33 @@ def test_bigram_logprob_external_counts_backoff(spark):
     assert rows[10].avg_neg_logprob == pytest.approx(round(math.log(6), 6), abs=1e-6)
     # unknown context z: flat 1/V with V=3
     assert rows[11].avg_neg_logprob == pytest.approx(round(math.log(3), 6), abs=1e-6)
+
+
+def test_vocab_topk_and_oov_stats(spark):
+    from eventanalysis_spark.operators.textstats import oov_stats, vocab_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog ATE the cat"),
+            (3, "zzz qqq"),          # fully OOV vs top-3 vocab
+            (4, "   "),              # whitespace-only → 0 tokens, rate 0.0
+        ],
+        "doc_id long, text string",
+    )
+    v = vocab_topk(docs, k=3).collect()
+    # counts: the×4, cat×2, rest×1 → rank 3 tie broken lexicographically (ATE)
+    assert [(r["rank"], r["token"], r["cnt"]) for r in v] == [
+        (1, "the", 4), (2, "cat", 2), (3, "ATE", 1),
+    ]
+    got = {r["doc_id"]: r for r in oov_stats(docs, k=3).collect()}
+    assert (got[1]["n_tokens"], got[1]["n_oov"]) == (6, 3)  # sat on mat OOV
+    assert got[1]["oov_rate"] == 0.5
+    assert (got[3]["n_tokens"], got[3]["n_oov"], got[3]["oov_rate"]) == (2, 2, 1.0)
+    assert (got[4]["n_tokens"], got[4]["n_oov"], got[4]["oov_rate"]) == (0, 0, 0.0)
+    # fixed external vocabulary (cross-corpus form): score corpus B
+    # against corpus A's vocab
+    fixed = vocab_topk(docs.where("doc_id <= 2"), k=2)  # {the, cat}
+    new = spark.createDataFrame([(9, "the new cat food")], "doc_id long, text string")
+    r9 = oov_stats(new, vocab=fixed).collect()[0]
+    assert (r9["n_tokens"], r9["n_oov"]) == (4, 2)
