@@ -2712,6 +2712,21 @@ def q_bigram_logprob(spark, sf):
     return bigram_logprob_scores(docs, parallelism=8).orderBy("doc_id")
 
 
+def q_kn_bigram_logprob(spark, sf):
+    """Interpolated Kneser-Ney bigram fluency (operators/textstats.py::
+    kneser_ney_bigram_scores): absolute discounting + continuation
+    probability over bigram TYPES — the smoothing real n-gram toolkits
+    default to (Kneser & Ney 1995). Same broadcast-model shape as the
+    additive sibling; all three model frames derive from one counts
+    table."""
+    from eventanalysis_spark.operators.textstats import (
+        kneser_ney_bigram_scores,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return kneser_ney_bigram_scores(docs, parallelism=8).orderBy("doc_id")
+
+
 def q_ngram_novelty(spark, sf):
     """n-gram novelty vs an existing corpus (operators/selection.py::
     ngram_novelty): docs with doc_id % 5 == 0 stand in for the corpus
@@ -2936,6 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_chi2_drift": q_eval_chi2_drift,
         "c4_clean": q_c4_clean,
         "bigram_logprob": q_bigram_logprob,
+        "kn_bigram_logprob": q_kn_bigram_logprob,
         "ngram_novelty": q_ngram_novelty,
         "host_profile": q_host_profile,
         "pq_topk": q_pq_topk,
@@ -7014,6 +7030,56 @@ def oracle_sql() -> dict[str, str]:
               FROM big b
               JOIN counts c USING (w1, w2)
               JOIN ctx x USING (w1), vv
+              GROUP BY b.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   s.avg_neg_logprob
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+            ORDER BY doc_id
+        """,
+        # Kneser-Ney: mirror the Spark operator's expression SHAPE exactly
+        # (greatest(cnt-D,0)/ctx + (D*n_succ/ctx)*p_cont) so the float ops
+        # associate identically before ROUND(,6).
+        "kn_bigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            big AS (
+              SELECT doc_id,
+                     unnest(t[1:len(t)-1]) AS w1,
+                     unnest(t[2:len(t)]) AS w2
+              FROM toks WHERE len(t) >= 2
+            ),
+            counts AS (
+              SELECT w1, w2, count(*) AS cnt FROM big GROUP BY w1, w2
+            ),
+            tv AS (
+              SELECT CAST(count(*) AS DOUBLE)
+                     + CAST(count(DISTINCT w2) AS DOUBLE) AS tv
+              FROM counts
+            ),
+            ctx AS (
+              SELECT w1, sum(cnt) AS ctx_cnt, count(*) AS n_succ
+              FROM counts GROUP BY w1
+            ),
+            pcont AS (
+              SELECT w2, (count(*) + 1.0) / (SELECT tv FROM tv) AS p_cont
+              FROM counts GROUP BY w2
+            ),
+            scored AS (
+              SELECT b.doc_id, count(*) AS n_bigrams,
+                     ROUND(avg(-ln(
+                       greatest(CAST(c.cnt AS DOUBLE) - 0.75, 0.0)
+                         / CAST(x.ctx_cnt AS DOUBLE)
+                       + (0.75 * CAST(x.n_succ AS DOUBLE)
+                          / CAST(x.ctx_cnt AS DOUBLE)) * p.p_cont
+                     )), 6) AS avg_neg_logprob
+              FROM big b
+              JOIN counts c USING (w1, w2)
+              JOIN ctx x USING (w1)
+              JOIN pcont p USING (w2)
               GROUP BY b.doc_id
             )
             SELECT d.doc_id,

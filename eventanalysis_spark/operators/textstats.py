@@ -418,29 +418,34 @@ def bm25_topk(
     )
 
 
-def corpus_bigram_counts(
-    docs: DataFrame, text_col: str = "text", parallelism: int | None = None
-) -> DataFrame:
-    """Bigram counts over the corpus: (w1, w2, cnt). The adjacent-pair
-    stream is built JVM-side with zip_with over two slices of the token
-    array (no posexplode self-join, no Python), then ONE map-side-partial
-    hash aggregate — exactly the `corpus_token_counts` shape one order up.
-    The shuffled volume is per-task DISTINCT bigrams, which Zipf keeps far
-    below the pair stream; the aggregate key is (w1, w2) so even 'of the'
-    is a single partial row per task."""
-    if parallelism:
-        docs = docs.repartition(parallelism)
+def _bigram_pairs(text_col: str) -> Column:
+    """Adjacent-token pair stream as an array<struct<w1,w2>> column,
+    built JVM-side with zip_with over two slices of the token array (no
+    posexplode self-join, no Python)."""
     t = F.when(
         F.length(F.trim(F.col(text_col))) == 0,
         F.array().cast("array<string>"),
     ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
     n = F.size(t)
-    pairs = F.zip_with(
+    return F.zip_with(
         F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
         F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    exploded = docs.select(F.explode(pairs).alias("p")).select(
+
+
+def corpus_bigram_counts(
+    docs: DataFrame, text_col: str = "text", parallelism: int | None = None
+) -> DataFrame:
+    """Bigram counts over the corpus: (w1, w2, cnt). The adjacent-pair
+    stream comes from `_bigram_pairs` (pure Catalyst), then ONE
+    map-side-partial hash aggregate — exactly the `corpus_token_counts`
+    shape one order up. The shuffled volume is per-task DISTINCT bigrams,
+    which Zipf keeps far below the pair stream; the aggregate key is
+    (w1, w2) so even 'of the' is a single partial row per task."""
+    if parallelism:
+        docs = docs.repartition(parallelism)
+    exploded = docs.select(F.explode(_bigram_pairs(text_col)).alias("p")).select(
         F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
     return exploded.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
@@ -492,19 +497,9 @@ def bigram_logprob_scores(
     ctx = counts.groupBy("w1").agg(F.sum("cnt").alias("ctx_cnt"))
     if parallelism:
         docs = docs.repartition(parallelism)
-    t = F.when(
-        F.length(F.trim(F.col(text_col))) == 0,
-        F.array().cast("array<string>"),
-    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
-    n = F.size(t)
-    pairs = F.zip_with(
-        F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
     exploded = docs.select(
         F.col(id_col),
-        F.explode_outer(pairs).alias("p"),
+        F.explode_outer(_bigram_pairs(text_col)).alias("p"),
     ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     bcast = F.broadcast if broadcast_counts else (lambda d: d)
     joined = exploded.join(
@@ -518,6 +513,83 @@ def bigram_logprob_scores(
     ).otherwise(
         -F.log((F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha)) / denom)
     )
+    return joined.groupBy(id_col).agg(
+        F.count("w1").alias("n_bigrams"),
+        F.round(
+            F.avg(F.when(F.col("w1").isNotNull(), nlp)), 6
+        ).alias("avg_neg_logprob"),
+    )
+
+
+def kneser_ney_bigram_scores(
+    docs: DataFrame,
+    counts: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    broadcast_counts: bool = True,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Per-document fluency under an interpolated Kneser-Ney bigram LM —
+    the smoothing the additive sibling (`bigram_logprob_scores`) trades
+    away, and the one real n-gram toolkits (KenLM/SRILM; Kneser & Ney
+    1995, Chen & Goodman 1999) default to. KN fixes the additive model's
+    core bias: "Francisco" is frequent but only ever follows "San", so
+    its UNIGRAM fallback weight should be tiny — continuation probability
+    counts distinct CONTEXTS, not raw frequency.
+
+        p(w2|w1) = max(c(w1,w2) − D, 0)/c(w1) + λ(w1)·p_cont(w2)
+        λ(w1)    = D · N1+(w1·)/c(w1)        (mass freed by discounting)
+        p_cont   = (N1+(·w2) + 1)/(T + V)    (add-1 over bigram TYPES,
+                                              T = Σ types, V = |succ vocab|)
+
+    Unseen pair in a known context → the λ·p_cont term alone; unknown
+    context → p_cont(w2) directly; unknown w2 → 1/(T+V) floor, so every
+    score is finite. Self-scoring (counts=None) only exercises the seen
+    path. All three model frames (bigram counts, per-context totals +
+    successor-type counts, per-word continuation) derive from the ONE
+    persisted `counts` table.
+
+    Scale shape: identical to the sibling — model frames broadcast
+    (broadcast_counts=False for shuffle join + AQE), the corpus pair
+    stream only probes, per-doc aggregate is the one row-scale shuffle.
+    avg(-ln p) rounded to 6 dp for the cross-engine oracle.
+
+    Output: (id, n_bigrams, avg_neg_logprob) — null score below 2 tokens."""
+    if counts is None:
+        counts = corpus_bigram_counts(docs, text_col, parallelism)
+    tot = counts.agg(
+        F.count(F.lit(1)).alias("t"), F.count_distinct("w2").alias("v")
+    ).collect()[0]
+    tv = float((tot["t"] or 0) + (tot["v"] or 0))
+    ctx = counts.groupBy("w1").agg(
+        F.sum("cnt").alias("ctx_cnt"), F.count(F.lit(1)).alias("n_succ")
+    )
+    pcont = counts.groupBy("w2").agg(
+        ((F.count(F.lit(1)) + F.lit(1.0)) / F.lit(tv)).alias("p_cont")
+    )
+    if parallelism:
+        docs = docs.repartition(parallelism)
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode_outer(_bigram_pairs(text_col)).alias("p"),
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bcast = F.broadcast if broadcast_counts else (lambda d: d)
+    joined = (
+        exploded.join(bcast(counts), ["w1", "w2"], "left")
+        .join(bcast(ctx), ["w1"], "left")
+        .join(bcast(pcont), ["w2"], "left")
+    )
+    pc = F.coalesce(F.col("p_cont"), F.lit(1.0 / tv if tv > 0 else 1.0))
+    lam = F.lit(discount) * F.col("n_succ") / F.col("ctx_cnt")
+    p_known = (
+        F.greatest(
+            F.coalesce(F.col("cnt"), F.lit(0)) - F.lit(discount), F.lit(0.0)
+        )
+        / F.col("ctx_cnt")
+        + lam * pc
+    )
+    nlp = -F.log(F.when(F.col("ctx_cnt").isNull(), pc).otherwise(p_known))
     return joined.groupBy(id_col).agg(
         F.count("w1").alias("n_bigrams"),
         F.round(

@@ -300,3 +300,38 @@ def test_vocab_topk_and_oov_stats(spark):
     new = spark.createDataFrame([(9, "the new cat food")], "doc_id long, text string")
     r9 = oov_stats(new, vocab=fixed).collect()[0]
     assert (r9["n_tokens"], r9["n_oov"]) == (4, 2)
+
+
+def test_kneser_ney_bigram_scores(spark):
+    """Hand-computed interpolated-KN values (D=0.75): seen pairs, unseen
+    pair in a known context, unknown context, unknown successor."""
+    import math
+
+    from eventanalysis_spark.operators.textstats import (
+        corpus_bigram_counts,
+        kneser_ney_bigram_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    # counts: (a,b):2 (b,a):1 (a,c):1 → T=3, V=|{a,b,c}|=3, tv=6
+    # ctx a: (3, 2 succ); ctx b: (1, 1 succ); p_cont = 2/6 for a,b,c
+    got = {r["doc_id"]: r for r in kneser_ney_bigram_scores(docs).collect()}
+    p_b_a = (2 - 0.75) / 3 + (0.75 * 2 / 3) * (2 / 6)   # 0.583333
+    p_a_b = (1 - 0.75) / 1 + (0.75 * 1 / 1) * (2 / 6)   # 0.5
+    p_c_a = (1 - 0.75) / 3 + (0.75 * 2 / 3) * (2 / 6)   # 0.25
+    d1 = round(-(2 * math.log(p_b_a) + math.log(p_a_b)) / 3, 6)
+    assert got[1]["n_bigrams"] == 3 and got[1]["avg_neg_logprob"] == d1
+    assert got[2]["avg_neg_logprob"] == round(-math.log(p_c_a), 6)
+    # cross-corpus: score unseen text against the persisted model
+    counts = corpus_bigram_counts(docs)
+    new = spark.createDataFrame([(9, "a z z q"), (10, "x")], "doc_id long, text string")
+    r = {x["doc_id"]: x for x in
+         kneser_ney_bigram_scores(new, counts=counts).collect()}
+    p_az = 0.0 / 3 + (0.75 * 2 / 3) * (1 / 6)  # unseen pair, known ctx
+    p_unk = 1 / 6                              # unknown context → p_cont floor
+    want = round(-(math.log(p_az) + 2 * math.log(p_unk)) / 3, 6)
+    assert r[9]["n_bigrams"] == 3 and r[9]["avg_neg_logprob"] == want
+    # sub-2-token doc: null score, zero bigrams (same contract as sibling)
+    assert r[10]["n_bigrams"] == 0 and r[10]["avg_neg_logprob"] is None
