@@ -2727,6 +2727,27 @@ def q_kn_bigram_logprob(spark, sf):
     return kneser_ney_bigram_scores(docs, parallelism=8).orderBy("doc_id")
 
 
+def q_lr_quality_score(spark, sf):
+    """Distributed batch-gradient logistic regression (operators/
+    classify.py::lr_train/lr_score) — the TRAINABLE model-based quality
+    filter next to the analytic hashed-NB: 3 fixed gradient rounds over
+    hashed-tf features (broadcast weights, bucket-bounded gradient
+    shuffle), every recurrence edge rounded to 6 dp so the DuckDB twin
+    replays training bit-for-bit. Label: lang == 'en', md5 buckets."""
+    from eventanalysis_spark.operators.classify import lr_score, lr_train
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "__is_en", F.col("lang") == "en"
+    )
+    model = lr_train(
+        docs, "__is_en", num_buckets=512, learning_rate=0.5,
+        iterations=3, hash_fn="md5",
+    )
+    return lr_score(docs, model, num_buckets=512, hash_fn="md5").orderBy(
+        "doc_id"
+    )
+
+
 def q_ngram_novelty(spark, sf):
     """n-gram novelty vs an existing corpus (operators/selection.py::
     ngram_novelty): docs with doc_id % 5 == 0 stand in for the corpus
@@ -2952,6 +2973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "bigram_logprob": q_bigram_logprob,
         "kn_bigram_logprob": q_kn_bigram_logprob,
+        "lr_quality_score": q_lr_quality_score,
         "ngram_novelty": q_ngram_novelty,
         "host_profile": q_host_profile,
         "pq_topk": q_pq_topk,
@@ -3034,6 +3056,71 @@ _CRAWL_DIFF_CTE = """
 
 
 _H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _lr_oracle_sql(buckets: int = 512, lr: float = 0.5, iters: int = 3) -> str:
+    """DuckDB twin of classify.lr_train + lr_score: the SAME unrolled
+    fixed-iteration gradient recurrence. Every layer is referenced more
+    than once per round → AS MATERIALIZED throughout (the round-5 CTE
+    rule — inlined, the feat base would re-evaluate ~4^k times). The
+    6-dp ROUND at every recurrence edge (features, z, residual, gradient,
+    weights) is what makes double-precision training replayable across
+    engines."""
+    parts = [f"""
+        WITH d AS (
+          SELECT doc_id, lower(trim(text)) AS t,
+                 CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+          FROM documents
+        ),
+        tok AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(tk), 1, 15))::BIGINT % {buckets} AS bucket
+          FROM (SELECT doc_id, unnest(regexp_split_to_array(t, '\\s+')) AS tk
+                FROM d WHERE length(t) > 0)
+        ),
+        cnts AS (
+          SELECT doc_id, bucket, count(*) AS c FROM tok GROUP BY doc_id, bucket
+        ),
+        lens AS (SELECT doc_id, sum(c) AS n FROM cnts GROUP BY doc_id),
+        feat AS MATERIALIZED (
+          SELECT c.doc_id, c.bucket, ROUND(c.c / CAST(l.n AS DOUBLE), 6) AS x
+          FROM cnts c JOIN lens l USING (doc_id)
+          UNION ALL
+          SELECT doc_id, CAST(-1 AS BIGINT) AS bucket, 1.0 AS x FROM d
+        ),
+        labels AS MATERIALIZED (SELECT doc_id, y FROM d),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM labels),
+        w0 AS MATERIALIZED (SELECT DISTINCT bucket, 0.0 AS weight FROM feat)"""]
+    for t in range(iters):
+        parts.append(f""",
+        z{t} AS MATERIALIZED (
+          SELECT f.doc_id, ROUND(sum(f.x * w.weight), 6) AS z
+          FROM feat f JOIN w{t} w USING (bucket) GROUP BY f.doc_id
+        ),
+        r{t} AS MATERIALIZED (
+          SELECT l.doc_id, ROUND(l.y - 1.0 / (1.0 + exp(-z.z)), 6) AS r
+          FROM labels l JOIN z{t} z USING (doc_id)
+        ),
+        g{t} AS MATERIALIZED (
+          SELECT f.bucket, ROUND(sum(f.x * r.r), 6) AS g
+          FROM feat f JOIN r{t} r USING (doc_id) GROUP BY f.bucket
+        ),
+        w{t + 1} AS MATERIALIZED (
+          SELECT w.bucket,
+                 ROUND(w.weight + {lr} * COALESCE(g.g, 0.0) / nn.n, 6)
+                   AS weight
+          FROM w{t} w LEFT JOIN g{t} g USING (bucket), nn
+        )""")
+    parts.append(f""",
+        zf AS (
+          SELECT f.doc_id, ROUND(sum(f.x * w.weight), 6) AS z
+          FROM feat f JOIN w{iters} w USING (bucket) GROUP BY f.doc_id
+        )
+        SELECT doc_id,
+               ROUND(1.0 / (1.0 + exp(-z)), 6) AS lr_score,
+               z > 0 AS lr_pred
+        FROM zf ORDER BY doc_id""")
+    return "".join(parts)
 
 
 def _lg_edges_cte() -> str:
@@ -7088,4 +7175,5 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN scored s USING (doc_id)
             ORDER BY doc_id
         """,
+        "lr_quality_score": _lr_oracle_sql(buckets=512, lr=0.5, iters=3),
     }

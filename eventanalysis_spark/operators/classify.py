@@ -172,3 +172,143 @@ def nb_train_score(
         docs, label_col, text_col, id_col, num_buckets, alpha, hash_fn
     )
     return nb_score(docs, model, text_col, id_col, num_buckets, hash_fn)
+
+
+# ---- distributed logistic regression (batch gradient, broadcast weights) ----
+
+def _lr_features(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_buckets: int,
+    hash_fn: str,
+) -> DataFrame:
+    """Hashed tf features per doc: (id, bucket, x) with x = round(cnt /
+    n_tokens, 6), plus a bias row (id, -1, 1.0) per doc — so z = Σ w·x
+    treats the intercept uniformly and token-less docs stay total. The
+    6-dp quantization at the feature edge is what lets the DuckDB oracle
+    replay the whole gradient recurrence bit-for-bit."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(_tokens(F.col(text_col))).alias("__tok"),
+    ).select(
+        id_col,
+        F.pmod(
+            _base_hasher(hash_fn)(F.col("__tok")), F.lit(num_buckets)
+        ).alias("bucket"),
+    )
+    cnt = toks.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("__c"))
+    lens = cnt.groupBy(id_col).agg(F.sum("__c").alias("__n"))
+    tf = cnt.join(lens, id_col).select(
+        id_col,
+        "bucket",
+        F.round(F.col("__c") / F.col("__n").cast("double"), 6).alias("x"),
+    )
+    bias = docs.select(
+        F.col(id_col),
+        F.lit(-1).cast("long").alias("bucket"),
+        F.lit(1.0).alias("x"),
+    )
+    return tf.unionByName(bias)
+
+
+def lr_train(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+    learning_rate: float = 0.5,
+    iterations: int = 3,
+    hash_fn: str = "xxhash64",
+    pin: str | None = "persist",
+) -> DataFrame:
+    """Distributed batch-gradient logistic regression over hashed tf
+    features — the TRAINABLE upgrade to the analytic `nb_train` (same
+    fasttext-style hashing trick, but a discriminative objective):
+
+        w ← round(w + lr/N · Σ_i x_i · round(y_i − σ(round(z_i, 6)), 6), 6)
+
+    Each iteration is (1) one doc-keyed partial-agg for z = Σ w·x with
+    the ≤(B+1)-row weight table BROADCAST, (2) one doc-keyed join for the
+    residual, (3) one bucket-keyed aggregate for the gradient (shuffle
+    bounded by B rows per upstream partition). The feature frame is
+    pinned ONCE (plans/pin.py; it is consumed twice per iteration), the
+    weight table re-pinned per iteration (two consumers next round — the
+    PageRank 2^k plan-growth rule). Every recurrence edge is rounded to
+    6 dp so the fixed-iteration model is bit-replicable in SQL (same
+    convention as host_hits' per-half-step floor; NOTES.md round-5).
+
+    Returns the (bucket, weight) table, bias at bucket -1."""
+    from eventanalysis_spark.plans.pin import Pinner
+
+    feat = _lr_features(docs, text_col, id_col, num_buckets, hash_fn)
+    labels = docs.select(
+        F.col(id_col), F.col(label_col).cast("double").alias("__y")
+    )
+    if pin is not None:
+        p = Pinner(pin)
+        feat = p(feat)
+        labels = p(labels)
+    n_docs = labels.count()
+    w = feat.select("bucket").distinct().select(
+        "bucket", F.lit(0.0).alias("weight")
+    )
+    wpin = Pinner(pin) if pin is not None else None
+    for _ in range(iterations):
+        z = (
+            feat.join(F.broadcast(w), "bucket")
+            .groupBy(id_col)
+            .agg(F.round(F.sum(F.col("x") * F.col("weight")), 6).alias("__z"))
+        )
+        resid = labels.join(z, id_col).select(
+            F.col(id_col),
+            F.round(
+                F.col("__y") - F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__z"))),
+                6,
+            ).alias("__r"),
+        )
+        grad = (
+            feat.join(resid, id_col)
+            .groupBy("bucket")
+            .agg(F.round(F.sum(F.col("x") * F.col("__r")), 6).alias("__g"))
+        )
+        w = (
+            w.join(F.broadcast(grad), "bucket", "left")
+            .select(
+                "bucket",
+                F.round(
+                    F.col("weight")
+                    + F.lit(learning_rate)
+                    * F.coalesce("__g", F.lit(0.0))
+                    / F.lit(float(n_docs)),
+                    6,
+                ).alias("weight"),
+            )
+        )
+        if wpin is not None:
+            w = wpin(w)
+    return w
+
+
+def lr_score(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Score docs under an lr_train model: (id, lr_score, lr_pred) with
+    lr_score = round(σ(round(z, 6)), 6). Broadcast weight probe — the
+    corpus never shuffles beyond the per-doc partial aggregate."""
+    feat = _lr_features(docs, text_col, id_col, num_buckets, hash_fn)
+    z = (
+        feat.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(F.round(F.sum(F.col("x") * F.col("weight")), 6).alias("__z"))
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__z"))), 6)
+    return z.select(
+        F.col(id_col), p.alias("lr_score"), (F.col("__z") > 0).alias("lr_pred")
+    )

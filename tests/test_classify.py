@@ -136,3 +136,75 @@ def test_model_broadcast_in_score_plan(spark, docs):
     # the score plan (train's densify join is broadcast too)
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+# ---- logistic regression (batch gradient, rounded recurrence) ----------------
+
+def _r6(v: float) -> float:
+    """HALF_UP 6-dp rounding (Spark F.round semantics, away from zero)."""
+    return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+
+
+def _lr_ref_scores(docs, buckets=B, lr=0.5, iters=3):
+    """Independent NumPy-free reference of the EXACT lr_train recurrence
+    (same hashing, same tf features, same 6-dp rounding at every edge)."""
+    feat: dict[int, dict[int, float]] = {}
+    labels: dict[int, float] = {}
+    for did, text, y in docs:
+        labels[did] = 1.0 if y else 0.0
+        toks = text.lower().split()
+        row: dict[int, int] = {}
+        for t in toks:
+            b = _bucket(t)
+            row[b] = row.get(b, 0) + 1
+        n = sum(row.values())
+        feat[did] = {b: _r6(c / n) for b, c in row.items()}
+        feat[did][-1] = 1.0  # bias
+    n_docs = float(len(docs))
+    w = {b: 0.0 for d in feat.values() for b in d}
+    for _ in range(iters):
+        z = {did: _r6(sum(x * w[b] for b, x in row.items()))
+             for did, row in feat.items()}
+        r = {did: _r6(labels[did] - 1.0 / (1.0 + math.exp(-z[did])))
+             for did in feat}
+        g: dict[int, float] = {}
+        for did, row in feat.items():
+            for b, x in row.items():
+                g[b] = g.get(b, 0.0) + x * r[did]
+        g = {b: _r6(v) for b, v in g.items()}
+        w = {b: _r6(w[b] + lr * g.get(b, 0.0) / n_docs) for b in w}
+    return {
+        did: _r6(1.0 / (1.0 + math.exp(-_r6(
+            sum(x * w[b] for b, x in row.items())))))
+        for did, row in feat.items()
+    }
+
+
+def test_lr_matches_reference_and_separates(spark):
+    from eventanalysis_spark.operators.classify import lr_score, lr_train
+
+    docs_rows = [d for d in DOCS if d[1].strip()]  # token-ful docs
+    docs = spark.createDataFrame(
+        docs_rows, "doc_id long, text string, is_spam boolean"
+    )
+    model = lr_train(
+        docs, "is_spam", num_buckets=B, learning_rate=0.5,
+        iterations=3, hash_fn="md5",
+    )
+    got = {r["doc_id"]: r for r in
+           lr_score(docs, model, num_buckets=B, hash_fn="md5").collect()}
+    want = _lr_ref_scores(docs_rows)
+    for did, s in want.items():
+        assert got[did]["lr_score"] == pytest.approx(s, abs=2e-6), did
+    # discriminative: every spam doc scores above every ham doc
+    spam = [got[d]["lr_score"] for d, _, y in docs_rows if y]
+    ham = [got[d]["lr_score"] for d, _, y in docs_rows if not y]
+    assert min(spam) > max(ham)
+    # deterministic across partitionings
+    model13 = lr_train(
+        docs.repartition(13), "is_spam", num_buckets=B,
+        learning_rate=0.5, iterations=3, hash_fn="md5",
+    )
+    got13 = {r["doc_id"]: r["lr_score"] for r in
+             lr_score(docs, model13, num_buckets=B, hash_fn="md5").collect()}
+    assert got13 == {d: r["lr_score"] for d, r in got.items()}
