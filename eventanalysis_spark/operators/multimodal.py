@@ -599,6 +599,98 @@ def image_near_dups(
     )
 
 
+AUDIO_AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("ahash", LongType()),
+        StructField("oversize", IntegerType()),
+    ]
+)
+
+
+def audio_ahash(media: DataFrame, max_bytes: int = MAX_MEDIA_BYTES) -> DataFrame:
+    """64-bit acoustic fingerprint per clip (Haitsma & Kalker 2002 shape,
+    one band): decode → 65 equal time windows → energy per window → sign
+    of the successive energy DELTAS (64 bits, bit 0 = earliest). Energy
+    ratios are invariant to volume scaling, so a re-encoded or
+    re-normalized copy of the same audio lands within a few Hamming bits.
+    Same codec ladder as audio_features (soundfile → stdlib WAV → fake);
+    oversize payloads emit ahash=NULL, oversize=1. Compose with
+    dedup.hamming64_near_pairs (n_blocks=8) for near-dup pairs."""
+
+    def op(batches):
+        for pdf in batches:
+            ids, hashes, oversize = [], [], []
+            for mid, content, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"]
+            ):
+                n_bytes = len(content) if content is not None else 0
+                if n_bytes > max_bytes:
+                    ids.append(mid); hashes.append(None); oversize.append(1)
+                    continue
+                sr = int(meta["sample_rate"] or 16000) if meta is not None else 16000
+                try:
+                    x = _decode_audio_any(content)
+                    if x.size == 0:
+                        raise NotImplementedError("empty audio stream")
+                except Exception:
+                    x = _fake_samples(content, sr)
+                if x.size < 65:
+                    x = np.pad(x, (0, 65 - x.size))
+                w = x[: (len(x) // 65) * 65].reshape(65, -1)
+                e = (w.astype(np.float64) ** 2).mean(axis=1)
+                bits = e[1:] > e[:-1]  # 64 deltas
+                v = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        v |= 1 << i
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                ids.append(mid); hashes.append(v); oversize.append(0)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "ahash": pd.array(hashes, dtype="Int64"),
+                    "oversize": pd.array(oversize, dtype="Int32"),
+                }
+            )
+
+    pruned = media.where(F.col("modality") == "audio").select(
+        "media_id", "content", "meta"
+    )
+    return pruned.mapInPandas(op, AUDIO_AHASH_SCHEMA)
+
+
+def audio_near_dups(
+    media: DataFrame,
+    max_hamming: int = 6,
+    max_bytes: int = MAX_MEDIA_BYTES,
+    max_bucket_size: int | None = 4096,
+    pin: str | None = "local",
+) -> DataFrame:
+    """Audio near-duplicate pairs: the image_near_dups recipe over the
+    acoustic fingerprint — one decode pass to 8 bytes/row, pinned hash
+    table, pigeonhole 8×8-bit Hamming join with bucket cap. Output:
+    (media_a, media_b, hamming), media_a < media_b."""
+    from eventanalysis_spark.operators.dedup import hamming64_near_pairs
+
+    hashes = audio_ahash(media, max_bytes=max_bytes).where(
+        F.col("oversize") == 0
+    )
+    return hamming64_near_pairs(
+        hashes.select(F.col("media_id").alias("doc_id"), "ahash"),
+        hash_col="ahash",
+        max_hamming=max_hamming,
+        n_blocks=8,
+        max_bucket_size=max_bucket_size,
+        pin=pin,
+    ).select(
+        F.col("id_a").alias("media_a"),
+        F.col("id_b").alias("media_b"),
+        "hamming",
+    )
+
+
 # ---- synthetic media table (deterministic, for tests/bench) -----------------
 
 def media_batch(ids: np.ndarray, seed: int = 42) -> pd.DataFrame:

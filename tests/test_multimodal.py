@@ -420,3 +420,43 @@ def test_audio_features_real_for_wav_fake_otherwise(spark):
     assert len(w["feature"]) == 32
     # fake path still total + deterministic
     assert got["ogg1"]["rms"] is not None
+
+
+# ---- acoustic fingerprint dedup ----------------------------------------------
+
+def test_audio_ahash_scale_invariant_and_near_dups(spark):
+    """Volume-scaled copies of the same REAL WAV clip hash identically
+    (energy-delta signs are scale-invariant); tiny additive noise lands
+    within the Hamming radius; a different signal does not pair."""
+    from eventanalysis_spark.operators.multimodal import (
+        audio_ahash,
+        audio_near_dups,
+    )
+
+    rng = np.random.default_rng(21)
+    sr = 8000
+    t = np.arange(2 * sr) / sr
+    # amplitude-modulated tone: energy envelope varies across windows
+    base = (0.5 * np.sin(2 * np.pi * 330 * t)
+            * (0.4 + 0.3 * np.sin(2 * np.pi * 1.7 * t))).astype(np.float32)
+    scaled = (0.4 * base).astype(np.float32)          # volume change
+    noisy = (base + rng.normal(0, 0.002, base.shape)).astype(np.float32)
+    other = rng.normal(0, 0.3, base.shape).astype(np.float32)  # white noise
+    rows = []
+    for mid, sig in [("a_base", base), ("b_scaled", scaled),
+                     ("c_noisy", noisy), ("d_other", other)]:
+        wav = _make_wav(sig, sr=sr, width=2)
+        rows.append((mid, "audio", "audio/wav", bytearray(wav),
+                     (None, None, 2000, sr, len(wav))))
+    df = _media_rows_df(spark, rows)
+    h = {r["media_id"]: r["ahash"] for r in audio_ahash(df).collect()}
+    assert h["a_base"] == h["b_scaled"]  # exact scale invariance
+    mask = (1 << 64) - 1
+    d_noisy = bin((h["a_base"] ^ h["c_noisy"]) & mask).count("1")
+    d_other = bin((h["a_base"] ^ h["d_other"]) & mask).count("1")
+    assert d_noisy <= 6 < d_other
+    pairs = {(r["media_a"], r["media_b"]): r["hamming"]
+             for r in audio_near_dups(df, max_hamming=6).collect()}
+    assert ("a_base", "b_scaled") in pairs and pairs[("a_base", "b_scaled")] == 0
+    assert ("a_base", "c_noisy") in pairs
+    assert not any("d_other" in p for p in pairs)
