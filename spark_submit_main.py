@@ -345,18 +345,23 @@ def cmd_media_dedup(args) -> int:
     media table (operators/multimodal.py::image_near_dups — codec ladder
     Pillow → stdlib PNG → deterministic fake), pigeonhole Hamming
     candidate join, connected components over the near-dup pairs, keep
-    the min-id representative per cluster. Non-image modalities and
-    oversize payloads pass through untouched. Writes SURVIVORS and a
+    the min-id representative per cluster. Audio clips dedup the same way via --modality audio
+    (acoustic fingerprint). Other modalities and oversize payloads pass
+    through untouched. Writes SURVIVORS and a
     TOMBSTONES table (media_id, reason, duplicate_of)."""
     from pyspark.sql import functions as F
 
     from eventanalysis_spark.operators.cluster import connected_components
-    from eventanalysis_spark.operators.multimodal import image_near_dups
+    from eventanalysis_spark.operators.multimodal import (
+        audio_near_dups,
+        image_near_dups,
+    )
 
     spark = _spark(args)
     media = spark.read.parquet(args.source)
     n_in = media.count()
-    pairs = image_near_dups(
+    near = image_near_dups if args.modality == "image" else audio_near_dups
+    pairs = near(
         media,
         max_hamming=args.max_hamming,
         max_bucket_size=args.max_bucket_size,
@@ -368,7 +373,7 @@ def cmd_media_dedup(args) -> int:
     )
     tombstones = comp.where(F.col("id") != F.col("comp")).select(
         F.col("id").alias("media_id"),
-        F.lit("image_near_dup").alias("reason"),
+        F.lit(args.modality + "_near_dup").alias("reason"),
         F.col("comp").alias("duplicate_of"),
     )
     survivors = media.join(
@@ -832,6 +837,9 @@ def main(argv=None) -> int:
     md.add_argument("--out", required=True, help="survivors parquet")
     md.add_argument("--tombstones", default=None,
                     help="tombstones parquet (default <out>_tombstones)")
+    md.add_argument("--modality", default="image", choices=["image", "audio"],
+                    help="dedup images (dHash) or audio clips (acoustic "
+                         "fingerprint); other modalities pass through")
     md.add_argument("--max-hamming", type=int, default=6,
                     help="dHash Hamming radius (≤ 7 with the 8-block join)")
     md.add_argument("--max-bucket-size", type=int, default=4096)

@@ -468,3 +468,46 @@ def test_media_dedup_cli(tmp_path, spark):
         "m1": ("image_near_dup", "m0"),
         "m2": ("image_near_dup", "m0"),
     }
+
+
+def test_media_dedup_cli_audio(tmp_path, spark):
+    """--modality audio: volume-scaled WAV copy collapses to the min-id
+    clip via the acoustic fingerprint; distinct audio survives."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo")
+    import spark_submit_main as cli
+    from test_multimodal import _make_wav
+
+    rng = np.random.default_rng(31)
+    sr = 8000
+    t = np.arange(2 * sr) / sr
+    base = (0.5 * np.sin(2 * np.pi * 330 * t)
+            * (0.4 + 0.3 * np.sin(2 * np.pi * 1.7 * t))).astype(np.float32)
+    other = rng.normal(0, 0.3, base.shape).astype(np.float32)
+    meta = (None, None, 2000, sr, 100)
+    rows = [
+        ("a0", "audio", "audio/wav", bytearray(_make_wav(base, sr=sr)), meta),
+        ("a1", "audio", "audio/wav",
+         bytearray(_make_wav((0.4 * base).astype(np.float32), sr=sr)), meta),
+        ("a2", "audio", "audio/wav", bytearray(_make_wav(other, sr=sr)), meta),
+    ]
+    src = str(tmp_path / "amedia")
+    spark.createDataFrame(
+        rows,
+        "media_id string, modality string, mime string, content binary, "
+        "meta struct<width:int,height:int,duration_ms:bigint,"
+        "sample_rate:int,n_bytes:bigint>",
+    ).write.parquet(src)
+    out = str(tmp_path / "a_survivors")
+    assert cli.main([
+        "--master", "local[4]", "media-dedup", "--modality", "audio",
+        "--source", src, "--out", out,
+    ]) == 0
+    assert {r["media_id"] for r in spark.read.parquet(out).collect()} == {"a0", "a2"}
+    tomb = spark.read.parquet(out + "_tombstones").collect()
+    assert [(r["media_id"], r["reason"], r["duplicate_of"]) for r in tomb] == [
+        ("a1", "audio_near_dup", "a0")
+    ]
