@@ -625,6 +625,75 @@ def cmd_drift(args) -> int:
     return 0
 
 
+def cmd_quality_score(args) -> int:
+    """Model-based quality scoring over a parquet corpus, one verb for
+    the whole scorer family: --scorer unigram|bigram|kn (self-trained
+    LM perplexity proxies, CCNet direction) or nb|lr (supervised hashed
+    classifiers; --label-col names the boolean training label). Writes
+    (id, score columns) parquet and prints a JSON summary with score
+    quantiles — the triage artifact quality pipelines sort/select on."""
+    from pyspark.sql import functions as F
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.source)
+    ic, tc = args.id_col, args.text_col
+    if args.scorer == "unigram":
+        from eventanalysis_spark.operators.textstats import (
+            unigram_logprob_scores as fn,
+        )
+
+        scored = fn(docs, text_col=tc, id_col=ic)
+        score_col = "avg_neg_logprob"
+    elif args.scorer == "bigram":
+        from eventanalysis_spark.operators.textstats import (
+            bigram_logprob_scores as fn,
+        )
+
+        scored = fn(docs, text_col=tc, id_col=ic)
+        score_col = "avg_neg_logprob"
+    elif args.scorer == "kn":
+        from eventanalysis_spark.operators.textstats import (
+            kneser_ney_bigram_scores as fn,
+        )
+
+        scored = fn(docs, text_col=tc, id_col=ic)
+        score_col = "avg_neg_logprob"
+    elif args.scorer == "nb":
+        from eventanalysis_spark.operators.classify import nb_train_score
+
+        scored = nb_train_score(
+            docs, args.label_col, text_col=tc, id_col=ic,
+            num_buckets=args.buckets,
+        )
+        score_col = "nb_score"
+    else:  # lr
+        from eventanalysis_spark.operators.classify import lr_score, lr_train
+
+        model = lr_train(
+            docs, args.label_col, text_col=tc, id_col=ic,
+            num_buckets=args.buckets, iterations=args.iterations,
+        )
+        scored = lr_score(
+            docs, model, text_col=tc, id_col=ic, num_buckets=args.buckets
+        )
+        score_col = "lr_score"
+    scored.write.mode("overwrite").parquet(args.out)
+    back = spark.read.parquet(args.out)
+    qs = back.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.round(F.expr(f"percentile({score_col}, {q})"), 6).alias(f"p{int(q * 100)}")
+            for q in (0.1, 0.5, 0.9)
+        ],
+    ).collect()[0]
+    print(json.dumps({
+        "scorer": args.scorer, "docs": qs["n"], "score_col": score_col,
+        "p10": qs["p10"], "p50": qs["p50"], "p90": qs["p90"],
+        "out": args.out,
+    }))
+    return 0
+
+
 def cmd_clean(args) -> int:
     """C4-style corpus cleaning (Raffel et al. 2020 §2.2): line-level
     filter (terminal punctuation, min words, banned line terms) + doc
@@ -847,6 +916,19 @@ def main(argv=None) -> int:
                     help="materialization strategy: local|persist|checkpoint")
     md.add_argument("--checkpoint-every", type=int, default=4)
     md.set_defaults(fn=cmd_media_dedup)
+
+    qsv = sub.add_parser("quality-score")
+    qsv.add_argument("--source", required=True, help="corpus parquet")
+    qsv.add_argument("--out", required=True, help="scores parquet")
+    qsv.add_argument("--scorer", default="kn",
+                     choices=["unigram", "bigram", "kn", "nb", "lr"])
+    qsv.add_argument("--label-col", default=None,
+                     help="boolean label column (nb/lr scorers)")
+    qsv.add_argument("--text-col", default="text")
+    qsv.add_argument("--id-col", default="doc_id")
+    qsv.add_argument("--buckets", type=int, default=4096)
+    qsv.add_argument("--iterations", type=int, default=3, help="lr rounds")
+    qsv.set_defaults(fn=cmd_quality_score)
 
     sq = sub.add_parser("sql")
     sq.add_argument("--warehouse", required=True)

@@ -511,3 +511,50 @@ def test_media_dedup_cli_audio(tmp_path, spark):
     assert [(r["media_id"], r["reason"], r["duplicate_of"]) for r in tomb] == [
         ("a1", "audio_near_dup", "a0")
     ]
+
+
+def test_quality_score_cli(tmp_path, spark):
+    """quality-score verb: KN perplexity (self-trained) and LR (labeled)
+    both write a scores parquet and print sane quantiles."""
+    import io
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "/root/repo")
+    import spark_submit_main as cli
+
+    # fluent docs share high-count bigrams (the model rewards them);
+    # doc 3 is all-singleton gibberish
+    rows = [
+        (1, "the cat sat on the mat the cat sat on the mat", True),
+        (2, "the cat sat on the mat the dog sat on the mat", True),
+        (3, "zz qq xx vv kk jj pp ww", False),
+        (4, "the dog sat on the mat the cat sat on the mat", True),
+    ]
+    src = str(tmp_path / "qdocs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, is_good boolean"
+    ).write.parquet(src)
+
+    out_kn = str(tmp_path / "kn_scores")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert cli.main(["--master", "local[4]", "quality-score",
+                         "--source", src, "--out", out_kn,
+                         "--scorer", "kn"]) == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["docs"] == 4 and rep["p10"] <= rep["p50"] <= rep["p90"]
+    kn = {r["doc_id"]: r["avg_neg_logprob"]
+          for r in spark.read.parquet(out_kn).collect()}
+    # the gibberish doc is the least fluent under the self-trained LM
+    assert kn[3] == max(kn.values())
+
+    out_lr = str(tmp_path / "lr_scores")
+    with redirect_stdout(io.StringIO()):
+        assert cli.main(["--master", "local[4]", "quality-score",
+                         "--source", src, "--out", out_lr,
+                         "--scorer", "lr", "--label-col", "is_good",
+                         "--buckets", "64"]) == 0
+    lr = {r["doc_id"]: r["lr_score"]
+          for r in spark.read.parquet(out_lr).collect()}
+    assert min(lr[1], lr[2], lr[4]) > lr[3]
