@@ -621,6 +621,30 @@ def cmd_drift(args) -> int:
         report["unigram_js"] = div["js_div"]
         report["unigram_kl_old_new"] = div["kl_ab"]
         report["vocab_size"] = div["vocab_size"]
+    if args.vocab_k:
+        # vocabulary-coverage drift: how much of the NEW crawl falls
+        # outside the OLD crawl's top-k vocab (tokenizer-rot signal) —
+        # read next to its self-coverage baseline on the old crawl
+        from eventanalysis_spark.operators.textstats import (
+            oov_stats,
+            vocab_topk,
+        )
+
+        vocab = vocab_topk(old, k=args.vocab_k, text_col=args.text_col)
+        for side, df in (("old", old), ("new", new)):
+            r = (
+                oov_stats(df, vocab=vocab, text_col=args.text_col,
+                          id_col=args.id_col)
+                .agg(
+                    F.round(F.avg("oov_rate"), 6).alias("mean"),
+                    F.round(
+                        F.expr("percentile(oov_rate, 0.9)"), 6
+                    ).alias("p90"),
+                )
+                .collect()[0]
+            )
+            report[f"oov_{side}_mean"] = r["mean"]
+            report[f"oov_{side}_p90"] = r["p90"]
     print(json.dumps(report, default=str))
     return 0
 
@@ -973,6 +997,11 @@ def main(argv=None) -> int:
                     help="PSI upper length bound (values clamp into edge bins)")
     dr.add_argument("--tokens", action="store_true",
                     help="also compute unigram KL/JS token divergence")
+    dr.add_argument("--vocab-k", type=int, default=0,
+                    help="also report OOV-rate drift vs the old crawl's "
+                         "top-k vocabulary (0 = off)")
+    dr.add_argument("--id-col", default="url",
+                    help="doc id column for the --vocab-k OOV aggregate")
     dr.set_defaults(fn=cmd_drift)
 
     cl = sub.add_parser("clean")

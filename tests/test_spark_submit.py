@@ -558,3 +558,29 @@ def test_quality_score_cli(tmp_path, spark):
     lr = {r["doc_id"]: r["lr_score"]
           for r in spark.read.parquet(out_lr).collect()}
     assert min(lr[1], lr[2], lr[4]) > lr[3]
+
+
+def test_drift_cli_vocab_oov(tmp_path, spark, capsys):
+    """--vocab-k OOV drift: a new crawl written in novel tokens shows a
+    much higher OOV rate against the old crawl's vocab than the old
+    crawl's own self-coverage."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import spark_submit_main as cli
+
+    old_rows = [(f"u{i}", "the cat sat on the mat", "en") for i in range(20)]
+    new_rows = [(f"v{i}", "zorp blix quang fethra womp", "en") for i in range(20)]
+    old = str(tmp_path / "do"); new = str(tmp_path / "dn")
+    spark.createDataFrame(old_rows, "url string, text string, lang string") \
+        .write.parquet(old)
+    spark.createDataFrame(new_rows, "url string, text string, lang string") \
+        .write.parquet(new)
+    capsys.readouterr()
+    assert cli.main([
+        "--master", "local[4]", "drift", "--old", old, "--new", new,
+        "--vocab-k", "50",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["oov_old_mean"] == 0.0      # old crawl fully covered
+    assert rep["oov_new_mean"] == 1.0      # novel tokens: fully OOV
