@@ -1280,6 +1280,30 @@ def main() -> None:
         "oracle replays training exactly (3 MATERIALIZED rounds).",
     )
 
+    # 43. OOV scoring: k-row vocab broadcast, top-k without a global sort
+    from eventanalysis_spark.operators.textstats import oov_stats
+
+    q43 = oov_stats(
+        pages.select(F.col("url").alias("doc_id"), "text"), k=200
+    )
+    plan43 = q43._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "OOV-rate scoring: broadcast vocab, TakeOrdered top-k",
+        q43,
+        [
+            ("the vocab probe is a BroadcastHashJoin (token stream never "
+             "sort-merges on a word key)",
+             "BroadcastHashJoin" in plan43),
+            ("the top-k vocab is TakeOrderedAndProject (per-partition "
+             "heaps — no global sort of the unigram table)",
+             "TakeOrderedAndProject" in plan43),
+            ("no Python anywhere", "Python" not in plan43),
+        ],
+        "operators/textstats.py::vocab_topk/oov_stats — the tokenizer-prep "
+        "coverage diagnostic: the only row-scale shuffle is the per-doc "
+        "aggregate; the vocabulary side is k rows end-to-end.",
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the engine's key paths\n\n"
