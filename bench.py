@@ -570,6 +570,9 @@ def write_bench_md(payload: dict) -> None:
     soak = _prev_section("## Spill-path soak")
     if soak:
         lines += ["## Spill-path soak (tools/soak_spill.py)", ""] + soak
+    media = _prev_section("## Multimodal throughput")
+    if media:
+        lines += ["## Multimodal throughput (tools/bench_media.py)", ""] + media
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
         f.write("\n".join(lines))
 
