@@ -540,10 +540,18 @@ def hamming64_near_pairs(
     n_blocks: int = 4,
     max_bucket_size: int | None = 4096,
     pin: str | None = "local",
+    align_cols: list[str] | None = None,
 ) -> DataFrame:
     """Generic 64-bit Hamming near-pair search over a precomputed hash
-    column — the blocking core shared by SimHash text dedup and
-    perceptual-hash image dedup (multimodal.image_near_dups).
+    column — the blocking core shared by SimHash text dedup,
+    perceptual-hash image dedup (multimodal.image_near_dups), and
+    frame-aligned video dedup (multimodal.video_near_dups).
+
+    `align_cols` (optional) names extra columns of `hashes` that must be
+    EQUAL for two rows to pair (e.g. frame_idx for videos): they join
+    into the block key and the bucket-cap partition, so candidates only
+    form inside an alignment group. Output carries them alongside
+    (id_a, id_b, hamming).
 
     `pin` (plans/pin.py strategy, None = off) materializes the
     (doc_id, hash) table ONCE before the self-join: both join sides
@@ -571,8 +579,9 @@ def hamming64_near_pairs(
         )
     width = 64 // n_blocks
     mask = (1 << width) - 1
+    align = list(align_cols or [])
     hashes = hashes.select(
-        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("sh")
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("sh"), *align
     )
     if pin is not None:
         from eventanalysis_spark.plans.pin import Pinner
@@ -581,6 +590,7 @@ def hamming64_near_pairs(
     blocked = hashes.select(
         F.col("doc_id"),
         F.col("sh"),
+        *[F.col(c) for c in align],
         F.explode(
             F.array(
                 *[
@@ -594,25 +604,28 @@ def hamming64_near_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "sh", "b.blk", "b.key")
+    ).select("doc_id", "sh", *align, "b.blk", "b.key")
     if max_bucket_size is not None:
-        w = Window.partitionBy("blk", "key").orderBy("doc_id")
+        w = Window.partitionBy("blk", "key", *align).orderBy("doc_id")
         blocked = (
             blocked.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= max_bucket_size)
             .drop("__rn")
         )
     a, b = blocked.alias("a"), blocked.alias("b")
+    cond = (
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    for c in align:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     cand = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, cond)
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
+            *[F.col(f"a.{c}").alias(c) for c in align],
             F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
         )
         .distinct()

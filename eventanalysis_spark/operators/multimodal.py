@@ -691,6 +691,115 @@ def audio_near_dups(
     )
 
 
+VIDEO_VHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("vhash", LongType()),
+    ]
+)
+
+
+def video_vhash(
+    media: DataFrame, k: int = 4, max_bytes: int = MAX_MEDIA_BYTES
+) -> DataFrame:
+    """Per-frame dHash over the evenly-spread k-frame sample (same W2
+    pick formula as video_frame_sample) → (media_id, frame_idx, vhash).
+    A re-encoded copy of the same video yields aligned frames within a
+    few Hamming bits each; frame_idx keeps comparisons aligned so two
+    different videos sharing one stock frame don't collapse. Oversize
+    payloads emit no rows (routed upstream by image/audio passes)."""
+
+    def op(batches):
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for mid, content, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"]
+            ):
+                n_bytes = len(content) if content is not None else 0
+                if n_bytes > max_bytes:
+                    continue
+                dur = int(meta["duration_ms"] or 1000) if meta is not None else 1000
+                n_frames = max(1, dur // 40)  # 25 fps
+                picks = sorted({(n_frames - 1) * i // max(1, k - 1) for i in range(k)})
+                try:
+                    frames = _decode_video_frames_real(content, len(picks))
+                except Exception:
+                    frames = np.stack(
+                        [
+                            _fake_pixels((content or b"") + bytes([j % 256]), 9, 9)
+                            for j in picks
+                        ]
+                    )
+                for pos, (j, fr) in enumerate(zip(picks, frames)):
+                    gray = _pool_to_thumb(fr, 9).mean(axis=2)
+                    bits = (gray[:8, 1:] > gray[:8, :-1]).reshape(-1)
+                    v = 0
+                    for i, b in enumerate(bits):
+                        if b:
+                            v |= 1 << i
+                    if v >= 1 << 63:
+                        v -= 1 << 64
+                    ids.append(mid); idxs.append(pos); hashes.append(v)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "vhash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    pruned = media.where(F.col("modality") == "video").select(
+        "media_id", "content", "meta"
+    )
+    return pruned.mapInPandas(op, VIDEO_VHASH_SCHEMA)
+
+
+def video_near_dups(
+    media: DataFrame,
+    k: int = 4,
+    max_hamming: int = 6,
+    min_frames: int | None = None,
+    max_bytes: int = MAX_MEDIA_BYTES,
+    max_bucket_size: int | None = 4096,
+    pin: str | None = "local",
+) -> DataFrame:
+    """Video near-duplicate pairs: per-frame dHash, FRAME-ALIGNED
+    pigeonhole Hamming join (align_cols=[frame_idx] — candidates only
+    form between the same sample position), then per-pair rollup
+    requiring `min_frames` aligned matches (default: all k). Output:
+    (media_a, media_b, n_frames_matched, max_hamming_matched). One
+    decode pass; the join moves (media_id, frame_idx, vhash) postings
+    only."""
+    from eventanalysis_spark.operators.dedup import hamming64_near_pairs
+
+    need = k if min_frames is None else min_frames
+    hashes = video_vhash(media, k=k, max_bytes=max_bytes)
+    frame_pairs = hamming64_near_pairs(
+        hashes.select(F.col("media_id").alias("doc_id"), "frame_idx", "vhash"),
+        hash_col="vhash",
+        max_hamming=max_hamming,
+        n_blocks=8,
+        max_bucket_size=max_bucket_size,
+        pin=pin,
+        align_cols=["frame_idx"],
+    )
+    return (
+        frame_pairs.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_matched"),
+            F.max("hamming").alias("max_hamming_matched"),
+        )
+        .where(F.col("n_frames_matched") >= need)
+        .select(
+            F.col("id_a").alias("media_a"),
+            F.col("id_b").alias("media_b"),
+            "n_frames_matched",
+            "max_hamming_matched",
+        )
+    )
+
+
 # ---- synthetic media table (deterministic, for tests/bench) -----------------
 
 def media_batch(ids: np.ndarray, seed: int = 42) -> pd.DataFrame:

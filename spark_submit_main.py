@@ -355,12 +355,14 @@ def cmd_media_dedup(args) -> int:
     from eventanalysis_spark.operators.multimodal import (
         audio_near_dups,
         image_near_dups,
+        video_near_dups,
     )
 
     spark = _spark(args)
     media = spark.read.parquet(args.source)
     n_in = media.count()
-    near = image_near_dups if args.modality == "image" else audio_near_dups
+    near = {"image": image_near_dups, "audio": audio_near_dups,
+            "video": video_near_dups}[args.modality]
     pairs = near(
         media,
         max_hamming=args.max_hamming,
@@ -930,9 +932,12 @@ def main(argv=None) -> int:
     md.add_argument("--out", required=True, help="survivors parquet")
     md.add_argument("--tombstones", default=None,
                     help="tombstones parquet (default <out>_tombstones)")
-    md.add_argument("--modality", default="image", choices=["image", "audio"],
-                    help="dedup images (dHash) or audio clips (acoustic "
-                         "fingerprint); other modalities pass through")
+    md.add_argument("--modality", default="image",
+                    choices=["image", "audio", "video"],
+                    help="dedup images (dHash), audio clips (acoustic "
+                         "fingerprint), or videos (frame-aligned dHash, "
+                         "all sampled frames must match); other "
+                         "modalities pass through")
     md.add_argument("--max-hamming", type=int, default=6,
                     help="dHash Hamming radius (≤ 7 with the 8-block join)")
     md.add_argument("--max-bucket-size", type=int, default=4096)

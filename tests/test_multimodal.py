@@ -460,3 +460,37 @@ def test_audio_ahash_scale_invariant_and_near_dups(spark):
     assert ("a_base", "b_scaled") in pairs and pairs[("a_base", "b_scaled")] == 0
     assert ("a_base", "c_noisy") in pairs
     assert not any("d_other" in p for p in pairs)
+
+
+# ---- frame-aligned video dedup -------------------------------------------
+
+def test_video_near_dups_frame_aligned(spark):
+    """Identical video content pairs on ALL k aligned frames; distinct
+    content does not pair; a single shared frame position can't collapse
+    two different videos (min_frames gate)."""
+    from eventanalysis_spark.operators.multimodal import (
+        video_near_dups,
+        video_vhash,
+    )
+
+    meta = (None, None, 2000, None, 24)
+    rows = [
+        ("v0", "video", "video/mp4", bytearray(b"same-stream-bytes-AAAA"), meta),
+        ("v1", "video", "video/mp4", bytearray(b"same-stream-bytes-AAAA"), meta),
+        ("v2", "video", "video/mp4", bytearray(b"other-stream-bytes-ZZ"), meta),
+    ]
+    df = _media_rows_df(spark, rows)
+    h = video_vhash(df, k=4).collect()
+    per = {}
+    for r in h:
+        per.setdefault(r["media_id"], {})[r["frame_idx"]] = r["vhash"]
+    assert per["v0"] == per["v1"]          # same bytes → same frame hashes
+    assert per["v0"] != per["v2"]
+    assert set(per["v0"]) == {0, 1, 2, 3}  # aligned positions
+    pairs = video_near_dups(df, k=4, max_hamming=6).collect()
+    assert [(r["media_a"], r["media_b"], r["n_frames_matched"],
+             r["max_hamming_matched"]) for r in pairs] == [("v0", "v1", 4, 0)]
+    # hamming64 alignment: pairs only form at equal frame_idx — prove by
+    # requiring just 1 matching frame and checking v2 still stays out
+    loose = video_near_dups(df, k=4, max_hamming=6, min_frames=1).collect()
+    assert {(r["media_a"], r["media_b"]) for r in loose} == {("v0", "v1")}

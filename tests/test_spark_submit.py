@@ -584,3 +584,36 @@ def test_drift_cli_vocab_oov(tmp_path, spark, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["oov_old_mean"] == 0.0      # old crawl fully covered
     assert rep["oov_new_mean"] == 1.0      # novel tokens: fully OOV
+
+
+def test_media_dedup_cli_video(tmp_path, spark):
+    """--modality video: byte-identical streams collapse (all sampled
+    frames match); distinct streams survive."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import spark_submit_main as cli
+
+    meta = (None, None, 2000, None, 22)
+    rows = [
+        ("v0", "video", "video/mp4", bytearray(b"stream-bytes-alpha"), meta),
+        ("v1", "video", "video/mp4", bytearray(b"stream-bytes-alpha"), meta),
+        ("v2", "video", "video/mp4", bytearray(b"stream-bytes-omega"), meta),
+    ]
+    src = str(tmp_path / "vmedia")
+    spark.createDataFrame(
+        rows,
+        "media_id string, modality string, mime string, content binary, "
+        "meta struct<width:int,height:int,duration_ms:bigint,"
+        "sample_rate:int,n_bytes:bigint>",
+    ).write.parquet(src)
+    out = str(tmp_path / "v_survivors")
+    assert cli.main([
+        "--master", "local[4]", "media-dedup", "--modality", "video",
+        "--source", src, "--out", out,
+    ]) == 0
+    assert {r["media_id"] for r in spark.read.parquet(out).collect()} == {"v0", "v2"}
+    tomb = spark.read.parquet(out + "_tombstones").collect()
+    assert [(r["media_id"], r["reason"], r["duplicate_of"]) for r in tomb] == [
+        ("v1", "video_near_dup", "v0")
+    ]
