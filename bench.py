@@ -294,6 +294,9 @@ def timed_queries(spark) -> dict[str, float]:
         "eval_roc_auc",
         "host_profile",
         "hard_negatives",
+        "kn_bigram_logprob",
+        "lr_quality_score",
+        "vocab_oov",
     ]
     qs = entry.queries()
     best: dict[str, float] = {}
