@@ -2748,6 +2748,33 @@ def q_lr_quality_score(spark, sf):
     )
 
 
+def q_frontier_schedule(spark, sf):
+    """Crawl-frontier politeness scheduling (operators/frontier.py):
+    candidate URLs ranked within host by priority (n_chars here; host
+    PageRank in production), slot = floor(rank/4) so no host takes more
+    than 4 fetches per politeness window, mega-host tail capped at 30.
+    One host-keyed window, no joins."""
+    from eventanalysis_spark.operators.frontier import frontier_schedule
+
+    docs = _t(spark, sf, "documents")
+    urls = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("source").alias("host"),
+        F.col("n_chars").alias("priority"),
+    )
+    return (
+        frontier_schedule(
+            urls, per_host_slots=4, max_per_host=30,
+            priority_col="priority",
+        )
+        .select("host", "url", "host_rank", "slot")
+        .orderBy("host", "host_rank")
+    )
+
+
 def q_ngram_novelty(spark, sf):
     """n-gram novelty vs an existing corpus (operators/selection.py::
     ngram_novelty): docs with doc_id % 5 == 0 stand in for the corpus
@@ -2974,6 +3001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "kn_bigram_logprob": q_kn_bigram_logprob,
         "lr_quality_score": q_lr_quality_score,
+        "frontier_schedule": q_frontier_schedule,
         "ngram_novelty": q_ngram_novelty,
         "host_profile": q_host_profile,
         "pq_topk": q_pq_topk,
@@ -7176,4 +7204,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "lr_quality_score": _lr_oracle_sql(buckets=512, lr=0.5, iters=3),
+        "frontier_schedule": """
+            WITH ranked AS (
+              SELECT source AS host,
+                     'https://' || source || '/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC,
+                                'https://' || source || '/'
+                                  || CAST(doc_id AS VARCHAR) ASC
+                     ) AS host_rank
+              FROM documents
+            )
+            SELECT host, url, CAST(host_rank AS INT) AS host_rank,
+                   CAST(floor((host_rank - 1) / 4.0) AS BIGINT) AS slot
+            FROM ranked WHERE host_rank <= 30
+            ORDER BY host, host_rank
+        """,
     }
