@@ -651,6 +651,57 @@ def cmd_drift(args) -> int:
     return 0
 
 
+def cmd_frontier(args) -> int:
+    """Plan the next crawl: schedule candidate URLs into politeness
+    slots (≤ --per-host-slots fetches per host per slot, --max-per-host
+    cap on mega-hosts), optionally prioritized by a (host, rank) parquet
+    from `link-rank` — the PageRank/TrustRank → frontier composition.
+    Writes the scheduled frontier parquet and prints the per-slot
+    capacity report head."""
+    from pyspark.sql import functions as F
+
+    from eventanalysis_spark.operators.frontier import (
+        frontier_schedule,
+        frontier_slot_report,
+    )
+    from eventanalysis_spark.operators.webfilter import url_parts
+
+    spark = _spark(args)
+    urls = spark.read.parquet(args.source)
+    if "host" not in urls.columns:
+        urls = urls.withColumn("host", url_parts(F.col(args.url_col))["host"])
+    priority = None
+    if args.ranks:
+        ranks = spark.read.parquet(args.ranks).select(
+            "host", F.col("rank").alias("__prio")
+        )
+        urls = urls.join(F.broadcast(ranks), "host", "left").withColumn(
+            "__prio", F.coalesce("__prio", F.lit(0.0))
+        )
+        priority = "__prio"
+    sched = frontier_schedule(
+        urls,
+        per_host_slots=args.per_host_slots,
+        max_per_host=args.max_per_host,
+        url_col=args.url_col,
+        priority_col=priority,
+    ).drop("__prio")
+    sched.write.mode("overwrite").parquet(args.out)
+    back = spark.read.parquet(args.out)
+    rep = frontier_slot_report(back).limit(args.report_slots).collect()
+    print(json.dumps({
+        "urls_in": urls.count(),
+        "urls_scheduled": back.count(),
+        "n_slots": back.agg(F.max("slot")).collect()[0][0],
+        "slots_head": [
+            {"slot": r["slot"], "n_urls": r["n_urls"], "n_hosts": r["n_hosts"]}
+            for r in rep
+        ],
+        "out": args.out,
+    }))
+    return 0
+
+
 def cmd_quality_score(args) -> int:
     """Model-based quality scoring over a parquet corpus, one verb for
     the whole scorer family: --scorer unigram|bigram|kn (self-trained
@@ -945,6 +996,18 @@ def main(argv=None) -> int:
                     help="materialization strategy: local|persist|checkpoint")
     md.add_argument("--checkpoint-every", type=int, default=4)
     md.set_defaults(fn=cmd_media_dedup)
+
+    fr = sub.add_parser("frontier")
+    fr.add_argument("--source", required=True,
+                    help="candidate urls parquet (url[, host, ...])")
+    fr.add_argument("--out", required=True, help="scheduled frontier parquet")
+    fr.add_argument("--ranks", default=None,
+                    help="(host, rank) parquet from link-rank → priority")
+    fr.add_argument("--url-col", default="url")
+    fr.add_argument("--per-host-slots", type=int, default=1)
+    fr.add_argument("--max-per-host", type=int, default=None)
+    fr.add_argument("--report-slots", type=int, default=5)
+    fr.set_defaults(fn=cmd_frontier)
 
     qsv = sub.add_parser("quality-score")
     qsv.add_argument("--source", required=True, help="corpus parquet")

@@ -45,3 +45,35 @@ def test_frontier_schedule_politeness_and_cap(spark):
     assert {r["url"]: (r["host_rank"], r["slot"]) for r in out13.collect()} == got
     with pytest.raises(ValueError):
         frontier_schedule(urls, per_host_slots=0)
+
+
+def test_frontier_cli_with_ranks(tmp_path, spark, capsys):
+    """frontier verb: host derived from url, link-rank priorities pulled
+    in via --ranks (higher-ranked hosts' URLs... rank orders WITHIN a
+    host, so here it proves the join + schedule plumbing end-to-end)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import spark_submit_main as cli
+
+    urls = [(f"https://h{i % 3}.example/p{i:02d}",) for i in range(12)]
+    src = str(tmp_path / "urls")
+    spark.createDataFrame(urls, "url string").write.parquet(src)
+    ranks = str(tmp_path / "ranks")
+    spark.createDataFrame(
+        [("h0.example", 3.0), ("h1.example", 2.0), ("h2.example", 1.0)],
+        "host string, rank double",
+    ).write.parquet(ranks)
+    out = str(tmp_path / "sched")
+    capsys.readouterr()
+    assert cli.main([
+        "--master", "local[4]", "frontier", "--source", src, "--out", out,
+        "--ranks", ranks, "--per-host-slots", "2", "--max-per-host", "3",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["urls_in"] == 12 and rep["urls_scheduled"] == 9  # 3 hosts × cap 3
+    assert rep["n_slots"] == 1  # 3 per host / 2 per slot → slots 0,1
+    back = spark.read.parquet(out)
+    assert back.where("slot = 0").count() == 6  # 2 per host × 3 hosts
+    assert set(back.columns) >= {"url", "host", "host_rank", "slot"}
