@@ -42,6 +42,16 @@ Subcommands:
   clean     — C4-style corpus cleaning: line filter + badword /
               placeholder-text doc gates (+ --gopher statistical gate);
               writes survivors with cleaned text, prints the audit
+  media-dedup — perceptual near-dup collapse over a media table:
+              --modality image (dHash) / audio (acoustic fingerprint) /
+              video (frame-aligned dHash); survivors + tombstones
+  quality-score — model-based quality scoring: --scorer unigram|bigram|
+              kn (self-trained LM perplexity) or nb|lr (supervised
+              hashed classifiers); scores parquet + quantile summary
+  frontier  — politeness-scheduled crawl frontier: per-host fetch slots
+              + mega-host cap, optionally prioritized by link-rank output
+  (plus reporting verbs: overview / rollup / export / samples, and the
+  cross-crawl index verbs dedup-index / dedup-incremental)
 """
 
 from __future__ import annotations
