@@ -2775,6 +2775,34 @@ def q_frontier_schedule(spark, sf):
     )
 
 
+def q_robots_gate(spark, sf):
+    """REP (robots.txt) URL gating (operators/robots.py): longest-match
+    allow/disallow over per-host prefix lists — here a uniform ruleset
+    (Disallow /doc/1, Allow /doc/12) applied through the general
+    array-fold matcher; the parser itself is golden-pytested. Rules are
+    host-dimension-sized → broadcast; no row-scale shuffle."""
+    from eventanalysis_spark.operators.robots import robots_filter
+
+    docs = _t(spark, sf, "documents")
+    urls = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("source").alias("host"),
+    )
+    rules = urls.select("host").distinct().select(
+        "host",
+        F.array(F.lit("/doc/12")).alias("allow"),
+        F.array(F.lit("/doc/1")).alias("disallow"),
+    )
+    return (
+        robots_filter(urls, rules, keep_blocked=True)
+        .select("host", "url", "allowed")
+        .orderBy("host", "url")
+    )
+
+
 def q_ngram_novelty(spark, sf):
     """n-gram novelty vs an existing corpus (operators/selection.py::
     ngram_novelty): docs with doc_id % 5 == 0 stand in for the corpus
@@ -3002,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_bigram_logprob": q_kn_bigram_logprob,
         "lr_quality_score": q_lr_quality_score,
         "frontier_schedule": q_frontier_schedule,
+        "robots_gate": q_robots_gate,
         "ngram_novelty": q_ngram_novelty,
         "host_profile": q_host_profile,
         "pq_topk": q_pq_topk,
@@ -7221,5 +7250,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((host_rank - 1) / 4.0) AS BIGINT) AS slot
             FROM ranked WHERE host_rank <= 30
             ORDER BY host, host_rank
+        """,
+        "robots_gate": """
+            SELECT source AS host,
+                   'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR)
+                     AS url,
+                   NOT (starts_with('/doc/' || CAST(doc_id AS VARCHAR),
+                                    '/doc/1')
+                        AND NOT starts_with('/doc/' || CAST(doc_id AS VARCHAR),
+                                            '/doc/12'))
+                     AS allowed
+            FROM documents
+            ORDER BY host, url
         """,
     }
