@@ -49,7 +49,8 @@ Subcommands:
               kn (self-trained LM perplexity) or nb|lr (supervised
               hashed classifiers); scores parquet + quantile summary
   frontier  — politeness-scheduled crawl frontier: per-host fetch slots
-              + mega-host cap, optionally prioritized by link-rank output
+              + mega-host cap, optional link-rank priorities and
+              robots.txt (REP) gating
   (plus reporting verbs: overview / rollup / export / samples, and the
   cross-crawl index verbs dedup-index / dedup-incremental)
 """
@@ -680,6 +681,14 @@ def cmd_frontier(args) -> int:
     urls = spark.read.parquet(args.source)
     if "host" not in urls.columns:
         urls = urls.withColumn("host", url_parts(F.col(args.url_col))["host"])
+    if args.robots:
+        from eventanalysis_spark.operators.robots import (
+            robots_filter,
+            robots_rules,
+        )
+
+        rules = robots_rules(spark.read.parquet(args.robots))
+        urls = robots_filter(urls, rules, url_col=args.url_col)
     priority = None
     if args.ranks:
         ranks = spark.read.parquet(args.ranks).select(
@@ -1013,6 +1022,9 @@ def main(argv=None) -> int:
     fr.add_argument("--out", required=True, help="scheduled frontier parquet")
     fr.add_argument("--ranks", default=None,
                     help="(host, rank) parquet from link-rank → priority")
+    fr.add_argument("--robots", default=None,
+                    help="(host, content) robots.txt parquet → REP gating "
+                         "before scheduling")
     fr.add_argument("--url-col", default="url")
     fr.add_argument("--per-host-slots", type=int, default=1)
     fr.add_argument("--max-per-host", type=int, default=None)

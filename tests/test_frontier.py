@@ -77,3 +77,33 @@ def test_frontier_cli_with_ranks(tmp_path, spark, capsys):
     back = spark.read.parquet(out)
     assert back.where("slot = 0").count() == 6  # 2 per host × 3 hosts
     assert set(back.columns) >= {"url", "host", "host_rank", "slot"}
+
+
+def test_frontier_cli_robots_gate(tmp_path, spark, capsys):
+    """--robots: REP-disallowed URLs never reach the schedule."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import spark_submit_main as cli
+
+    urls = [("https://h0.example/keep/a",), ("https://h0.example/no/b",),
+            ("https://h1.example/no/c",)]
+    src = str(tmp_path / "urls2")
+    spark.createDataFrame(urls, "url string").write.parquet(src)
+    robots = str(tmp_path / "robots")
+    spark.createDataFrame(
+        [("h0.example", "User-agent: *\nDisallow: /no/\n")],
+        "host string, content string",
+    ).write.parquet(robots)
+    out = str(tmp_path / "sched2")
+    capsys.readouterr()
+    assert cli.main([
+        "--master", "local[4]", "frontier", "--source", src, "--out", out,
+        "--robots", robots,
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    kept = {r["url"] for r in spark.read.parquet(out).collect()}
+    # h0 /no/ blocked by its robots; h1 has no robots row → allowed
+    assert kept == {"https://h0.example/keep/a", "https://h1.example/no/c"}
+    assert rep["urls_scheduled"] == 2
