@@ -2890,6 +2890,140 @@ def q_ivfpq_topk(spark, sf):
     )
 
 
+def _trap_urls(spark, sf):
+    """Deterministic frontier synthesized from documents: per source a
+    calendar-trap template (/cal/{d}), an id template (/item/{n}), a
+    faceted-search template (/list?page&sort), and a static page."""
+    docs = _t(spark, sf, "documents")
+    m = F.col("doc_id") % 5
+    path = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("/cal/2024-01-"),
+                F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+            ),
+        )
+        .when(
+            m.isin(1, 2),
+            F.concat(F.lit("/item/"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            m == 3,
+            F.concat(
+                F.lit("/list?page="),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("&sort=asc"),
+            ),
+        )
+        .otherwise(F.lit("/about"))
+    )
+    return docs.select(
+        F.concat(F.lit("https://"), F.col("source"), path).alias("url")
+    )
+
+
+def q_url_trap_stats(spark, sf):
+    """Crawler-trap mining (operators/traps.py::trap_stats): URL →
+    template generalization ({n}/{d}/{h} segments + sorted query-param
+    names), then ONE (host, template) hash aggregate with host totals
+    re-aggregated from the fine rows — never a second corpus scan. The
+    oracle derives each url's template independently from the doc_id
+    arithmetic, so the Spark regexp generalization is checked end-to-end."""
+    from eventanalysis_spark.operators.traps import trap_stats
+
+    return trap_stats(_trap_urls(spark, sf), min_urls=5, min_share=0.15)
+
+
+def q_trap_gate(spark, sf):
+    """Trap capping (operators/traps.py::trap_filter): flagged templates
+    keep their 3 lexicographically-first URLs, everything else passes
+    untouched. Flagged-trap table is dimension-sized → broadcast; only
+    trapped rows enter the capping window."""
+    from eventanalysis_spark.operators.traps import trap_filter
+
+    return trap_filter(
+        _trap_urls(spark, sf), min_urls=5, min_share=0.15,
+        keep_per_template=3,
+    ).orderBy("url")
+
+
+def _sitemap_xml(docs, only_even: bool = False):
+    """Per-source sitemap XML built deterministically from documents
+    (entries ordered by doc_id; even doc_ids carry a lastmod)."""
+    if only_even:
+        docs = docs.where((F.col("doc_id") % 2) == 0)
+    entry = F.concat(
+        F.lit("<url><loc>https://"),
+        F.col("source"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc>"),
+        F.when(
+            (F.col("doc_id") % 2) == 0,
+            F.concat(
+                F.lit("<lastmod>2024-01-"),
+                F.lpad(((F.col("doc_id") % 9) + 1).cast("string"), 2, "0"),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    return (
+        docs.select("source", "doc_id", entry.alias("e"))
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "e"))),
+                        lambda s: s["e"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("content")
+        )
+        .select(F.col("source").alias("host"), "content")
+    )
+
+
+def q_sitemap_parse(spark, sf):
+    """Sitemap XML parsing (operators/sitemaps.py::sitemap_entries):
+    Catalyst regexp block extraction — urlset entries with optional
+    lastmod, parsed from XML the query itself constructs
+    deterministically from documents. The oracle never sees the XML: it
+    derives the expected (host, kind, loc, lastmod) rows straight from
+    doc_id arithmetic, checking the parser end-to-end."""
+    from eventanalysis_spark.operators.sitemaps import sitemap_entries
+
+    xml = _sitemap_xml(_t(spark, sf, "documents"))
+    return sitemap_entries(xml).orderBy("host", "loc")
+
+
+def q_sitemap_coverage(spark, sf):
+    """Discovery-gap report (operators/sitemaps.py::sitemap_coverage):
+    link-derived frontier (doc_id % 3 != 0) vs sitemap inventory
+    (doc_id % 2 == 0, parsed from constructed XML) — per-host counts of
+    both / frontier-only / sitemap-only. Both sides reduce to distinct
+    (host, url) before the full outer join."""
+    from eventanalysis_spark.operators.sitemaps import (
+        sitemap_coverage,
+        sitemap_frontier_urls,
+    )
+
+    docs = _t(spark, sf, "documents")
+    frontier = docs.where((F.col("doc_id") % 3) != 0).select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    sm = sitemap_frontier_urls(_sitemap_xml(docs, only_even=True))
+    return sitemap_coverage(frontier, sm)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the correctness driver certifies the FIRST 50
     # entries, so the window below is 50 exact-oracle showcase queries spanning
@@ -3036,6 +3170,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "hard_negatives": q_hard_negatives,
+        "url_trap_stats": q_url_trap_stats,
+        "trap_gate": q_trap_gate,
+        "sitemap_parse": q_sitemap_parse,
+        "sitemap_coverage": q_sitemap_coverage,
         "bpe_tokens": q_bpe_tokens,
         "multimodal_image_features": q_multimodal_image_features,
     }
@@ -7262,5 +7400,104 @@ def oracle_sql() -> dict[str, str]:
                      AS allowed
             FROM documents
             ORDER BY host, url
+        """,
+        "url_trap_stats": """
+            WITH u AS (
+                SELECT source AS host,
+                       CASE WHEN doc_id % 5 = 0 THEN '/cal/{d}'
+                            WHEN doc_id % 5 IN (1, 2) THEN '/item/{n}'
+                            WHEN doc_id % 5 = 3 THEN '/list?page&sort'
+                            ELSE '/about' END AS template
+                FROM documents
+            ), fine AS (
+                SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls
+                FROM u GROUP BY host, template
+            ), tot AS (
+                SELECT host, CAST(SUM(n_urls) AS BIGINT) AS n_host_urls
+                FROM fine GROUP BY host
+            )
+            SELECT f.host, f.template, f.n_urls, t.n_host_urls,
+                   CAST(f.n_urls AS DOUBLE) / CAST(t.n_host_urls AS DOUBLE)
+                     AS share,
+                   (f.n_urls >= 5
+                    AND CAST(f.n_urls AS DOUBLE)
+                        / CAST(t.n_host_urls AS DOUBLE) >= 0.15
+                    AND (f.template LIKE '%{%' OR f.template LIKE '%?%'))
+                     AS trapped
+            FROM fine f JOIN tot t USING (host)
+            ORDER BY host, template
+        """,
+        "trap_gate": """
+            WITH u AS (
+                SELECT source AS host,
+                       CASE WHEN doc_id % 5 = 0 THEN '/cal/{d}'
+                            WHEN doc_id % 5 IN (1, 2) THEN '/item/{n}'
+                            WHEN doc_id % 5 = 3 THEN '/list?page&sort'
+                            ELSE '/about' END AS template,
+                       'https://' || source ||
+                       CASE WHEN doc_id % 5 = 0
+                              THEN '/cal/2024-01-' ||
+                                   lpad(CAST(doc_id % 28 + 1 AS VARCHAR),
+                                        2, '0')
+                            WHEN doc_id % 5 IN (1, 2)
+                              THEN '/item/' || CAST(doc_id AS VARCHAR)
+                            WHEN doc_id % 5 = 3
+                              THEN '/list?page=' ||
+                                   CAST(doc_id % 7 AS VARCHAR) || '&sort=asc'
+                            ELSE '/about' END AS url
+                FROM documents
+            ), fine AS (
+                SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls
+                FROM u GROUP BY host, template
+            ), tot AS (
+                SELECT host, CAST(SUM(n_urls) AS BIGINT) AS n_host_urls
+                FROM fine GROUP BY host
+            ), flagged AS (
+                SELECT f.host, f.template
+                FROM fine f JOIN tot t USING (host)
+                WHERE f.n_urls >= 5
+                  AND CAST(f.n_urls AS DOUBLE)
+                      / CAST(t.n_host_urls AS DOUBLE) >= 0.15
+                  AND (f.template LIKE '%{%' OR f.template LIKE '%?%')
+            ), ranked AS (
+                SELECT u.url, u.host, u.template,
+                       ROW_NUMBER() OVER (PARTITION BY u.host, u.template
+                                          ORDER BY u.url) AS rk,
+                       fl.host IS NOT NULL AS is_trap
+                FROM u LEFT JOIN flagged fl
+                  ON u.host = fl.host AND u.template = fl.template
+            )
+            SELECT url FROM ranked
+            WHERE NOT is_trap OR rk <= 3
+            ORDER BY url
+        """,
+        "sitemap_parse": """
+            SELECT source AS host, 'url' AS kind,
+                   'https://' || source || '/doc/' ||
+                     CAST(doc_id AS VARCHAR) AS loc,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN '2024-01-' ||
+                             lpad(CAST(doc_id % 9 + 1 AS VARCHAR), 2, '0')
+                        ELSE NULL END AS lastmod
+            FROM documents
+            ORDER BY host, loc
+        """,
+        "sitemap_coverage": """
+            SELECT source AS host,
+                   CAST(SUM(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_frontier,
+                   CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_sitemap,
+                   CAST(SUM(CASE WHEN doc_id % 3 <> 0 AND doc_id % 2 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+                   CAST(SUM(CASE WHEN doc_id % 3 <> 0 AND doc_id % 2 <> 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_frontier_only,
+                   CAST(SUM(CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_sitemap_only
+            FROM documents
+            GROUP BY source
+            ORDER BY host
         """,
     }

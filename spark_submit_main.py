@@ -49,7 +49,8 @@ Subcommands:
               kn (self-trained LM perplexity) or nb|lr (supervised
               hashed classifiers); scores parquet + quantile summary
   frontier  — politeness-scheduled crawl frontier: per-host fetch slots
-              + mega-host cap, optional link-rank priorities and
+              + mega-host cap, optional link-rank priorities, sitemap
+              URL discovery, crawler-trap template capping, and
               robots.txt (REP) gating
   (plus reporting verbs: overview / rollup / export / samples, and the
   cross-crawl index verbs dedup-index / dedup-incremental)
@@ -679,8 +680,30 @@ def cmd_frontier(args) -> int:
 
     spark = _spark(args)
     urls = spark.read.parquet(args.source)
+    if args.sitemaps:
+        from eventanalysis_spark.operators.sitemaps import (
+            sitemap_frontier_urls,
+        )
+
+        sm = sitemap_frontier_urls(spark.read.parquet(args.sitemaps))
+        urls = (
+            urls.select(F.col(args.url_col))
+            .unionByName(sm.select(F.col("url").alias(args.url_col)))
+            .distinct()
+        )
     if "host" not in urls.columns:
         urls = urls.withColumn("host", url_parts(F.col(args.url_col))["host"])
+    if args.trap_cap is not None:
+        from eventanalysis_spark.operators.traps import trap_filter
+
+        urls = trap_filter(
+            urls,
+            url_col=args.url_col,
+            host_col="host",
+            keep_per_template=args.trap_cap,
+            min_urls=args.trap_min_urls,
+            min_share=args.trap_min_share,
+        )
     if args.robots:
         from eventanalysis_spark.operators.robots import (
             robots_filter,
@@ -1025,6 +1048,14 @@ def main(argv=None) -> int:
     fr.add_argument("--robots", default=None,
                     help="(host, content) robots.txt parquet → REP gating "
                          "before scheduling")
+    fr.add_argument("--sitemaps", default=None,
+                    help="(host, content) sitemap XML parquet → union "
+                         "declared page URLs into the candidate set")
+    fr.add_argument("--trap-cap", type=int, default=None,
+                    help="cap each exploding URL template (crawler trap) "
+                         "to this many URLs before scheduling")
+    fr.add_argument("--trap-min-urls", type=int, default=1000)
+    fr.add_argument("--trap-min-share", type=float, default=0.10)
     fr.add_argument("--url-col", default="url")
     fr.add_argument("--per-host-slots", type=int, default=1)
     fr.add_argument("--max-per-host", type=int, default=None)

@@ -107,3 +107,43 @@ def test_frontier_cli_robots_gate(tmp_path, spark, capsys):
     # h0 /no/ blocked by its robots; h1 has no robots row → allowed
     assert kept == {"https://h0.example/keep/a", "https://h1.example/no/c"}
     assert rep["urls_scheduled"] == 2
+
+
+def test_frontier_cli_sitemaps_and_trap_cap(tmp_path, spark, capsys):
+    """--sitemaps unions declared URLs; --trap-cap caps exploding
+    templates before scheduling."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import spark_submit_main as cli
+
+    # linked frontier: 12 calendar-trap URLs + one normal page
+    rows = [(f"https://t.example/cal/2024-02-{d:02d}",) for d in range(1, 13)]
+    rows += [("https://t.example/home",)]
+    src = str(tmp_path / "urls3")
+    spark.createDataFrame(rows, "url string").write.parquet(src)
+    # sitemap declares one extra page link discovery missed (+1 dup)
+    sm_xml = ("<urlset><url><loc>https://t.example/declared</loc></url>"
+              "<url><loc>https://t.example/home</loc></url></urlset>")
+    sm = str(tmp_path / "sitemaps")
+    spark.createDataFrame(
+        [("t.example", sm_xml)], "host string, content string"
+    ).write.parquet(sm)
+    out = str(tmp_path / "sched3")
+    capsys.readouterr()
+    assert cli.main([
+        "--master", "local[4]", "frontier", "--source", src, "--out", out,
+        "--sitemaps", sm, "--trap-cap", "3", "--trap-min-urls", "10",
+        "--trap-min-share", "0.5",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    kept = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert kept == {
+        "https://t.example/cal/2024-02-01",
+        "https://t.example/cal/2024-02-02",
+        "https://t.example/cal/2024-02-03",
+        "https://t.example/home",
+        "https://t.example/declared",  # sitemap-discovered, deduped
+    }
+    assert rep["urls_scheduled"] == 5
