@@ -3024,6 +3024,17 @@ def q_sitemap_coverage(spark, sf):
     return sitemap_coverage(frontier, sm)
 
 
+def q_phrase_search(spark, sf):
+    """Positional phrase search (operators/corpus.py::phrase_matches):
+    anchor-vote intersection — each posting of phrase term i votes for
+    anchor pos-i; anchors holding all k offsets are occurrences. The
+    phrase frame is broadcast and the corpus explode is filtered to
+    phrase terms before any shuffle."""
+    from eventanalysis_spark.operators.corpus import phrase_matches
+
+    return phrase_matches(_t(spark, sf, "documents"), "value table part")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the correctness driver certifies the FIRST 50
     # entries, so the window below is 50 exact-oracle showcase queries spanning
@@ -3171,6 +3182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "hard_negatives": q_hard_negatives,
         "url_trap_stats": q_url_trap_stats,
+        "phrase_search": q_phrase_search,
         "trap_gate": q_trap_gate,
         "sitemap_parse": q_sitemap_parse,
         "sitemap_coverage": q_sitemap_coverage,
@@ -7400,6 +7412,32 @@ def oracle_sql() -> dict[str, str]:
                      AS allowed
             FROM documents
             ORDER BY host, url
+        """,
+        "phrase_search": """
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS arr
+                FROM documents
+                WHERE length(trim(text)) > 0
+            ), toks AS (
+                SELECT doc_id, unnest(arr) AS term,
+                       CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS pos
+                FROM base
+            ), ph(term, off) AS (
+                VALUES ('value', 0), ('table', 1), ('part', 2)
+            ), anchors AS (
+                SELECT toks.doc_id, toks.pos - ph.off AS anchor,
+                       COUNT(DISTINCT ph.off) AS nf
+                FROM toks JOIN ph ON toks.term = ph.term
+                GROUP BY toks.doc_id, toks.pos - ph.off
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_matches,
+                   CAST(MIN(anchor) AS BIGINT) AS first_pos
+            FROM anchors
+            WHERE nf = 3 AND anchor >= 0
+            GROUP BY doc_id
+            ORDER BY doc_id
         """,
         "url_trap_stats": """
             WITH u AS (

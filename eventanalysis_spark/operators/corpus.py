@@ -211,6 +211,59 @@ def inverted_index(
     return dfc.join(posts, "term", "left").select("term", "df", "postings")
 
 
+def phrase_matches(
+    docs: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search via the positional-index anchor trick:
+    (doc_id, n_matches, first_pos) for every document containing the
+    token sequence `phrase` (whitespace tokenization — the same rule as
+    inverted_index, so the two share a vocabulary).
+
+    Algorithm (Manning/Raghavan/Schütze IR ch. 2, positional
+    intersection recast as ONE aggregate): each posting (doc, pos) of
+    phrase term i votes for anchor = pos - i; an anchor that collects
+    ALL k distinct offsets is a phrase occurrence. Repeated terms in the
+    phrase are handled for free — offsets stay distinct even when terms
+    don't.
+
+    Scale shape: the (term, offset) phrase frame is literal-sized →
+    broadcast; the corpus explode is filtered to PHRASE TERMS ONLY by
+    that join before anything shuffles, so the aggregate moves
+    |postings of k terms| rows, not the corpus. No self-joins, no
+    windows, no Python."""
+    toks = phrase.split()
+    if not toks:
+        raise ValueError("phrase must contain at least one token")
+    k = len(toks)
+    spark = docs.sparkSession
+    ph = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(toks)], "term string, off int"
+    )
+    postings = docs.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos", "term"
+        ),
+    )
+    anchors = (
+        postings.join(F.broadcast(ph), "term")
+        .groupBy("doc_id", (F.col("pos") - F.col("off")).alias("anchor"))
+        .agg(F.count_distinct("off").alias("nf"))
+        .where((F.col("nf") == k) & (F.col("anchor") >= 0))
+    )
+    return (
+        anchors.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.min("anchor").cast("long").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def source_overlap_sketch(
     docs: DataFrame,
     num_hashes: int = 16,

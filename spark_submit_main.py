@@ -49,9 +49,11 @@ Subcommands:
               kn (self-trained LM perplexity) or nb|lr (supervised
               hashed classifiers); scores parquet + quantile summary
   frontier  — politeness-scheduled crawl frontier: per-host fetch slots
-              + mega-host cap, optional link-rank priorities, sitemap
-              URL discovery, crawler-trap template capping, and
+              + mega-host cap, optional link-rank or churn priorities,
+              sitemap URL discovery, crawler-trap template capping, and
               robots.txt (REP) gating
+  churn     — per-host crawl-over-crawl churn table (snapshot_churn by
+              url host) → the recrawl-priority input for frontier
   (plus reporting verbs: overview / rollup / export / samples, and the
   cross-crawl index verbs dedup-index / dedup-incremental)
 """
@@ -713,11 +715,21 @@ def cmd_frontier(args) -> int:
         rules = robots_rules(spark.read.parquet(args.robots))
         urls = robots_filter(urls, rules, url_col=args.url_col)
     priority = None
-    if args.ranks:
-        ranks = spark.read.parquet(args.ranks).select(
-            "host", F.col("rank").alias("__prio")
+    if args.ranks and args.churn:
+        raise SystemExit(
+            "frontier: --ranks and --churn are alternative priority "
+            "sources; pass one"
         )
-        urls = urls.join(F.broadcast(ranks), "host", "left").withColumn(
+    if args.ranks or args.churn:
+        if args.ranks:
+            prio = spark.read.parquet(args.ranks).select(
+                "host", F.col("rank").alias("__prio")
+            )
+        else:
+            prio = spark.read.parquet(args.churn).select(
+                "host", F.col("churn_ratio").alias("__prio")
+            )
+        urls = urls.join(F.broadcast(prio), "host", "left").withColumn(
             "__prio", F.coalesce("__prio", F.lit(0.0))
         )
         priority = "__prio"
@@ -738,6 +750,47 @@ def cmd_frontier(args) -> int:
         "slots_head": [
             {"slot": r["slot"], "n_urls": r["n_urls"], "n_hosts": r["n_hosts"]}
             for r in rep
+        ],
+        "out": args.out,
+    }))
+    return 0
+
+
+def cmd_churn(args) -> int:
+    """Per-host crawl-over-crawl churn table: snapshot_churn grouped by
+    the url host over two crawl parquets. Writes (host, n_added,
+    n_removed, n_changed, n_unchanged, n_total, churn_ratio) — the
+    recrawl-priority input `frontier --churn` consumes (volatile hosts
+    refetch first, frozen hosts wait). Hash-before-join: payloads never
+    cross the exchange."""
+    from pyspark.sql import functions as F
+
+    from eventanalysis_spark.operators.corpus import snapshot_churn
+    from eventanalysis_spark.operators.webfilter import url_parts
+
+    spark = _spark(args)
+    old = spark.read.parquet(args.old)
+    new = spark.read.parquet(args.new)
+    out = snapshot_churn(
+        old, new,
+        group=url_parts(F.col("key"))["host"],
+        key_col=args.url_col,
+        content_col=args.text_col,
+        group_name="host",
+    ).orderBy("host")
+    out.write.mode("overwrite").parquet(args.out)
+    back = spark.read.parquet(args.out)
+    top = (
+        back.orderBy(F.col("churn_ratio").desc(), "host")
+        .limit(args.top)
+        .collect()
+    )
+    print(json.dumps({
+        "hosts": back.count(),
+        "top_churn": [
+            {"host": r["host"], "churn_ratio": r["churn_ratio"],
+             "n_total": r["n_total"]}
+            for r in top
         ],
         "out": args.out,
     }))
@@ -1045,6 +1098,9 @@ def main(argv=None) -> int:
     fr.add_argument("--out", required=True, help="scheduled frontier parquet")
     fr.add_argument("--ranks", default=None,
                     help="(host, rank) parquet from link-rank → priority")
+    fr.add_argument("--churn", default=None,
+                    help="(host, churn_ratio) parquet from the churn verb "
+                         "→ recrawl priority (volatile hosts first)")
     fr.add_argument("--robots", default=None,
                     help="(host, content) robots.txt parquet → REP gating "
                          "before scheduling")
@@ -1061,6 +1117,15 @@ def main(argv=None) -> int:
     fr.add_argument("--max-per-host", type=int, default=None)
     fr.add_argument("--report-slots", type=int, default=5)
     fr.set_defaults(fn=cmd_frontier)
+
+    ch = sub.add_parser("churn")
+    ch.add_argument("--old", required=True, help="previous crawl parquet")
+    ch.add_argument("--new", required=True, help="current crawl parquet")
+    ch.add_argument("--out", required=True, help="per-host churn parquet")
+    ch.add_argument("--url-col", default="url")
+    ch.add_argument("--text-col", default="text")
+    ch.add_argument("--top", type=int, default=5)
+    ch.set_defaults(fn=cmd_churn)
 
     qsv = sub.add_parser("quality-score")
     qsv.add_argument("--source", required=True, help="corpus parquet")

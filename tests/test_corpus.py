@@ -459,3 +459,64 @@ def test_host_quality_profile(spark):
     assert h1.mean_chars == round((2 * len(good) + len("short junk")) / 3, 6)
     h2 = rows["h2"]
     assert h2.n_docs == 1 and h2.n_dup_docs == 0 and h2.n_gopher_keep == 0
+
+
+# ---- phrase_matches --------------------------------------------------
+
+def test_phrase_matches_hand_computed(spark):
+    from eventanalysis_spark.operators.corpus import phrase_matches
+
+    rows = [
+        (1, "a b c a b c"),     # "a b c" twice (pos 0 and 3)
+        (2, "a b x c"),         # terms present, sequence broken
+        (3, "c b a"),           # reversed: no match
+        (4, "z a b c z"),       # one match at pos 1
+        (5, ""),                # empty doc ignored
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_matches(docs, "a b c").collect()
+    }
+    assert got == {1: (2, 0), 4: (1, 1)}
+
+
+def test_phrase_matches_repeated_term_in_phrase(spark):
+    from eventanalysis_spark.operators.corpus import phrase_matches
+
+    docs = spark.createDataFrame(
+        [(1, "go go go stop"), (2, "go stop go")],
+        "doc_id long, text string",
+    )
+    # phrase with a repeated term: overlapping occurrences both count
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_matches(docs, "go go").collect()
+    }
+    assert got == {1: (2, 0)}
+
+
+def test_phrase_matches_single_token_and_errors(spark):
+    from eventanalysis_spark.operators.corpus import phrase_matches
+
+    docs = spark.createDataFrame(
+        [(1, "q w q"), (2, "w")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_matches(docs, "q").collect()
+    }
+    assert got == {1: (2, 0)}
+    with pytest.raises(ValueError):
+        phrase_matches(docs, "   ")
+
+
+def test_phrase_matches_partition_invariance(spark):
+    from eventanalysis_spark.operators.corpus import phrase_matches
+
+    rows = [(i, "t a b c s a b c e") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = phrase_matches(docs.repartition(11), "a b c").collect()
+    b = phrase_matches(docs.coalesce(1), "a b c").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert a[0]["n_matches"] == 2

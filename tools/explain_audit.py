@@ -1304,6 +1304,66 @@ def main() -> None:
         "aggregate; the vocabulary side is k rows end-to-end.",
     )
 
+    # 44. crawler-trap gate: broadcast trap table, window only on trapped rows
+    from eventanalysis_spark.operators.traps import trap_filter, trap_stats
+
+    urls44 = pages.select("url")
+    q44 = trap_filter(urls44, traps=trap_stats(urls44, min_urls=50),
+                      keep_per_template=10)
+    plan44 = q44._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Crawler-trap gate: dimension-sized trap table broadcast, corpus "
+        "passthrough never shuffles",
+        q44,
+        [
+            ("both the passthrough anti-join and the trapped semi-join "
+             "probe the flagged-trap table as BroadcastHashJoins",
+             plan44.count("BroadcastHashJoin") >= 2
+             and "SortMergeJoin" not in plan44),
+            ("trap mining aggregates partially map-side before its "
+             "exchange", "partial_" in plan44),
+            ("the capping window exists ONLY on the trapped branch "
+             "(exactly one Window operator)",
+             plan44.count("Window [") == 1),
+            ("the rank cap pushes into WindowGroupLimit (a per-partition "
+             "top-10 heap runs BEFORE the window exchange — over-cap trap "
+             "rows never shuffle)",
+             "WindowGroupLimit" in plan44
+             and ", Partial" in plan44),
+            ("no Python in the template derivation",
+             "Python" not in plan44 and "MapInPandas" not in plan44),
+        ],
+        "operators/traps.py::trap_stats/trap_filter — URL-template "
+        "explosion mining: host totals re-aggregate the fine (host, "
+        "template) rows rather than re-scanning the corpus, and only rows "
+        "inside flagged templates pay the row_number shuffle.",
+    )
+
+    # 45. phrase search: broadcast phrase frame filters before any shuffle
+    from eventanalysis_spark.operators.corpus import phrase_matches
+
+    q45 = phrase_matches(
+        pages.select(F.col("url").alias("doc_id"), "text"), "the quick fox"
+    )
+    plan45 = q45._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Phrase search: anchor-vote intersection, phrase frame broadcast",
+        q45,
+        [
+            ("the phrase (term, offset) probe is a BroadcastHashJoin — "
+             "postings of non-phrase terms never shuffle",
+             "BroadcastHashJoin" in plan45
+             and "SortMergeJoin" not in plan45),
+            ("anchor and per-doc aggregates both combine map-side",
+             "partial_" in plan45),
+            ("no windows, no Python",
+             "Window" not in plan45 and "Python" not in plan45),
+        ],
+        "operators/corpus.py::phrase_matches — positional-index phrase "
+        "intersection recast as one aggregate: each posting votes for "
+        "anchor = pos - offset; anchors with all k offsets are matches.",
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the engine's key paths\n\n"
