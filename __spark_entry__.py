@@ -3035,6 +3035,50 @@ def q_phrase_search(spark, sf):
     return phrase_matches(_t(spark, sf, "documents"), "value table part")
 
 
+def q_change_rates(spark, sf):
+    """Page-change-rate estimation (operators/corpus.py::
+    change_rate_estimates; Cho & Garcia-Molina 2003): a 4-crawl history
+    synthesized from documents ((doc_id + crawl) % 3 == 0 rewrites the
+    page that crawl), per-host Poisson λ = -ln(1-r) with censored r=1
+    → NULL. One url-keyed lag window over content hashes, one group
+    rollup; payloads reduce to md5 in the scan projection."""
+    from eventanalysis_spark.operators.corpus import change_rate_estimates
+    from eventanalysis_spark.operators.webfilter import url_parts
+
+    docs = _t(spark, sf, "documents")
+    snap = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("doc_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("crawl_id"),
+    ).select(
+        "url",
+        "crawl_id",
+        F.when(
+            (F.col("doc_id") + F.col("crawl_id")) % 3 == 0,
+            F.concat(F.lit("v"), F.col("crawl_id").cast("string")),
+        )
+        .otherwise(F.lit("stable"))
+        .alias("text"),
+    )
+    return change_rate_estimates(
+        snap,
+        group=url_parts(F.col("key"))["host"],
+        group_name="host",
+    )
+
+
+def q_readability(spark, sf):
+    """Flesch Reading Ease (operators/textstats.py::readability_scores):
+    vowel-group syllable proxy, [.!?]-run sentences floored at 1,
+    whitespace words — pure Catalyst narrow projection, no shuffle."""
+    from eventanalysis_spark.operators.textstats import readability_scores
+
+    return readability_scores(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the correctness driver certifies the FIRST 50
     # entries, so the window below is 50 exact-oracle showcase queries spanning
@@ -3183,6 +3227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "url_trap_stats": q_url_trap_stats,
         "phrase_search": q_phrase_search,
+        "change_rates": q_change_rates,
+        "readability": q_readability,
         "trap_gate": q_trap_gate,
         "sitemap_parse": q_sitemap_parse,
         "sitemap_coverage": q_sitemap_coverage,
@@ -7412,6 +7458,69 @@ def oracle_sql() -> dict[str, str]:
                      AS allowed
             FROM documents
             ORDER BY host, url
+        """,
+        "change_rates": """
+            WITH snap AS (
+                SELECT d.source, d.doc_id, c.crawl,
+                       CASE WHEN (d.doc_id + c.crawl) % 3 = 0
+                            THEN 'v' || CAST(c.crawl AS VARCHAR)
+                            ELSE 'stable' END AS text
+                FROM documents d,
+                     (SELECT unnest(range(4)) AS crawl) c
+            ), lagged AS (
+                SELECT source, text,
+                       lag(text) OVER (PARTITION BY doc_id
+                                       ORDER BY crawl) AS prev
+                FROM snap
+            ), pairs AS (
+                SELECT source AS host,
+                       CASE WHEN text IS DISTINCT FROM prev
+                            THEN 1 ELSE 0 END AS chg
+                FROM lagged WHERE prev IS NOT NULL
+            ), agg AS (
+                SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                       CAST(SUM(chg) AS BIGINT) AS n_changed
+                FROM pairs GROUP BY host
+            )
+            SELECT host, n_pairs, n_changed,
+                   ROUND(CAST(n_changed AS DOUBLE)
+                         / CAST(n_pairs AS DOUBLE), 6) AS change_ratio,
+                   CASE WHEN n_changed < n_pairs
+                        THEN ROUND(-ln(1 - CAST(n_changed AS DOUBLE)
+                                       / CAST(n_pairs AS DOUBLE)), 6)
+                        END AS lambda_hat,
+                   CASE WHEN n_changed < n_pairs AND n_changed > 0
+                        THEN ROUND(1.0 /
+                                   (-ln(1 - CAST(n_changed AS DOUBLE)
+                                        / CAST(n_pairs AS DOUBLE))), 6)
+                        END AS revisit_interval
+            FROM agg ORDER BY host
+        """,
+        "readability": """
+            WITH c AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\s+'))
+                            END AS n_words,
+                       GREATEST(len(regexp_extract_all(text, '[.!?]+')),
+                                1) AS n_sentences,
+                       len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                         AS n_syllables
+                FROM documents
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_sentences AS BIGINT) AS n_sentences,
+                   CAST(n_syllables AS BIGINT) AS n_syllables,
+                   CASE WHEN n_words > 0 THEN
+                        ROUND(206.835
+                              - 1.015 * (CAST(n_words AS DOUBLE)
+                                         / CAST(n_sentences AS DOUBLE))
+                              - 84.6 * (CAST(n_syllables AS DOUBLE)
+                                        / CAST(n_words AS DOUBLE)), 6)
+                        END AS flesch
+            FROM c ORDER BY doc_id
         """,
         "phrase_search": """
             WITH base AS (

@@ -455,6 +455,75 @@ def snapshot_churn(
     return agg.withColumn("churn_ratio", churn)
 
 
+def change_rate_estimates(
+    snapshots: DataFrame,
+    group: Column | str = "key",
+    crawl_col: str = "crawl_id",
+    key_col: str = "url",
+    content_col: str = "text",
+    group_name: str = "grp",
+) -> DataFrame:
+    """Per-group page-change-rate estimation over a MULTI-crawl history
+    (Cho & Garcia-Molina, "Estimating frequency of change", ACM TOIT
+    2003) — the statistical upgrade of the two-snapshot `snapshot_churn`:
+    given k observations of each url, estimate the Poisson change rate
+    and the revisit interval a crawler should schedule.
+
+    Per consecutive same-url observation pair, the page "changed" when
+    the content hash differs (null-safe). Per group (typically the url
+    host, via any expression over `key`):
+
+      (group_name, n_pairs, n_changed, change_ratio r,
+       lambda_hat = -ln(1 - r), revisit_interval = 1/lambda_hat)
+
+    -ln(1-r) is the paper's consistent estimator for sync-access
+    sampling (observed change is a CENSORED signal — two changes
+    between visits look like one; the log un-censors it under the
+    Poisson model). r = 1 (changed every single visit) censors
+    completely: lambda_hat/revisit_interval are NULL — the caller
+    schedules such hosts at the crawl cadence floor. Ratios and rates
+    round to 6 dp at the output edge (engine-portable libm rule).
+
+    Scale shape: content reduces to an md5 hash in the scan projection,
+    ONE url-keyed shuffle for the lag window (the sessionize shape —
+    urls are near-unique keys, no skew), then one partial-aggregatable
+    group rollup. Payloads never cross an exchange."""
+    from pyspark.sql import Window
+
+    # `group` is any expression over the observation frame's `key`
+    # column (the snapshot_churn convention); a plain string is wrapped.
+    if isinstance(group, str):
+        group = F.col(group)
+    h = F.md5(F.coalesce(F.col(content_col), F.lit("\x00null")))
+    w = Window.partitionBy("key").orderBy("crawl")
+    obs = snapshots.select(
+        F.col(key_col).alias("key"),
+        F.col(crawl_col).alias("crawl"),
+        h.alias("h"),
+    ).withColumn("prev_h", F.lag("h").over(w))
+    pairs = obs.where(F.col("prev_h").isNotNull()).select(
+        group.alias(group_name),
+        F.when(F.col("h") != F.col("prev_h"), 1).otherwise(0).alias("chg"),
+    )
+    agg = pairs.groupBy(group_name).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("chg").cast("long").alias("n_changed"),
+    )
+    r = F.col("n_changed").cast("double") / F.col("n_pairs").cast("double")
+    lam = F.when(
+        F.col("n_changed") < F.col("n_pairs"), -F.log(F.lit(1.0) - r)
+    )
+    return (
+        agg.withColumn("change_ratio", F.round(r, 6))
+        .withColumn("lambda_hat", F.round(lam, 6))
+        .withColumn(
+            "revisit_interval",
+            F.round(F.when(lam > 0, F.lit(1.0) / lam), 6),
+        )
+        .orderBy(group_name)
+    )
+
+
 def kmv_distinct_sketch(
     df: DataFrame,
     key_col: str = "url",

@@ -37,6 +37,41 @@ def bpe_ish_token_count(text: Column) -> Column:
     )
 
 
+def readability_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch Reading Ease per document (Flesch 1948; the classic
+    surface-readability gate quality pipelines stack next to Gopher
+    rules): 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words).
+
+    Heuristics (documented, oracle-replicable): words = whitespace
+    tokens; sentences = runs of [.!?], floored at 1 (crawled fragments
+    often carry no terminal punctuation); syllables = vowel-group count
+    per lowercased text ([aeiouy]+ runs — the standard cheap proxy,
+    within ~10% of dictionary syllabification on English prose). Empty
+    docs yield NULL flesch. Pure Catalyst, one narrow projection, no
+    shuffle; 6-dp round at the output edge."""
+    t = F.col(text_col)
+    n_words = token_count(t).cast("long")
+    n_sent = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")).cast("long"), F.lit(1).cast("long")
+    )
+    n_syll = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")).cast("long")
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double")),
+        6,
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        F.when(n_words > 0, flesch).alias("flesch"),
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio features + a composed score
     in [0,1]. Deterministic, vectorized, one projection."""

@@ -520,3 +520,80 @@ def test_phrase_matches_partition_invariance(spark):
     b = phrase_matches(docs.coalesce(1), "a b c").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert a[0]["n_matches"] == 2
+
+
+# ---- change_rate_estimates -------------------------------------------
+
+def _snapshots(spark):
+    # hot.example/a changes every crawl (r=1, censored); hot/b changes
+    # 2 of 3 intervals; cold.example/c never changes
+    rows = []
+    for crawl in range(4):
+        rows.append((crawl, "https://hot.example/a", f"v{crawl}"))
+        rows.append((crawl, "https://hot.example/b",
+                     "vX" if crawl in (1, 3) else "v0"))
+        rows.append((crawl, "https://cold.example/c", "same"))
+    return spark.createDataFrame(
+        rows, "crawl_id long, url string, text string"
+    )
+
+
+def test_change_rate_hand_computed(spark):
+    import math
+
+    from eventanalysis_spark.operators.corpus import change_rate_estimates
+    from eventanalysis_spark.operators.webfilter import url_parts
+
+    got = {
+        r["host"]: r
+        for r in change_rate_estimates(
+            _snapshots(spark),
+            group=url_parts(F.col("key"))["host"],
+            group_name="host",
+        ).collect()
+    }
+    hot, cold = got["hot.example"], got["cold.example"]
+    # hot: 6 pairs, a changes 3/3, b changes 3/3 (v0→vX→v0→vX)
+    assert (hot["n_pairs"], hot["n_changed"]) == (6, 6)
+    assert hot["change_ratio"] == 1.0
+    assert hot["lambda_hat"] is None          # fully censored
+    assert hot["revisit_interval"] is None
+    assert (cold["n_pairs"], cold["n_changed"]) == (3, 0)
+    assert cold["change_ratio"] == 0.0
+    assert cold["lambda_hat"] == 0.0          # never changes: rate 0...
+    assert cold["revisit_interval"] is None   # ...revisit never due
+    # per-url grouping: b alone has r = 1.0 (changed every interval)
+    by_url = {
+        r["grp"]: r for r in change_rate_estimates(_snapshots(spark)).collect()
+    }
+    assert by_url["https://hot.example/b"]["change_ratio"] == 1.0
+    # partial change rate: 1 change in 3 intervals → λ = -ln(2/3)
+    snaps2 = spark.createDataFrame(
+        [(c, "u", "A" if c < 2 else "B") for c in range(4)],
+        "crawl_id long, url string, text string",
+    )
+    r2 = change_rate_estimates(snaps2).collect()[0]
+    assert (r2["n_pairs"], r2["n_changed"]) == (3, 1)
+    lam = -math.log(1 - 1 / 3)
+    assert abs(r2["lambda_hat"] - round(lam, 6)) < 1e-9
+    assert abs(r2["revisit_interval"] - round(1 / lam, 6)) < 1e-9
+
+
+def test_change_rate_null_text_and_partition_invariance(spark):
+    from eventanalysis_spark.operators.corpus import change_rate_estimates
+
+    snaps = spark.createDataFrame(
+        [(0, "u", None), (1, "u", None), (2, "u", "x")],
+        "crawl_id long, url string, text string",
+    )
+    r = change_rate_estimates(snaps).collect()[0]
+    # NULL→NULL is unchanged (null-safe hash), NULL→x is a change
+    assert (r["n_pairs"], r["n_changed"]) == (2, 1)
+    big = spark.createDataFrame(
+        [(c, f"u{i}", f"v{(c * 7 + i) % 3}") for i in range(50)
+         for c in range(5)],
+        "crawl_id long, url string, text string",
+    )
+    a = sorted(map(tuple, change_rate_estimates(big.repartition(11)).collect()))
+    b = sorted(map(tuple, change_rate_estimates(big.coalesce(1)).collect()))
+    assert a == b

@@ -335,3 +335,21 @@ def test_kneser_ney_bigram_scores(spark):
     assert r[9]["n_bigrams"] == 3 and r[9]["avg_neg_logprob"] == want
     # sub-2-token doc: null score, zero bigrams (same contract as sibling)
     assert r[10]["n_bigrams"] == 0 and r[10]["avg_neg_logprob"] is None
+
+
+def test_readability_scores_hand_computed(spark):
+    from eventanalysis_spark.operators.textstats import readability_scores
+
+    rows = [
+        (1, "The cat sat. The dog ran!"),   # 6 words, 2 sentences, 6 syll
+        (2, "no terminal punctuation here"),  # sentence floor = 1
+        (3, ""),                              # empty → NULL flesch
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in readability_scores(df).collect()}
+    r1 = got[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (6, 2, 6)
+    expected = round(206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6), 6)
+    assert abs(r1["flesch"] - expected) < 1e-9
+    assert got[2]["n_sentences"] == 1 and got[2]["n_words"] == 4
+    assert got[3]["n_words"] == 0 and got[3]["flesch"] is None
