@@ -54,6 +54,8 @@ Subcommands:
               robots.txt (REP) gating
   churn     — per-host crawl-over-crawl churn table (snapshot_churn by
               url host) → the recrawl-priority input for frontier
+  traps     — mine the crawler-trap report (URL-template explosion
+              stats) → the --traps input for the next crawl's frontier
   (plus reporting verbs: overview / rollup / export / samples, and the
   cross-crawl index verbs dedup-index / dedup-incremental)
 """
@@ -695,14 +697,17 @@ def cmd_frontier(args) -> int:
         )
     if "host" not in urls.columns:
         urls = urls.withColumn("host", url_parts(F.col(args.url_col))["host"])
-    if args.trap_cap is not None:
+    if args.trap_cap is not None or args.traps:
         from eventanalysis_spark.operators.traps import trap_filter
 
         urls = trap_filter(
             urls,
+            traps=(spark.read.parquet(args.traps) if args.traps else None),
             url_col=args.url_col,
             host_col="host",
-            keep_per_template=args.trap_cap,
+            keep_per_template=(
+                args.trap_cap if args.trap_cap is not None else 100
+            ),
             min_urls=args.trap_min_urls,
             min_share=args.trap_min_share,
         )
@@ -750,6 +755,46 @@ def cmd_frontier(args) -> int:
         "slots_head": [
             {"slot": r["slot"], "n_urls": r["n_urls"], "n_hosts": r["n_hosts"]}
             for r in rep
+        ],
+        "out": args.out,
+    }))
+    return 0
+
+
+def cmd_traps(args) -> int:
+    """Mine the crawler-trap report from a URL corpus: per-(host,
+    template) explosion stats with flagged infinite-subspace templates.
+    Writes the trap_stats parquet `frontier --traps` consumes to gate
+    the NEXT crawl's frontier without re-mining."""
+    from pyspark.sql import functions as F
+
+    from eventanalysis_spark.operators.traps import trap_stats
+
+    spark = _spark(args)
+    urls = spark.read.parquet(args.source)
+    st = trap_stats(
+        urls,
+        url_col=args.url_col,
+        host_col=("host" if "host" in urls.columns else None),
+        min_urls=args.min_urls,
+        min_share=args.min_share,
+    )
+    st.write.mode("overwrite").parquet(args.out)
+    back = spark.read.parquet(args.out)
+    flagged = back.where(F.col("trapped"))
+    top = (
+        flagged.orderBy(F.col("n_urls").desc(), "host", "template")
+        .limit(args.top)
+        .collect()
+    )
+    print(json.dumps({
+        "templates": back.count(),
+        "hosts": back.select("host").distinct().count(),
+        "flagged": flagged.count(),
+        "top_traps": [
+            {"host": r["host"], "template": r["template"],
+             "n_urls": r["n_urls"], "share": r["share"]}
+            for r in top
         ],
         "out": args.out,
     }))
@@ -1109,7 +1154,12 @@ def main(argv=None) -> int:
                          "declared page URLs into the candidate set")
     fr.add_argument("--trap-cap", type=int, default=None,
                     help="cap each exploding URL template (crawler trap) "
-                         "to this many URLs before scheduling")
+                         "to this many URLs before scheduling (default 100 "
+                         "when --traps is given)")
+    fr.add_argument("--traps", default=None,
+                    help="precomputed trap_stats parquet (traps verb) — "
+                         "gate this frontier with the PREVIOUS crawl's "
+                         "trap report instead of re-mining")
     fr.add_argument("--trap-min-urls", type=int, default=1000)
     fr.add_argument("--trap-min-share", type=float, default=0.10)
     fr.add_argument("--url-col", default="url")
@@ -1117,6 +1167,15 @@ def main(argv=None) -> int:
     fr.add_argument("--max-per-host", type=int, default=None)
     fr.add_argument("--report-slots", type=int, default=5)
     fr.set_defaults(fn=cmd_frontier)
+
+    tp = sub.add_parser("traps")
+    tp.add_argument("--source", required=True, help="url corpus parquet")
+    tp.add_argument("--out", required=True, help="trap report parquet")
+    tp.add_argument("--url-col", default="url")
+    tp.add_argument("--min-urls", type=int, default=1000)
+    tp.add_argument("--min-share", type=float, default=0.10)
+    tp.add_argument("--top", type=int, default=5)
+    tp.set_defaults(fn=cmd_traps)
 
     ch = sub.add_parser("churn")
     ch.add_argument("--old", required=True, help="previous crawl parquet")

@@ -141,3 +141,44 @@ def test_trap_filter_partition_invariance(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_traps_verb_feeds_frontier(tmp_path, spark, capsys):
+    """traps verb → trap report parquet → frontier --traps gates a
+    FRESH frontier with last crawl's report (no re-mining)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import spark_submit_main as cli
+
+    rows = [(f"https://t.example/cal/2024-03-{d:02d}",) for d in range(1, 21)]
+    rows += [("https://t.example/home",)]
+    src = str(tmp_path / "crawl1")
+    spark.createDataFrame(rows, "url string").write.parquet(src)
+    rep_path = str(tmp_path / "traps")
+    capsys.readouterr()
+    assert cli.main([
+        "--master", "local[4]", "traps", "--source", src, "--out", rep_path,
+        "--min-urls", "10", "--min-share", "0.5",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["flagged"] == 1
+    assert rep["top_traps"][0]["template"] == "/cal/{d}"
+
+    # fresh crawl: 4 new calendar urls (below min_urls alone) + 1 page
+    fresh = [(f"https://t.example/cal/2025-01-{d:02d}",) for d in range(1, 5)]
+    fresh += [("https://t.example/fresh",)]
+    src2 = str(tmp_path / "crawl2")
+    spark.createDataFrame(fresh, "url string").write.parquet(src2)
+    out = str(tmp_path / "sched")
+    assert cli.main([
+        "--master", "local[4]", "frontier", "--source", src2, "--out", out,
+        "--traps", rep_path, "--trap-cap", "2",
+    ]) == 0
+    kept = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert kept == {
+        "https://t.example/cal/2025-01-01",
+        "https://t.example/cal/2025-01-02",
+        "https://t.example/fresh",
+    }
