@@ -2967,6 +2967,27 @@ def _sitemap_xml(docs, only_even: bool = False):
                 F.lit("</lastmod>"),
             ),
         ).otherwise(F.lit("")),
+        F.when(
+            (F.col("doc_id") % 4) == 0,
+            F.concat(
+                F.lit("<changefreq>"),
+                F.element_at(
+                    F.array(
+                        F.lit("daily"), F.lit("weekly"), F.lit("monthly")
+                    ),
+                    ((F.col("doc_id") % 3) + 1).cast("int"),
+                ),
+                F.lit("</changefreq>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            (F.col("doc_id") % 3) == 0,
+            F.concat(
+                F.lit("<priority>0."),
+                ((F.col("doc_id") % 9) + 1).cast("string"),
+                F.lit("</priority>"),
+            ),
+        ).otherwise(F.lit("")),
         F.lit("</url>"),
     )
     return (
@@ -2999,7 +3020,14 @@ def q_sitemap_parse(spark, sf):
     from eventanalysis_spark.operators.sitemaps import sitemap_entries
 
     xml = _sitemap_xml(_t(spark, sf, "documents"))
-    return sitemap_entries(xml).orderBy("host", "loc")
+    return (
+        sitemap_entries(xml)
+        # absent <priority> -> -1.0 sentinel for the comparator (NULL
+        # doubles read back as NaN through the oracle's pandas edge;
+        # the operator itself keeps NULL — daily_trend convention)
+        .withColumn("priority", F.coalesce(F.col("priority"), F.lit(-1.0)))
+        .orderBy("host", "loc")
+    )
 
 
 def q_sitemap_coverage(spark, sf):
@@ -7625,7 +7653,16 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 2 = 0
                         THEN '2024-01-' ||
                              lpad(CAST(doc_id % 9 + 1 AS VARCHAR), 2, '0')
-                        ELSE NULL END AS lastmod
+                        ELSE NULL END AS lastmod,
+                   CASE WHEN doc_id % 4 = 0 THEN
+                        CASE doc_id % 3 WHEN 0 THEN 'daily'
+                                        WHEN 1 THEN 'weekly'
+                                        ELSE 'monthly' END
+                        ELSE NULL END AS changefreq,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN CAST('0.' || CAST(doc_id % 9 + 1 AS VARCHAR)
+                                  AS DOUBLE)
+                        ELSE -1.0 END AS priority
             FROM documents
             ORDER BY host, loc
         """,

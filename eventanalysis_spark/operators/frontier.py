@@ -34,15 +34,20 @@ def frontier_schedule(
     host_col: str = "host",
     url_col: str = "url",
     priority_col: str | None = None,
+    budget_col: str | None = None,
 ) -> DataFrame:
     """Assign (host_rank, slot) to every candidate URL.
 
       - host_rank: 1-based fetch order within the host — priority DESC
         (when `priority_col` is given), then url ASC for determinism;
       - slot: 0-based politeness window, floor((host_rank - 1) /
-        per_host_slots) — at most `per_host_slots` URLs of a host share
-        a slot, so a fetcher draining slot k in parallel never hits one
-        host more than the budget allows;
+        budget) — at most `budget` URLs of a host share a slot, so a
+        fetcher draining slot k in parallel never hits one host more
+        than the budget allows. The budget is the global
+        `per_host_slots` or, when `budget_col` names a per-host POSITIVE
+        DOUBLE column, that host's own value: fractional budgets stride
+        (budget 0.4 = one fetch every 2-3 slots — exactly robots.txt
+        Crawl-delay semantics when a slot is a fixed time quantum);
       - rows past `max_per_host` (if set) are DROPPED — the mega-host
         tail never reaches the fetch queue.
 
@@ -58,9 +63,14 @@ def frontier_schedule(
     out = urls.withColumn("host_rank", F.row_number().over(w))
     if max_per_host is not None:
         out = out.where(F.col("host_rank") <= max_per_host)
+    budget = (
+        F.coalesce(F.col(budget_col), F.lit(float(per_host_slots)))
+        if budget_col is not None
+        else F.lit(per_host_slots)
+    )
     return out.withColumn(
         "slot",
-        ((F.col("host_rank") - 1) / F.lit(per_host_slots)).cast("long"),
+        F.floor((F.col("host_rank") - 1) / budget).cast("long"),
     )
 
 

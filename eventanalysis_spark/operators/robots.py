@@ -26,17 +26,23 @@ from pyspark.sql import functions as F
 
 
 def _fold_rules(lines: Column) -> Column:
-    """Fold robots.txt lines into struct(allow array, dis array).
+    """Fold robots.txt lines into struct(allow array, dis array,
+    delay double, sitemaps array).
 
-    State: (in_star, after_rule, allow, dis). A User-agent line STARTS a
-    new group when the previous line was a rule (after_rule), otherwise
-    it stacks onto the current group's UA set; Allow/Disallow lines
-    apply when the current group includes '*'."""
+    State: (in_star, after_rule, allow, dis, delay, sitemaps). A
+    User-agent line STARTS a new group when the previous line was a
+    rule (after_rule), otherwise it stacks onto the current group's UA
+    set; Allow/Disallow/Crawl-delay lines apply when the current group
+    includes '*' (first Crawl-delay wins; non-numeric values ignored).
+    `Sitemap:` lines are GLOBAL per the protocol — collected from any
+    group position."""
     init = F.struct(
         F.lit(False).alias("in_star"),
         F.lit(False).alias("after_rule"),
         F.array().cast("array<string>").alias("allow"),
         F.array().cast("array<string>").alias("dis"),
+        F.lit(None).cast("double").alias("delay"),
+        F.array().cast("array<string>").alias("sitemaps"),
     )
 
     def step(acc: Column, raw: Column) -> Column:
@@ -46,6 +52,8 @@ def _fold_rules(lines: Column) -> Column:
         is_ua = key == "user-agent"
         is_allow = (key == "allow") & (F.length(val) > 0)
         is_dis = (key == "disallow") & (F.length(val) > 0)
+        is_delay = (key == "crawl-delay") & (F.length(val) > 0)
+        is_map = (key == "sitemap") & (F.length(val) > 0)
         star = val == "*"
         new_in_star = F.when(
             is_ua,
@@ -53,8 +61,11 @@ def _fold_rules(lines: Column) -> Column:
         ).otherwise(acc["in_star"])
         return F.struct(
             new_in_star.alias("in_star"),
+            # any non-UA directive (incl. the global Sitemap line) breaks
+            # UA-line adjacency, so the next UA starts a NEW group
+            # (RFC 9309 §2.2.1: stacked UA lines must be consecutive)
             F.when(is_ua, F.lit(False))
-            .when(is_allow | is_dis, F.lit(True))
+            .when(is_allow | is_dis | is_delay | is_map, F.lit(True))
             .otherwise(acc["after_rule"])
             .alias("after_rule"),
             F.when(
@@ -65,19 +76,36 @@ def _fold_rules(lines: Column) -> Column:
             F.when(is_dis & acc["in_star"], F.array_append(acc["dis"], val))
             .otherwise(acc["dis"])
             .alias("dis"),
+            F.when(
+                is_delay & acc["in_star"],
+                F.coalesce(acc["delay"], val.try_cast("double")),
+            )
+            .otherwise(acc["delay"])
+            .alias("delay"),
+            F.when(is_map, F.array_append(acc["sitemaps"], val))
+            .otherwise(acc["sitemaps"])
+            .alias("sitemaps"),
         )
 
     folded = F.aggregate(lines, init, step)
-    return F.struct(folded["allow"].alias("allow"), folded["dis"].alias("dis"))
+    return F.struct(
+        folded["allow"].alias("allow"),
+        folded["dis"].alias("dis"),
+        folded["delay"].alias("delay"),
+        folded["sitemaps"].alias("sitemaps"),
+    )
 
 
 def robots_rules(
     robots: DataFrame, host_col: str = "host", content_col: str = "content"
 ) -> DataFrame:
-    """(host, allow array<string>, disallow array<string>) from raw
-    robots.txt text — `User-agent: *` groups only. One narrow
-    projection; duplicate hosts collapse to the first fetch (min
-    content) deterministically."""
+    """(host, allow array<string>, disallow array<string>,
+    crawl_delay double, sitemaps array<string>) from raw robots.txt
+    text — `User-agent: *` groups only (crawl_delay: first valid value
+    in a *-group, NULL when undeclared; sitemaps: every global
+    `Sitemap:` line, for the robots → sitemap-fetch discovery loop).
+    One narrow projection; duplicate hosts collapse to the first fetch
+    (min content) deterministically."""
     body = F.col(content_col).cast("string")
     one = robots.groupBy(host_col).agg(F.min(body).alias("__body"))
     rules = one.select(
@@ -85,7 +113,11 @@ def robots_rules(
         _fold_rules(F.split(F.col("__body"), "\r?\n")).alias("__r"),
     )
     return rules.select(
-        "host", F.col("__r.allow").alias("allow"), F.col("__r.dis").alias("disallow")
+        "host",
+        F.col("__r.allow").alias("allow"),
+        F.col("__r.dis").alias("disallow"),
+        F.col("__r.delay").alias("crawl_delay"),
+        F.col("__r.sitemaps").alias("sitemaps"),
     )
 
 

@@ -37,6 +37,8 @@ _URL_BLOCK = r"(?s)<url\s*>(.*?)</url\s*>"
 _SM_BLOCK = r"(?s)<sitemap\s*>(.*?)</sitemap\s*>"
 _LOC = r"(?s)<loc\s*>\s*(.*?)\s*</loc\s*>"
 _LASTMOD = r"(?s)<lastmod\s*>\s*(.*?)\s*</lastmod\s*>"
+_CHANGEFREQ = r"(?s)<changefreq\s*>\s*(.*?)\s*</changefreq\s*>"
+_PRIORITY = r"(?s)<priority\s*>\s*(.*?)\s*</priority\s*>"
 
 
 def _xml_unescape(c: Column) -> Column:
@@ -62,6 +64,15 @@ def _entries(content: Column, block_re: str, kind: str) -> Column:
             F.nullif(F.regexp_extract(b, _LASTMOD, 1), F.lit("")).alias(
                 "lastmod"
             ),
+            F.nullif(
+                F.lower(F.regexp_extract(b, _CHANGEFREQ, 1)), F.lit("")
+            ).alias("changefreq"),
+            # non-numeric priority -> NULL via try_cast (ANSI-safe; the
+            # protocol default 0.5 is the CALLER's business — the parser
+            # reports what was declared)
+            F.nullif(F.regexp_extract(b, _PRIORITY, 1), F.lit(""))
+            .try_cast("double")
+            .alias("priority"),
         ),
     )
 
@@ -71,13 +82,16 @@ def sitemap_entries(
     host_col: str = "host",
     content_col: str = "content",
 ) -> DataFrame:
-    """(host, kind, loc, lastmod) rows from raw sitemap XML bodies.
+    """(host, kind, loc, lastmod, changefreq, priority) rows from raw
+    sitemap XML bodies.
 
     kind='url' for `<urlset>` page entries, kind='sitemap' for
     `<sitemapindex>` children; entries with an empty `<loc>` are
-    dropped (the protocol makes loc required). One scan of each body:
-    both block kinds are extracted into arrays in the same projection
-    and exploded together."""
+    dropped (the protocol makes loc required). Optional fields are NULL
+    when absent; changefreq is lowercased, priority cast to double
+    (non-numeric declarations -> NULL). One scan of each body: both
+    block kinds are extracted into arrays in the same projection and
+    exploded together."""
     both = F.concat(
         _entries(F.col(content_col), _URL_BLOCK, "url"),
         _entries(F.col(content_col), _SM_BLOCK, "sitemap"),
@@ -86,7 +100,10 @@ def sitemap_entries(
         sitemaps.select(
             F.col(host_col).alias("host"), F.explode(both).alias("e")
         )
-        .select("host", "e.kind", "e.loc", "e.lastmod")
+        .select(
+            "host", "e.kind", "e.loc", "e.lastmod", "e.changefreq",
+            "e.priority",
+        )
         .where(F.length("loc") > 0)
     )
 
@@ -96,12 +113,12 @@ def sitemap_frontier_urls(
     host_col: str = "host",
     content_col: str = "content",
 ) -> DataFrame:
-    """Distinct (url, host, lastmod) page candidates from sitemap
-    bodies, ready to union into a frontier: kind='url' entries only,
-    host re-derived FROM THE LOC (a sitemap may list URLs on a sibling
-    subdomain; politeness budgets key on the fetch host, not the
-    sitemap's). Duplicate locs keep the max lastmod (freshest claim
-    wins, deterministic)."""
+    """Distinct (url, host, lastmod, priority) page candidates from
+    sitemap bodies, ready to union into a frontier: kind='url' entries
+    only, host re-derived FROM THE LOC (a sitemap may list URLs on a
+    sibling subdomain; politeness budgets key on the fetch host, not
+    the sitemap's). Duplicate locs keep the max lastmod / max declared
+    priority (freshest and strongest claims win, deterministic)."""
     e = sitemap_entries(sitemaps, host_col=host_col, content_col=content_col)
     return (
         e.where(F.col("kind") == "url")
@@ -109,9 +126,13 @@ def sitemap_frontier_urls(
             F.col("loc").alias("url"),
             url_parts(F.col("loc"))["host"].alias("host"),
             F.col("lastmod"),
+            F.col("priority"),
         )
         .groupBy("url", "host")
-        .agg(F.max("lastmod").alias("lastmod"))
+        .agg(
+            F.max("lastmod").alias("lastmod"),
+            F.max("priority").alias("priority"),
+        )
     )
 
 

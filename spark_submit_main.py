@@ -711,6 +711,7 @@ def cmd_frontier(args) -> int:
             min_urls=args.trap_min_urls,
             min_share=args.trap_min_share,
         )
+    budget_col = None
     if args.robots:
         from eventanalysis_spark.operators.robots import (
             robots_filter,
@@ -719,6 +720,19 @@ def cmd_frontier(args) -> int:
 
         rules = robots_rules(spark.read.parquet(args.robots))
         urls = robots_filter(urls, rules, url_col=args.url_col)
+        if args.slot_seconds is not None:
+            # Crawl-delay d + slot quantum s -> at most s/d fetches per
+            # slot, never exceeding the global politeness budget
+            delays = rules.select(
+                "host",
+                F.least(
+                    F.lit(float(args.per_host_slots)),
+                    F.lit(float(args.slot_seconds))
+                    / F.greatest(F.col("crawl_delay"), F.lit(1e-9)),
+                ).alias("__budget"),
+            ).where(F.col("crawl_delay").isNotNull())
+            urls = urls.join(F.broadcast(delays), "host", "left")
+            budget_col = "__budget"
     priority = None
     if args.ranks and args.churn:
         raise SystemExit(
@@ -744,7 +758,8 @@ def cmd_frontier(args) -> int:
         max_per_host=args.max_per_host,
         url_col=args.url_col,
         priority_col=priority,
-    ).drop("__prio")
+        budget_col=budget_col,
+    ).drop("__prio", "__budget")
     sched.write.mode("overwrite").parquet(args.out)
     back = spark.read.parquet(args.out)
     rep = frontier_slot_report(back).limit(args.report_slots).collect()
@@ -1162,6 +1177,10 @@ def main(argv=None) -> int:
                          "trap report instead of re-mining")
     fr.add_argument("--trap-min-urls", type=int, default=1000)
     fr.add_argument("--trap-min-share", type=float, default=0.10)
+    fr.add_argument("--slot-seconds", type=float, default=None,
+                    help="slot time quantum; with --robots, hosts "
+                         "declaring Crawl-delay get at most "
+                         "slot_seconds/delay fetches per slot")
     fr.add_argument("--url-col", default="url")
     fr.add_argument("--per-host-slots", type=int, default=1)
     fr.add_argument("--max-per-host", type=int, default=None)

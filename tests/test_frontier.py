@@ -203,3 +203,53 @@ def test_churn_verb_feeds_frontier_priority(tmp_path, spark, capsys):
             "--master", "local[4]", "frontier", "--source", src,
             "--out", out, "--churn", chp, "--ranks", chp,
         ])
+
+
+def test_frontier_budget_col_fractional_stride(spark):
+    """Per-host budgets: fractional budget strides fetches across slots
+    (Crawl-delay semantics); hosts without a budget use the global."""
+    from eventanalysis_spark.operators.frontier import frontier_schedule
+
+    rows = [(f"https://slow.example/{i}", "slow.example", 0.5)
+            for i in range(3)]
+    rows += [(f"https://fast.example/{i}", "fast.example", None)
+             for i in range(4)]
+    urls = spark.createDataFrame(
+        rows, "url string, host string, __budget double"
+    )
+    out = frontier_schedule(urls, per_host_slots=2, budget_col="__budget")
+    got = {r["url"]: r["slot"] for r in out.collect()}
+    # budget 0.5: one fetch every 2 slots -> slots 0, 2, 4
+    assert [got[f"https://slow.example/{i}"] for i in range(3)] == [0, 2, 4]
+    # NULL budget -> global per_host_slots=2 -> 2 per slot
+    assert [got[f"https://fast.example/{i}"] for i in range(4)] == [0, 0, 1, 1]
+
+
+def test_frontier_cli_crawl_delay_budget(tmp_path, spark, capsys):
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import spark_submit_main as cli
+
+    urls = [(f"https://d.example/p{i}",) for i in range(4)]
+    urls += [(f"https://free.example/p{i}",) for i in range(4)]
+    src = str(tmp_path / "urls_d")
+    spark.createDataFrame(urls, "url string").write.parquet(src)
+    robots = str(tmp_path / "robots_d")
+    spark.createDataFrame(
+        [("d.example", "User-agent: *\nCrawl-delay: 2\nDisallow:\n")],
+        "host string, content string",
+    ).write.parquet(robots)
+    out = str(tmp_path / "sched_d")
+    capsys.readouterr()
+    assert cli.main([
+        "--master", "local[4]", "frontier", "--source", src, "--out", out,
+        "--robots", robots, "--slot-seconds", "1", "--per-host-slots", "2",
+    ]) == 0
+    got = {r["url"]: r["slot"]
+           for r in spark.read.parquet(out).collect()}
+    # delay 2, quantum 1s -> budget 0.5 -> slots 0,2,4,6
+    assert [got[f"https://d.example/p{i}"] for i in range(4)] == [0, 2, 4, 6]
+    # no delay declared -> global budget 2
+    assert [got[f"https://free.example/p{i}"] for i in range(4)] == [0, 0, 1, 1]

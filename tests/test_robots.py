@@ -73,3 +73,43 @@ def test_robots_filter_longest_match(spark):
         for r in robots_filter(urls.repartition(13), rules).collect()
     }
     assert kept13 == kept
+
+
+def test_robots_crawl_delay_and_sitemaps(spark):
+    from eventanalysis_spark.operators.robots import robots_rules
+
+    body = (
+        "Sitemap: https://h.example/sm-top.xml\n"
+        "User-agent: other\n"
+        "Crawl-delay: 99\n"
+        "User-agent: *\n"
+        "Disallow: /x\n"
+        "Crawl-delay: 2.5\n"
+        "Crawl-delay: 7\n"          # first valid *-group value wins
+        "Sitemap: https://h.example/sm-a.xml\n"
+        "User-agent: b\n"            # new group (sitemap broke adjacency)
+        "Crawl-delay: 41\n"
+    )
+    df = spark.createDataFrame(
+        [("h.example", body), ("plain.example", "User-agent: *\nDisallow:\n")],
+        "host string, content string",
+    )
+    rows = {r["host"]: r for r in robots_rules(df).collect()}
+    h = rows["h.example"]
+    assert h["crawl_delay"] == 2.5
+    assert h["sitemaps"] == [
+        "https://h.example/sm-top.xml", "https://h.example/sm-a.xml"
+    ]
+    assert h["disallow"] == ["/x"]
+    p = rows["plain.example"]
+    assert p["crawl_delay"] is None and p["sitemaps"] == []
+
+
+def test_robots_crawl_delay_non_numeric_ignored(spark):
+    from eventanalysis_spark.operators.robots import robots_rules
+
+    body = "User-agent: *\nCrawl-delay: fast\nCrawl-delay: 3\n"
+    df = spark.createDataFrame(
+        [("h", body)], "host string, content string"
+    )
+    assert robots_rules(df).collect()[0]["crawl_delay"] == 3.0

@@ -13,6 +13,8 @@ _URLSET = """<?xml version="1.0" encoding="UTF-8"?>
   <url>
     <loc> https://a.example/p1 </loc>
     <lastmod>2024-05-01</lastmod>
+    <changefreq>Daily</changefreq>
+    <priority>0.8</priority>
   </url>
   <url><loc>https://a.example/p2?x=1&amp;y=2</loc></url>
   <url><loc></loc></url>
@@ -41,12 +43,16 @@ def test_sitemap_entries_urlset_and_index(spark):
         (tuple(r) for r in sitemap_entries(_df(spark)).collect())
     )
     assert rows == [
-        ("a.example", "url", "https://a.example/p1", "2024-05-01"),
-        # entity-unescaped loc; missing lastmod -> NULL; empty loc dropped
-        ("a.example", "url", "https://a.example/p2?x=1&y=2", None),
+        # changefreq lowercased, priority cast to double
+        ("a.example", "url", "https://a.example/p1", "2024-05-01",
+         "daily", 0.8),
+        # entity-unescaped loc; missing optionals -> NULL; empty loc dropped
+        ("a.example", "url", "https://a.example/p2?x=1&y=2", None, None,
+         None),
         ("b.example", "sitemap", "https://b.example/sitemap-1.xml",
-         "2024-06-02T10:00:00Z"),
-        ("b.example", "sitemap", "https://b.example/sitemap-2.xml", None),
+         "2024-06-02T10:00:00Z", None, None),
+        ("b.example", "sitemap", "https://b.example/sitemap-2.xml", None,
+         None, None),
     ]
 
 
@@ -93,3 +99,19 @@ def test_sitemap_entries_whitespace_tolerant_tags(spark):
     )
     rows = sitemap_entries(df).collect()
     assert len(rows) == 1 and rows[0]["loc"] == "https://d.example/x"
+
+
+def test_sitemap_priority_dedup_and_bad_values(spark):
+    xml = (
+        "<urlset>"
+        "<url><loc>https://e.example/p</loc><priority>0.3</priority></url>"
+        "<url><loc>https://e.example/p</loc><priority>0.9</priority></url>"
+        "<url><loc>https://e.example/q</loc><priority>high</priority></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame(
+        [("e.example", xml)], "host string, content string"
+    )
+    rows = {r["url"]: r for r in sitemap_frontier_urls(df).collect()}
+    assert rows["https://e.example/p"]["priority"] == 0.9  # strongest claim
+    assert rows["https://e.example/q"]["priority"] is None  # non-numeric
