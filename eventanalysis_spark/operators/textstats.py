@@ -179,6 +179,61 @@ def corpus_token_counts(
     return toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def zipf_stats(
+    docs: DataFrame, k: int = 1000, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-health diagnostic: ln-ln OLS fit of the rank-frequency
+    head (Zipf 1949 — natural text shows slope ≈ -1; heavily templated
+    or deduplicated-to-death corpora drift away, so the slope is a
+    one-number corpus smell test).
+
+    One row: (n_terms, n_tokens, k_fit, zipf_slope, zipf_intercept)
+    where the fit runs over the top `k_fit = min(k, n_terms)` terms by
+    frequency (rank ties broken by term for determinism), x = ln rank,
+    y = ln freq, closed-form OLS. 6-dp round at the output edge.
+
+    Scale shape: term counts are one explode + map-side-partial hash
+    aggregate (in-doc repetition collapses before the shuffle); the
+    global totals are a second 1-row aggregate of that table; only the
+    TOP-K head (k rows, driver-bounded) passes through the rank window
+    — the fit never globally sorts the full vocabulary."""
+    counts = corpus_token_counts(docs, text_col=text_col)
+    counts = counts.localCheckpoint(eager=False)  # totals + head consumers
+    totals = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+    )
+    head = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    xy = head.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        denom != 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom,
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    fit = m.select(
+        F.col("n").cast("long").alias("k_fit"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )
+    return totals.crossJoin(fit).select(
+        "n_terms", "n_tokens", "k_fit", "zipf_slope", "zipf_intercept"
+    )
+
+
 def vocab_topk(docs: DataFrame, k: int = 1000, text_col: str = "text") -> DataFrame:
     """Top-k corpus vocabulary by frequency → (rank, token, cnt),
     deterministic order (cnt DESC, token ASC). The only row-scale work is

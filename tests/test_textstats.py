@@ -353,3 +353,40 @@ def test_readability_scores_hand_computed(spark):
     assert abs(r1["flesch"] - expected) < 1e-9
     assert got[2]["n_sentences"] == 1 and got[2]["n_words"] == 4
     assert got[3]["n_words"] == 0 and got[3]["flesch"] is None
+
+
+def test_zipf_stats_hand_computed(spark):
+    import math
+
+    from eventanalysis_spark.operators.textstats import zipf_stats
+
+    # freq table by construction: a×8, b×4, c×2, d×1 (exact Zipf would
+    # need 8,4,8/3,2 — so the slope is close to but not exactly -1)
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = zipf_stats(df, k=10).collect()[0]
+    assert (r["n_terms"], r["n_tokens"], r["k_fit"]) == (4, 15, 4)
+    xs = [math.log(i + 1) for i in range(4)]
+    ys = [math.log(f) for f in (8, 4, 2, 1)]
+    n = 4.0
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(r["zipf_slope"] - round(slope, 6)) < 1e-9
+    assert slope < -1.0  # d's count (1 vs 8/(4**1)=...) pulls it steep
+
+
+def test_zipf_stats_degenerate_and_k_cap(spark):
+    from eventanalysis_spark.operators.textstats import zipf_stats
+
+    one = spark.createDataFrame([(1, "w w w")], "doc_id long, text string")
+    r = zipf_stats(one, k=10).collect()[0]
+    # single term: rank fit undefined -> NULLs, totals still exact
+    assert (r["n_terms"], r["n_tokens"], r["k_fit"]) == (1, 3, 1)
+    assert r["zipf_slope"] is None and r["zipf_intercept"] is None
+    # k caps the head: fit over top-2 only
+    df = spark.createDataFrame(
+        [(1, "a a a a b b c")], "doc_id long, text string"
+    )
+    assert zipf_stats(df, k=2).collect()[0]["k_fit"] == 2
