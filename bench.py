@@ -297,6 +297,13 @@ def timed_queries(spark) -> dict[str, float]:
         "kn_bigram_logprob",
         "lr_quality_score",
         "vocab_oov",
+        # round-5 crawl-ops loop: trap mining, frontier scheduling,
+        # change-rate estimation, phrase search, Zipf corpus health
+        "url_trap_stats",
+        "frontier_schedule",
+        "change_rates",
+        "phrase_search",
+        "zipf_fit",
     ]
     qs = entry.queries()
     best: dict[str, float] = {}
