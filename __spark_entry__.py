@@ -3116,6 +3116,20 @@ def q_zipf_fit(spark, sf):
     return zipf_stats(_t(spark, sf, "documents"), k=1000)
 
 
+def q_bitext_mine(spark, sf):
+    """Margin-based bitext mining (operators/similarity.py::
+    bitext_margin_pairs; Artetxe & Schwenk 2019): even vec_ids as side
+    A, odd as side B, k=4 ratio margin, mutual-best intersection. All
+    comparisons on 6-dp cosines; both per-side windows share one hash
+    partitioning each."""
+    from eventanalysis_spark.operators.similarity import bitext_margin_pairs
+
+    emb = _t(spark, sf, "embeddings")
+    a = emb.where((F.col("vec_id") % 2) == 0)
+    b = emb.where((F.col("vec_id") % 2) == 1)
+    return bitext_margin_pairs(a, b, k=4, margin_threshold=1.0, mutual=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the correctness driver certifies the FIRST 50
     # entries, so the window below is 50 exact-oracle showcase queries spanning
@@ -3265,6 +3279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_trap_stats": q_url_trap_stats,
         "phrase_search": q_phrase_search,
         "zipf_fit": q_zipf_fit,
+        "bitext_mine": q_bitext_mine,
         "change_rates": q_change_rates,
         "readability": q_readability,
         "trap_gate": q_trap_gate,
@@ -7559,6 +7574,45 @@ def oracle_sql() -> dict[str, str]:
                                         / CAST(n_words AS DOUBLE)), 6)
                         END AS flesch
             FROM c ORDER BY doc_id
+        """,
+        "bitext_mine": """
+            WITH av AS (
+                SELECT vec_id AS a_id, embedding::DOUBLE[] AS va
+                FROM embeddings WHERE vec_id % 2 = 0
+            ), bv AS (
+                SELECT vec_id AS b_id, embedding::DOUBLE[] AS vb
+                FROM embeddings WHERE vec_id % 2 = 1
+            ), pairs AS (
+                SELECT a_id, b_id,
+                       ROUND(list_dot_product(va, vb)
+                             / (sqrt(list_dot_product(va, va))
+                                * sqrt(list_dot_product(vb, vb))), 6)
+                         AS cos_sim
+                FROM av, bv
+            ), ranked AS (
+                SELECT *,
+                       ROW_NUMBER() OVER (PARTITION BY a_id
+                                          ORDER BY cos_sim DESC, b_id ASC)
+                         AS rka,
+                       ROW_NUMBER() OVER (PARTITION BY b_id
+                                          ORDER BY cos_sim DESC, a_id ASC)
+                         AS rkb
+                FROM pairs
+            ), avgs AS (
+                SELECT *,
+                       AVG(CASE WHEN rka <= 4 THEN cos_sim END)
+                         OVER (PARTITION BY a_id) AS avga,
+                       AVG(CASE WHEN rkb <= 4 THEN cos_sim END)
+                         OVER (PARTITION BY b_id) AS avgb
+                FROM ranked
+            )
+            SELECT a_id, b_id, cos_sim,
+                   ROUND(cos_sim / ((avga + avgb) / 2.0), 6) AS margin
+            FROM avgs
+            WHERE rka = 1 AND rkb = 1
+              AND (avga + avgb) / 2.0 <> 0
+              AND ROUND(cos_sim / ((avga + avgb) / 2.0), 6) >= 1.0
+            ORDER BY a_id
         """,
         "zipf_fit": """
             WITH toks AS (

@@ -421,3 +421,84 @@ def hard_negative_mine(
         .where(F.col("rank") <= k)
         .orderBy(query_id_col, "rank")
     )
+
+
+def bitext_margin_pairs(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 4,
+    margin_threshold: float = 1.0,
+    mutual: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk, ACL 2019; the
+    CCMatrix/LASER alignment recipe): pair each vector of side `a` with
+    its best match in side `b`, scored by the RATIO margin —
+    cos(x, y) normalized by the mean of both vectors' k-NN
+    neighborhoods — which cancels hubness (a y that is "close to
+    everything" inflates its own neighborhood average and loses the
+    margin it would win on raw cosine).
+
+      margin(x, y) = cos(x, y) / ((avgk(x) + avgk(y)) / 2)
+
+    Output: (a_id, b_id, cos_sim, margin) for a-side best matches with
+    margin >= `margin_threshold`; `mutual=True` (the paper's
+    'intersection' strategy) additionally requires x to be y's best
+    a-side match. Ordered by a_id; every comparison runs on 6-dp-rounded
+    cosines so ranking is bit-stable across engines.
+
+    Scale shape: the pair frame is scored once; both per-side rank AND
+    neighborhood-average windows share one hash partitioning per side
+    (two exchanges total — the avg window declares no ORDER, so it
+    reuses the rank window's partitioning). The brute pair frame is the
+    oracle-exact baseline: at 10^12 rows generate candidates with the
+    LSH/IVF modules (`lsh_bucket_ann`, `ivf_topk`) and feed the
+    candidate pairs through the same margin windows — the mining
+    semantics are unchanged."""
+    from pyspark.sql.window import Window
+
+    av = a.select(
+        F.col(id_col).alias("a_id"), _as_double(F.col(vec_col)).alias("__a")
+    )
+    bv = b.select(
+        F.col(id_col).alias("b_id"), _as_double(F.col(vec_col)).alias("__b")
+    )
+    pairs = av.crossJoin(bv).select(
+        "a_id", "b_id",
+        F.round(cosine(F.col("__a"), F.col("__b")), 6).alias("cos_sim"),
+    )
+    wa = Window.partitionBy("a_id").orderBy(
+        F.col("cos_sim").desc(), F.col("b_id").asc()
+    )
+    wa_all = Window.partitionBy("a_id")
+    wb = Window.partitionBy("b_id").orderBy(
+        F.col("cos_sim").desc(), F.col("a_id").asc()
+    )
+    wb_all = Window.partitionBy("b_id")
+    ranked = (
+        pairs.withColumn("__rka", F.row_number().over(wa))
+        .withColumn(
+            "__avga",
+            F.avg(F.when(F.col("__rka") <= k, F.col("cos_sim"))).over(wa_all),
+        )
+        .withColumn("__rkb", F.row_number().over(wb))
+        .withColumn(
+            "__avgb",
+            F.avg(F.when(F.col("__rkb") <= k, F.col("cos_sim"))).over(wb_all),
+        )
+    )
+    denom = (F.col("__avga") + F.col("__avgb")) / F.lit(2.0)
+    out = (
+        ranked.where(F.col("__rka") == 1)
+        .withColumn(
+            "margin",
+            F.round(
+                F.when(denom != 0, F.col("cos_sim") / denom), 6
+            ),
+        )
+        .where(F.col("margin") >= margin_threshold)
+    )
+    if mutual:
+        out = out.where(F.col("__rkb") == 1)
+    return out.select("a_id", "b_id", "cos_sim", "margin").orderBy("a_id")

@@ -326,3 +326,68 @@ def test_ivfpq_matches_python_replica_on_probed_cells(spark, emb):
                m=2, k_sub=4, iterations=2, dim=DIM, codebooks=books,
            ).collect()]
     assert got == want
+
+
+# ---- bitext margin mining (similarity.py) ----------------------------
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_bitext_margin_hand_computed(spark):
+    from eventanalysis_spark.operators.similarity import bitext_margin_pairs
+
+    # a0 ~ b0 (strong aligned pair, margin 1.59); a1 has only a weak
+    # match (margin 1.32) -> a threshold between them keeps just a0
+    a = _emb(spark, [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])])
+    b = _emb(spark, [(100, [0.999, 0.01, 0.0]),
+                     (101, [0.5, 0.5, 0.7]),
+                     (102, [0.0, 0.0, 1.0])])
+    all_best = {r["a_id"]: r for r in bitext_margin_pairs(
+        a, b, k=2, margin_threshold=0.0, mutual=False
+    ).collect()}
+    assert all_best[0]["b_id"] == 100 and all_best[0]["cos_sim"] > 0.99
+    assert all_best[1]["b_id"] == 101
+    assert all_best[0]["margin"] > all_best[1]["margin"]
+    gated = {r["a_id"] for r in bitext_margin_pairs(
+        a, b, k=2, margin_threshold=1.4, mutual=False
+    ).collect()}
+    assert gated == {0}
+
+
+def test_bitext_margin_mutual_and_k1_degenerate(spark):
+    from eventanalysis_spark.operators.similarity import bitext_margin_pairs
+
+    # k=1 degenerates BY CONSTRUCTION: for a mutual best pair both
+    # neighborhood averages equal the pair cosine, so margin == 1.0
+    a = _emb(spark, [(0, [1.0, 0.2, 0.0]), (1, [0.0, 1.0, 0.0])])
+    b = _emb(spark, [(100, [0.7, 0.7, 0.1]), (101, [0.0, 1.0, 0.0])])
+    rows = bitext_margin_pairs(a, b, k=1, margin_threshold=0.0,
+                               mutual=True).collect()
+    assert {r["a_id"]: r["b_id"] for r in rows} == {0: 100, 1: 101}
+    assert all(r["margin"] == 1.0 for r in rows)
+    # k=2 discriminates: the exact a1-b101 match (weak 2nd neighbor)
+    # out-margins the hub pair a0-b100
+    m = {r["a_id"]: r["margin"] for r in bitext_margin_pairs(
+        a, b, k=2, margin_threshold=0.0, mutual=True
+    ).collect()}
+    assert m[1] > m[0]
+
+
+def test_bitext_margin_partition_invariance(spark):
+    from eventanalysis_spark.operators.similarity import bitext_margin_pairs
+
+    import random
+    rng = random.Random(7)
+    a = _emb(spark, [(i, [rng.uniform(-1, 1) for _ in range(8)])
+                     for i in range(30)])
+    b = _emb(spark, [(100 + i, [rng.uniform(-1, 1) for _ in range(8)])
+                     for i in range(30)])
+    r1 = bitext_margin_pairs(a.repartition(7), b.coalesce(1), k=3,
+                             margin_threshold=1.0).collect()
+    r2 = bitext_margin_pairs(a.coalesce(1), b.repartition(5), k=3,
+                             margin_threshold=1.0).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    assert len(r1) > 0
