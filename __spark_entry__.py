@@ -3130,6 +3130,25 @@ def q_bitext_mine(spark, sf):
     return bitext_margin_pairs(a, b, k=4, margin_threshold=1.0, mutual=True)
 
 
+def q_eval_ndcg(spark, sf):
+    """nDCG@10 per query (operators/evalmetrics.py::ndcg_at_k): source
+    as the query, n_chars as the system score, doc_id % 4 as graded
+    relevance — two rank windows sharing one query-keyed partitioning,
+    then one partial aggregate."""
+    from eventanalysis_spark.operators.evalmetrics import ndcg_at_k
+
+    docs = _t(spark, sf, "documents")
+    judged = docs.select(
+        F.col("source").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("n_chars").cast("double").alias("score"),
+        # doc_id % 4 is CONSTANT per source (sources stride 20): use the
+        # per-source sequence index so relevance varies within a query
+        (F.floor(F.col("doc_id") / 20) % 4).cast("int").alias("rel"),
+    )
+    return ndcg_at_k(judged, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the correctness driver certifies the FIRST 50
     # entries, so the window below is 50 exact-oracle showcase queries spanning
@@ -3280,6 +3299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "zipf_fit": q_zipf_fit,
         "bitext_mine": q_bitext_mine,
+        "eval_ndcg": q_eval_ndcg,
         "change_rates": q_change_rates,
         "readability": q_readability,
         "trap_gate": q_trap_gate,
@@ -7574,6 +7594,37 @@ def oracle_sql() -> dict[str, str]:
                                         / CAST(n_words AS DOUBLE)), 6)
                         END AS flesch
             FROM c ORDER BY doc_id
+        """,
+        "eval_ndcg": """
+            WITH judged AS (
+                SELECT source AS query_id,
+                       CAST(doc_id AS VARCHAR) AS doc_id,
+                       CAST(n_chars AS DOUBLE) AS score,
+                       CAST((doc_id // 20) % 4 AS INTEGER) AS rel
+                FROM documents
+            ), ranked AS (
+                SELECT query_id, rel,
+                       power(2.0, CAST(rel AS DOUBLE)) - 1.0 AS g,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, doc_id ASC)
+                         AS rs,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY rel DESC, doc_id ASC)
+                         AS ri
+                FROM judged
+            ), agg AS (
+                SELECT query_id,
+                       SUM(CASE WHEN rs <= 10
+                                THEN g / log2(CAST(rs AS DOUBLE) + 1.0)
+                                ELSE 0.0 END) AS dcg,
+                       SUM(CASE WHEN ri <= 10
+                                THEN g / log2(CAST(ri AS DOUBLE) + 1.0)
+                                ELSE 0.0 END) AS idcg
+                FROM ranked GROUP BY query_id
+            )
+            SELECT query_id, ROUND(dcg, 6) AS dcg, ROUND(idcg, 6) AS idcg,
+                   CASE WHEN idcg > 0 THEN ROUND(dcg / idcg, 6) END AS ndcg
+            FROM agg ORDER BY query_id
         """,
         "bitext_mine": """
             WITH av AS (

@@ -695,6 +695,15 @@ def cmd_frontier(args) -> int:
             .unionByName(sm.select(F.col("url").alias(args.url_col)))
             .distinct()
         )
+    if args.visited:
+        # already-fetched URLs never re-enter the plan: one left_anti on
+        # the url key (AQE broadcasts the visited side when it fits,
+        # shuffle-joins otherwise); pair with the churn verb when stale
+        # pages SHOULD refetch — visited excludes, churn re-prioritizes
+        seen = spark.read.parquet(args.visited).select(
+            F.col(args.url_col).alias(args.url_col)
+        )
+        urls = urls.join(seen, args.url_col, "left_anti")
     if "host" not in urls.columns:
         urls = urls.withColumn("host", url_parts(F.col(args.url_col))["host"])
     if args.trap_cap is not None or args.traps:
@@ -1167,6 +1176,9 @@ def main(argv=None) -> int:
     fr.add_argument("--sitemaps", default=None,
                     help="(host, content) sitemap XML parquet → union "
                          "declared page URLs into the candidate set")
+    fr.add_argument("--visited", default=None,
+                    help="already-crawled urls parquet → left_anti "
+                         "excluded from the plan")
     fr.add_argument("--trap-cap", type=int, default=None,
                     help="cap each exploding URL template (crawler trap) "
                          "to this many URLs before scheduling (default 100 "

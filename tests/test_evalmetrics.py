@@ -298,3 +298,55 @@ def test_chi2_independent_is_zero(spark):
     rows = [(c, g) for c in ("x", "y", "z") for g in ("a", "b") for _ in range(7)]
     df = spark.createDataFrame(rows, "c string, g string")
     assert chi2_drift(df, "c", "g", "a", "b").collect()[0]["chi2"] == 0.0
+
+
+# ---- ndcg_at_k -------------------------------------------------------
+
+def test_ndcg_hand_computed(spark):
+    import math
+
+    from eventanalysis_spark.operators.evalmetrics import ndcg_at_k
+
+    # q1: system ranks rel=[3,2,0] (by score); ideal is [3,2,0] -> ndcg<1
+    rows = [
+        ("q1", "a", 0.9, 3), ("q1", "b", 0.8, 2), ("q1", "c", 0.7, 0),
+        # q2: system puts the irrelevant doc first -> penalized
+        ("q2", "x", 0.9, 0), ("q2", "y", 0.8, 2),
+        # q3: nothing relevant -> NULL ndcg
+        ("q3", "m", 0.5, 0), ("q3", "n", 0.4, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id string, doc_id string, score double, rel int"
+    )
+    got = {r["query_id"]: r for r in ndcg_at_k(df, k=10).collect()}
+
+    def dcg(rels):
+        return sum((2 ** r - 1) / math.log2(i + 2) for i, r in enumerate(rels))
+
+    assert abs(got["q1"]["dcg"] - round(dcg([3, 2, 0]), 6)) < 1e-9
+    assert abs(got["q1"]["ndcg"] - 1.0) < 1e-9  # system order IS ideal
+    exp2 = dcg([0, 2]) / dcg([2, 0])
+    assert abs(got["q2"]["ndcg"] - round(exp2, 6)) < 1e-9
+    assert got["q3"]["ndcg"] is None and got["q3"]["idcg"] == 0.0
+
+
+def test_ndcg_k_cutoff_and_partition_invariance(spark):
+    from eventanalysis_spark.operators.evalmetrics import ndcg_at_k
+
+    # rel-3 doc ranked at position 3: k=2 misses it in DCG but IDCG@2
+    # counts it first -> ndcg drops vs k=3
+    rows = [("q", "a", 0.9, 1), ("q", "b", 0.8, 1), ("q", "c", 0.7, 3)]
+    df = spark.createDataFrame(
+        rows, "query_id string, doc_id string, score double, rel int"
+    )
+    n2 = ndcg_at_k(df, k=2).collect()[0]["ndcg"]
+    n3 = ndcg_at_k(df, k=3).collect()[0]["ndcg"]
+    assert n2 < n3
+    big = spark.createDataFrame(
+        [(f"q{i % 7}", f"d{i}", float((i * 37) % 101), (i * 13) % 4)
+         for i in range(200)],
+        "query_id string, doc_id string, score double, rel int",
+    )
+    a = ndcg_at_k(big.repartition(9), k=5).collect()
+    b = ndcg_at_k(big.coalesce(1), k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

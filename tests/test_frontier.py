@@ -253,3 +253,32 @@ def test_frontier_cli_crawl_delay_budget(tmp_path, spark, capsys):
     assert [got[f"https://d.example/p{i}"] for i in range(4)] == [0, 2, 4, 6]
     # no delay declared -> global budget 2
     assert [got[f"https://free.example/p{i}"] for i in range(4)] == [0, 0, 1, 1]
+
+
+def test_frontier_cli_visited_excluded(tmp_path, spark, capsys):
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import spark_submit_main as cli
+
+    src = str(tmp_path / "urls_v")
+    spark.createDataFrame(
+        [(f"https://v.example/p{i}",) for i in range(5)], "url string"
+    ).write.parquet(src)
+    seen = str(tmp_path / "visited")
+    spark.createDataFrame(
+        [("https://v.example/p1",), ("https://v.example/p3",),
+         ("https://other.example/x",)],
+        "url string",
+    ).write.parquet(seen)
+    out = str(tmp_path / "sched_v")
+    capsys.readouterr()
+    assert cli.main([
+        "--master", "local[4]", "frontier", "--source", src, "--out", out,
+        "--visited", seen,
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    kept = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert kept == {f"https://v.example/p{i}" for i in (0, 2, 4)}
+    assert rep["urls_scheduled"] == 3
