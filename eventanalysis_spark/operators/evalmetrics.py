@@ -550,3 +550,77 @@ def ndcg_at_k(
             F.col("__idcg") > 0, _round6(F.col("__dcg") / F.col("__idcg"))
         ).alias("ndcg"),
     ).orderBy(query_col)
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Binary-relevance retrieval metrics per query — the classic quartet
+    next to `ndcg_at_k`: reciprocal rank, average precision, precision@k
+    and recall@k. `rel` > 0 counts as relevant (graded labels binarize).
+
+    Definitions (all over the system ranking by score desc, id asc):
+      rr        = 1 / rank of the FIRST relevant doc (0 if none)
+      ap        = mean over relevant docs of precision at their rank
+                  (the full-list MAP summand, normalized by ALL judged
+                  relevant docs for the query)
+      precision_k / recall_k = relevant-in-top-k / (k, n_relevant)
+    Queries with no relevant doc report rr=0 and NULL ap/recall.
+
+    Scale shape: ONE rank window on the query-keyed partitioning, a
+    running-relevant cumulative sum over the same window order (no
+    second exchange), then one partial-aggregatable group-by."""
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    is_rel = (F.col(rel_col) > 0).cast("int")
+    ranked = results.select(
+        F.col(query_col),
+        is_rel.alias("__r"),
+        F.row_number().over(w).alias("__rk"),
+        F.sum(is_rel).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__cum"),
+    )
+    agg = ranked.groupBy(query_col).agg(
+        F.sum("__r").cast("long").alias("n_relevant"),
+        F.min(F.when(F.col("__r") == 1, F.col("__rk"))).alias("__first"),
+        F.sum(
+            F.when(
+                F.col("__r") == 1,
+                F.col("__cum").cast("double") / F.col("__rk").cast("double"),
+            ).otherwise(F.lit(0.0))
+        ).alias("__ap_sum"),
+        F.sum(F.when(F.col("__rk") <= k, F.col("__r")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("__rel_k"),
+    )
+    return agg.select(
+        F.col(query_col),
+        "n_relevant",
+        _round6(
+            F.when(
+                F.col("__first").isNotNull(),
+                F.lit(1.0) / F.col("__first").cast("double"),
+            ).otherwise(F.lit(0.0))
+        ).alias("rr"),
+        F.when(
+            F.col("n_relevant") > 0,
+            _round6(F.col("__ap_sum") / F.col("n_relevant").cast("double")),
+        ).alias("ap"),
+        _round6(F.col("__rel_k").cast("double") / F.lit(float(k))).alias(
+            "precision_k"
+        ),
+        F.when(
+            F.col("n_relevant") > 0,
+            _round6(
+                F.col("__rel_k").cast("double")
+                / F.col("n_relevant").cast("double")
+            ),
+        ).alias("recall_k"),
+    ).orderBy(query_col)

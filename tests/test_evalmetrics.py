@@ -350,3 +350,30 @@ def test_ndcg_k_cutoff_and_partition_invariance(spark):
     a = ndcg_at_k(big.repartition(9), k=5).collect()
     b = ndcg_at_k(big.coalesce(1), k=5).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    from eventanalysis_spark.operators.evalmetrics import retrieval_metrics
+
+    rows = [
+        # q1 ranking: rel, irrel, rel -> rr=1, ap=(1/1 + 2/3)/2
+        ("q1", "a", 0.9, 1), ("q1", "b", 0.8, 0), ("q1", "c", 0.7, 2),
+        # q2: first relevant at rank 2 of 2
+        ("q2", "x", 0.9, 0), ("q2", "y", 0.8, 1),
+        # q3: nothing relevant
+        ("q3", "m", 0.5, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id string, doc_id string, score double, rel int"
+    )
+    got = {r["query_id"]: r for r in retrieval_metrics(df, k=2).collect()}
+    q1 = got["q1"]
+    assert q1["n_relevant"] == 2 and q1["rr"] == 1.0
+    assert abs(q1["ap"] - round((1.0 + 2 / 3) / 2, 6)) < 1e-9
+    assert q1["precision_k"] == 0.5 and q1["recall_k"] == 0.5  # top-2 has 1 rel
+    q2 = got["q2"]
+    assert q2["rr"] == 0.5 and q2["ap"] == 0.5
+    assert q2["precision_k"] == 0.5 and q2["recall_k"] == 1.0
+    q3 = got["q3"]
+    assert q3["rr"] == 0.0 and q3["ap"] is None and q3["recall_k"] is None
+    assert q3["precision_k"] == 0.0
