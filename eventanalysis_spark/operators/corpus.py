@@ -495,7 +495,9 @@ def change_rate_estimates(
     if isinstance(group, str):
         group = F.col(group)
     h = F.md5(F.coalesce(F.col(content_col), F.lit("\x00null")))
-    w = Window.partitionBy("key").orderBy("crawl")
+    # hash tie-break: a duplicated (key, crawl) observation still yields
+    # a deterministic lag order instead of a partitioning-dependent one
+    w = Window.partitionBy("key").orderBy("crawl", "h")
     obs = snapshots.select(
         F.col(key_col).alias("key"),
         F.col(crawl_col).alias("crawl"),
