@@ -42,9 +42,10 @@ Subcommands:
   clean     — C4-style corpus cleaning: line filter + badword /
               placeholder-text doc gates (+ --gopher statistical gate);
               writes survivors with cleaned text, prints the audit
-  media-dedup — perceptual near-dup collapse over a media table:
-              --modality image (dHash) / audio (acoustic fingerprint) /
-              video (frame-aligned dHash); survivors + tombstones
+  media-dedup — near-dup collapse over a media table: --modality
+              image (dHash) / audio (acoustic fingerprint) / video
+              (frame-aligned dHash) / bytes (CDC chunk overlap — exact
+              shift-invariant storage dedup); survivors + tombstones
   quality-score — model-based quality scoring: --scorer unigram|bigram|
               kn (self-trained LM perplexity) or nb|lr (supervised
               hashed classifiers); scores parquet + quantile summary
@@ -377,14 +378,33 @@ def cmd_media_dedup(args) -> int:
     spark = _spark(args)
     media = spark.read.parquet(args.source)
     n_in = media.count()
-    near = {"image": image_near_dups, "audio": audio_near_dups,
-            "video": video_near_dups}[args.modality]
-    pairs = near(
-        media,
-        max_hamming=args.max_hamming,
-        max_bucket_size=args.max_bucket_size,
-        pin=args.pin,
-    )
+    if args.modality == "bytes":
+        # exact sub-object storage dedup: CDC chunk overlap instead of a
+        # perceptual hash — shift-invariant byte identity
+        from eventanalysis_spark.operators.cdc import (
+            cdc_chunk_table,
+            cdc_shared_pairs,
+        )
+
+        chunks = cdc_chunk_table(media, blob_col="content",
+                                 id_col="media_id")
+        pairs = cdc_shared_pairs(
+            chunks,
+            min_shared_bytes=args.min_shared_bytes,
+            max_postings=args.max_bucket_size or 4096,
+        ).select(
+            F.col("doc_a").alias("media_a"),
+            F.col("doc_b").alias("media_b"),
+        )
+    else:
+        near = {"image": image_near_dups, "audio": audio_near_dups,
+                "video": video_near_dups}[args.modality]
+        pairs = near(
+            media,
+            max_hamming=args.max_hamming,
+            max_bucket_size=args.max_bucket_size,
+            pin=args.pin,
+        )
     comp = connected_components(
         pairs, "media_a", "media_b", pin=args.pin,
         checkpoint_every=args.checkpoint_every,
@@ -1148,7 +1168,7 @@ def main(argv=None) -> int:
     md.add_argument("--tombstones", default=None,
                     help="tombstones parquet (default <out>_tombstones)")
     md.add_argument("--modality", default="image",
-                    choices=["image", "audio", "video"],
+                    choices=["image", "audio", "video", "bytes"],
                     help="dedup images (dHash), audio clips (acoustic "
                          "fingerprint), or videos (frame-aligned dHash, "
                          "all sampled frames must match); other "
@@ -1159,6 +1179,8 @@ def main(argv=None) -> int:
     md.add_argument("--pin", default="local",
                     help="materialization strategy: local|persist|checkpoint")
     md.add_argument("--checkpoint-every", type=int, default=4)
+    md.add_argument("--min-shared-bytes", type=int, default=4096,
+                help="bytes modality: min CDC shared bytes to pair")
     md.set_defaults(fn=cmd_media_dedup)
 
     fr = sub.add_parser("frontier")

@@ -617,3 +617,40 @@ def test_media_dedup_cli_video(tmp_path, spark):
     assert [(r["media_id"], r["reason"], r["duplicate_of"]) for r in tomb] == [
         ("v1", "video_near_dup", "v0")
     ]
+
+
+def test_media_dedup_bytes_modality(tmp_path, spark):
+    """media-dedup --modality bytes: CDC chunk overlap pairs a shifted
+    byte-duplicate that NO perceptual hash would see (opaque blobs)."""
+    import random
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import spark_submit_main as cli
+
+    shared = random.Random(5).randbytes(40_000)
+    meta = (None, None, None, None, 40_000)
+    rows = [
+        ("b0", "blob", "application/octet-stream", bytearray(shared), meta),
+        ("b1", "blob", "application/octet-stream",
+         bytearray(random.Random(6).randbytes(300) + shared), meta),
+        ("b2", "blob", "application/octet-stream",
+         bytearray(random.Random(7).randbytes(40_000)), meta),
+    ]
+    src = str(tmp_path / "blobs")
+    spark.createDataFrame(
+        rows,
+        "media_id string, modality string, mime string, content binary, "
+        "meta struct<width:int,height:int,duration_ms:bigint,"
+        "sample_rate:int,n_bytes:bigint>",
+    ).write.parquet(src)
+    out = str(tmp_path / "blob_survivors")
+    assert cli.main([
+        "--master", "local[4]", "media-dedup", "--modality", "bytes",
+        "--source", src, "--out", out, "--min-shared-bytes", "10000",
+    ]) == 0
+    survivors = {r["media_id"] for r in spark.read.parquet(out).collect()}
+    assert survivors == {"b0", "b2"}
+    tomb = {r["media_id"]: (r["reason"], r["duplicate_of"])
+            for r in spark.read.parquet(out + "_tombstones").collect()}
+    assert tomb == {"b1": ("bytes_near_dup", "b0")}
