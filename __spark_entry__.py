@@ -2141,6 +2141,9 @@ def q_dedup_incremental(spark, sf):
         incremental_near_duplicates(
             new, old, old_index=idx, text_col="text", id_col="doc_id",
             num_hashes=64, bands=32, shingle_k=3, threshold=0.5,
+            # idx above is one-shot collapse_exact over exactly `old` —
+            # posting ids are already min-id reps, mapping join skippable
+            index_is_collapsed=True,
         )
         .select("new_id", "old_id", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("new_id", "old_id")

@@ -731,6 +731,7 @@ def incremental_near_duplicates(
     shingle_k: int = 3,
     threshold: float = 0.8,
     max_bucket_size: int | None = 4096,
+    index_is_collapsed: bool = False,
 ) -> DataFrame:
     """(new_id, old_id, jaccard) — new-crawl documents that near-duplicate
     the HISTORICAL corpus (the 'dedup this crawl against all previous
@@ -758,6 +759,12 @@ def incremental_near_duplicates(
         text-hash groups before verify, so per-crawl index appends with
         per-crawl reps, stale member postings, and uncollapsed round-4
         indexes all converge to the same rep-level candidates.
+        `index_is_collapsed=True` SKIPS that history-wide mapping join —
+        pass it ONLY when the index was built in one shot over exactly
+        `old_docs` with `lsh_index(collapse_exact=True)` (the same
+        min-id rule this function uses), where the mapping is provably
+        the identity. Multi-crawl appended indexes (per-crawl reps) must
+        keep the default False.
       - `max_bucket_size` caps postings per (band, bucket) on BOTH the
         probe side and any index read or built here (smallest doc_ids
         kept; None opts out)."""
@@ -785,6 +792,7 @@ def incremental_near_duplicates(
     new_rep_docs = new_docs.select(F.col(id_col), F.col(text_col)).join(
         new_groups.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
     )
+    old_index_built_here = old_index is None
     if old_index is None:
         old_index = lsh_index(
             old_docs, text_col, id_col, num_hashes, bands, shingle_k,
@@ -797,7 +805,7 @@ def incremental_near_duplicates(
         collapse_exact=False,  # already rep-only
         max_bucket_size=max_bucket_size,
     )
-    cands = (
+    raw_cands = (
         new_index.alias("n")
         .join(
             old_index.alias("o"),
@@ -808,9 +816,18 @@ def incremental_near_duplicates(
             F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_pid")
         )
         .distinct()
-        .join(old_rep_of, "old_pid")
-        .select("new_id", "old_id")
-        .distinct()
+    )
+    if index_is_collapsed or old_index_built_here:
+        # posting ids ARE the min-id reps (same collapse rule as
+        # old_groups) — the mapping join would be the identity; skip the
+        # history-wide members ⋈ groups shuffle entirely
+        mapped = raw_cands.select("new_id", F.col("old_pid").alias("old_id"))
+    else:
+        mapped = raw_cands.join(old_rep_of, "old_pid").select(
+            "new_id", "old_id"
+        )
+    cands = (
+        mapped.distinct()
         # referenced twice below (candidate fetch + verify join): pin so
         # the bucket join runs once, not per reference
         .localCheckpoint(eager=False)

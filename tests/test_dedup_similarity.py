@@ -576,3 +576,44 @@ def test_hard_negative_mine_sim_ceiling(spark, embeddings):
         [r.vec_id for r in hard_negative_mine(embeddings, positives, k=4)
          .collect()][3:]
     assert all(r.cos_sim < ceiling for r in capped)
+
+
+def test_incremental_dedup_collapsed_flag_identity(spark):
+    """index_is_collapsed=True (skip the rep-mapping join) must give
+    byte-identical pairs to the default mapping path when the index was
+    built one-shot collapsed over exactly old_docs — incl. expansion
+    over exact-duplicate memberships on BOTH crawls."""
+    from eventanalysis_spark.operators.dedup import (
+        incremental_near_duplicates,
+        lsh_index,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    old = spark.createDataFrame(
+        [(i, base + "shared tail") for i in range(4)]
+        + [(i, f"history only {i} filler words here " * 3) for i in range(4, 8)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, base + "shared tail"), (101, base + "shared tail"),
+         (102, "unrelated fresh page " * 5)],
+        "doc_id long, text string",
+    )
+    idx = lsh_index(old, id_col="doc_id", num_hashes=32, bands=16)
+
+    def run(flag):
+        return sorted(
+            (r["new_id"], r["old_id"], round(r["jaccard"], 9))
+            for r in incremental_near_duplicates(
+                new, old, old_index=idx, id_col="doc_id",
+                num_hashes=32, bands=16, threshold=0.5,
+                index_is_collapsed=flag,
+            ).collect()
+        )
+
+    fast, safe = run(True), run(False)
+    assert fast == safe
+    # full expansion: both new dups pair with ALL four old dups
+    assert {(n, o) for n, o, _ in fast} == {
+        (n, o) for n in (100, 101) for o in range(4)
+    }
