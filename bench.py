@@ -304,6 +304,9 @@ def timed_queries(spark) -> dict[str, float]:
         "change_rates",
         "phrase_search",
         "zipf_fit",
+        "bitext_mine",
+        "eval_ndcg",
+        "eval_retrieval",
     ]
     qs = entry.queries()
     best: dict[str, float] = {}
