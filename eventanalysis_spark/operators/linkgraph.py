@@ -668,3 +668,59 @@ def anchor_term_profile(
         .where(F.col("rank") <= k)
         .select("host", "term", "n", "rank")
     )
+
+
+def host_crawl_depth(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 6,
+    pin: str = "local",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """BFS crawl depth from seed hosts over the host graph: (host,
+    depth) for every host reachable within `max_depth` hops — the input
+    depth-capped crawling policies key on (how many link hops from the
+    trusted seed list is this host?), and the quantitative companion to
+    TrustRank (depth is the discrete "trust distance" its damping
+    smooths).
+
+    Semantics: seeds are depth 0 (lowercased, deduped; seeds absent
+    from the graph still report 0 — a seed you plan to fetch is at
+    distance 0 whether or not anyone links it). Unreached hosts are
+    ABSENT from the output. Deterministic, ordered by (depth, host).
+
+    Scale shape: classic frontier BFS — per round ONE join of the
+    CURRENT frontier against the pinned edge list plus a left_anti
+    against the visited set; the frontier is pinned per round (the 2^k
+    plan-growth rule), with the `pin=` fault-tolerance ladder of the
+    other iterative operators. Early-stops on an empty frontier, so the
+    per-round driver count doubles as the convergence check. Visited
+    grows monotonically; at web scale it is (host, depth) pairs —
+    dimension-sized next to the page corpus."""
+    from eventanalysis_spark.plans.pin import Pinner
+
+    if max_depth < 0:
+        raise ValueError("max_depth must be >= 0")
+    pinner = Pinner(pin, checkpoint_every)
+    e = pinner(edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct())
+    visited = pinner(
+        seeds.select(F.lower(F.col("host")).alias("host"))
+        .distinct()
+        .withColumn("depth", F.lit(0).cast("int"))
+    )
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = pinner(
+            frontier.select(F.col("host").alias("src"))
+            .join(e, "src")
+            .select(F.col("dst").alias("host"))
+            .distinct()
+            .join(visited.select("host"), "host", "left_anti")
+            .withColumn("depth", F.lit(d).cast("int"))
+        )
+        if nxt.count() == 0:
+            break
+        visited = pinner(visited.unionByName(nxt))
+        pinner.rotate(keep=visited)
+        frontier = nxt
+    return visited.orderBy("depth", "host")

@@ -53,8 +53,9 @@ Subcommands:
               + mega-host cap, optional link-rank or churn priorities,
               sitemap URL discovery, crawler-trap template capping, and
               robots.txt (REP) gating
-  churn     — per-host crawl-over-crawl churn table (snapshot_churn by
-              url host) → the recrawl-priority input for frontier
+  churn     — per-host recrawl priorities: two-snapshot churn table,
+              or Cho–Garcia-Molina change rates over a multi-crawl
+              history (--crawl-col) → the frontier --churn input
   traps     — mine the crawler-trap report (URL-template explosion
               stats) → the --traps input for the next crawl's frontier
   (plus reporting verbs: overview / rollup / export / samples, and the
@@ -854,19 +855,38 @@ def cmd_churn(args) -> int:
     cross the exchange."""
     from pyspark.sql import functions as F
 
-    from eventanalysis_spark.operators.corpus import snapshot_churn
+    from eventanalysis_spark.operators.corpus import (
+        change_rate_estimates,
+        snapshot_churn,
+    )
     from eventanalysis_spark.operators.webfilter import url_parts
 
     spark = _spark(args)
-    old = spark.read.parquet(args.old)
-    new = spark.read.parquet(args.new)
-    out = snapshot_churn(
-        old, new,
-        group=url_parts(F.col("key"))["host"],
-        key_col=args.url_col,
-        content_col=args.text_col,
-        group_name="host",
-    ).orderBy("host")
+    if args.crawl_col:
+        # multi-crawl history in ONE parquet (--old): Cho–Garcia-Molina
+        # change rates; change_ratio doubles as churn_ratio so
+        # `frontier --churn` consumes either verb mode unchanged
+        snaps = spark.read.parquet(args.old)
+        out = change_rate_estimates(
+            snaps,
+            group=url_parts(F.col("key"))["host"],
+            crawl_col=args.crawl_col,
+            key_col=args.url_col,
+            content_col=args.text_col,
+            group_name="host",
+        ).withColumn("churn_ratio", F.col("change_ratio")).orderBy("host")
+    else:
+        if not args.new:
+            raise SystemExit("churn: --new required (or use --crawl-col)")
+        old = spark.read.parquet(args.old)
+        new = spark.read.parquet(args.new)
+        out = snapshot_churn(
+            old, new,
+            group=url_parts(F.col("key"))["host"],
+            key_col=args.url_col,
+            content_col=args.text_col,
+            group_name="host",
+        ).orderBy("host")
     out.write.mode("overwrite").parquet(args.out)
     back = spark.read.parquet(args.out)
     top = (
@@ -874,11 +894,12 @@ def cmd_churn(args) -> int:
         .limit(args.top)
         .collect()
     )
+    n_col = "n_total" if "n_total" in back.columns else "n_pairs"
     print(json.dumps({
         "hosts": back.count(),
         "top_churn": [
             {"host": r["host"], "churn_ratio": r["churn_ratio"],
-             "n_total": r["n_total"]}
+             n_col: r[n_col]}
             for r in top
         ],
         "out": args.out,
@@ -1231,8 +1252,15 @@ def main(argv=None) -> int:
     tp.set_defaults(fn=cmd_traps)
 
     ch = sub.add_parser("churn")
-    ch.add_argument("--old", required=True, help="previous crawl parquet")
-    ch.add_argument("--new", required=True, help="current crawl parquet")
+    ch.add_argument("--old", required=True,
+                    help="previous crawl parquet (or the multi-crawl "
+                         "history when --crawl-col is given)")
+    ch.add_argument("--new", default=None, help="current crawl parquet")
+    ch.add_argument("--crawl-col", default=None,
+                    help="multi-crawl mode: history parquet has this "
+                         "crawl-id column → Cho–Garcia-Molina change "
+                         "rates (lambda_hat, revisit_interval) instead "
+                         "of the two-snapshot diff")
     ch.add_argument("--out", required=True, help="per-host churn parquet")
     ch.add_argument("--url-col", default="url")
     ch.add_argument("--text-col", default="text")

@@ -282,3 +282,43 @@ def test_frontier_cli_visited_excluded(tmp_path, spark, capsys):
     kept = {r["url"] for r in spark.read.parquet(out).collect()}
     assert kept == {f"https://v.example/p{i}" for i in (0, 2, 4)}
     assert rep["urls_scheduled"] == 3
+
+
+def test_churn_verb_multi_crawl_mode(tmp_path, spark, capsys):
+    """churn --crawl-col: change-rate estimation over a 4-crawl history;
+    output still carries churn_ratio so frontier --churn composes."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import spark_submit_main as cli
+
+    rows = []
+    for c in range(4):
+        rows.append((c, "https://hot.example/a", f"v{c}"))       # r = 1
+        rows.append((c, "https://mild.example/b",
+                     "x" if c < 2 else "y"))                     # r = 1/3
+        rows.append((c, "https://cold.example/c", "same"))       # r = 0
+    hist = str(tmp_path / "hist")
+    spark.createDataFrame(
+        rows, "crawl_id long, url string, text string"
+    ).write.parquet(hist)
+    out = str(tmp_path / "rates")
+    capsys.readouterr()
+    assert cli.main([
+        "--master", "local[4]", "churn", "--old", hist,
+        "--crawl-col", "crawl_id", "--out", out,
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["hosts"] == 3
+    back = {r["host"]: r for r in spark.read.parquet(out).collect()}
+    assert back["hot.example"]["churn_ratio"] == 1.0
+    assert back["hot.example"]["lambda_hat"] is None      # censored
+    assert abs(back["mild.example"]["churn_ratio"] - 1 / 3) < 1e-6
+    assert back["mild.example"]["revisit_interval"] is not None
+    assert back["cold.example"]["lambda_hat"] == 0.0
+    # two-snapshot mode without --new refuses
+    import pytest as _pt
+    with _pt.raises(SystemExit):
+        cli.main(["--master", "local[4]", "churn", "--old", hist,
+                  "--out", out])

@@ -518,3 +518,45 @@ class TestAnchors:
         )
         prof = anchor_term_profile(anchors, k=5, min_count=2).collect()
         assert [(r.term, r.n) for r in prof] == [("seen", 2)]
+
+
+def test_host_crawl_depth_bfs(spark):
+    from eventanalysis_spark.operators.linkgraph import host_crawl_depth
+
+    # seed -> a -> b -> c chain; d isolated; x links INTO seed only
+    edges = spark.createDataFrame(
+        [("seed.example", "a.example", 1), ("a.example", "b.example", 1),
+         ("b.example", "c.example", 1), ("x.example", "seed.example", 1)],
+        "src string, dst string, w long",
+    )
+    seeds = spark.createDataFrame([("Seed.Example",)], "host string")
+    got = {r["host"]: r["depth"]
+           for r in host_crawl_depth(edges, seeds, max_depth=6).collect()}
+    # direction matters: x links in but is never reached
+    assert got == {"seed.example": 0, "a.example": 1,
+                   "b.example": 2, "c.example": 3}
+    # depth cap truncates the frontier
+    got2 = {r["host"]: r["depth"]
+            for r in host_crawl_depth(edges, seeds, max_depth=1).collect()}
+    assert got2 == {"seed.example": 0, "a.example": 1}
+    # graph-absent seed still reports depth 0
+    lone = spark.createDataFrame([("nowhere.example",)], "host string")
+    got3 = {r["host"]: r["depth"]
+            for r in host_crawl_depth(edges, lone).collect()}
+    assert got3 == {"nowhere.example": 0}
+
+
+def test_host_crawl_depth_shortest_path_and_persist_pin(spark):
+    from eventanalysis_spark.operators.linkgraph import host_crawl_depth
+
+    # two routes to t: seed->t (1 hop) and seed->m->t (2 hops): BFS
+    # must record the SHORTEST depth
+    edges = spark.createDataFrame(
+        [("s", "t", 1), ("s", "m", 1), ("m", "t", 1)],
+        "src string, dst string, w long",
+    )
+    seeds = spark.createDataFrame([("s",)], "host string")
+    for pin in ("local", "persist"):
+        got = {r["host"]: r["depth"]
+               for r in host_crawl_depth(edges, seeds, pin=pin).collect()}
+        assert got == {"s": 0, "t": 1, "m": 1}
