@@ -1364,6 +1364,74 @@ def main() -> None:
         "anchor = pos - offset; anchors with all k offsets are matches.",
     )
 
+    # 46. bitext margin mining: one hash exchange per side, normalized once
+    from eventanalysis_spark.operators.similarity import bitext_margin_pairs
+
+    emb46 = pages.select(
+        F.col("url").alias("vec_id"),
+        F.array(*[F.hash(F.col("url"), F.lit(i)).cast("double")
+                  for i in range(8)]).alias("embedding"),
+        (F.hash("url") % 2 == 0).alias("__side"),
+    )
+    q46 = bitext_margin_pairs(
+        emb46.where("__side").drop("__side"),
+        emb46.where("NOT __side").drop("__side"),
+        k=3,
+    )
+    plan46 = q46._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "Bitext margin mining: per-side rank + neighborhood-avg windows "
+        "share one hash partitioning each",
+        q46,
+        [
+            ("exactly TWO hash exchanges (one per side) — the avg window "
+             "declares no ORDER so it reuses the rank window's "
+             "partitioning instead of adding a third/fourth",
+             plan46.count("Exchange hashpartitioning") == 2),
+            ("the pair frame is a broadcast nested-loop cross join (the "
+             "documented brute exact baseline; LSH/IVF candidates "
+             "compose for scale)",
+             "BroadcastNestedLoopJoin" in plan46),
+            ("vectors normalized ONCE per side: no sqrt inside the "
+             "pair-scoring projection (dot only)",
+             "SQRT" not in plan46.split("BroadcastNestedLoopJoin")[0]),
+            ("no Python anywhere", "Python" not in plan46),
+        ],
+        "operators/similarity.py::bitext_margin_pairs — ratio-margin "
+        "mutual-best alignment (Artetxe & Schwenk 2019): pre-normalizing "
+        "each side turns every pair score into a bare dot product "
+        "(measured 15.8 -> 6.1 s at sf0.1).",
+    )
+
+    # 47. nDCG: both rank windows share the query-keyed partitioning
+    from eventanalysis_spark.operators.evalmetrics import ndcg_at_k
+
+    q47 = ndcg_at_k(
+        pages.select(
+            F.col("lang").alias("query_id"),
+            F.col("url").alias("doc_id"),
+            F.length("text").cast("double").alias("score"),
+            (F.length("url") % 4).cast("int").alias("rel"),
+        ),
+        k=10,
+    )
+    plan47 = q47._jdf.queryExecution().executedPlan().toString()
+    audit(
+        "nDCG@k: two rank windows, ONE query-keyed exchange",
+        q47,
+        [
+            ("system and ideal ranks share a single hash exchange on "
+             "query_id (second window re-sorts, never re-shuffles)",
+             plan47.count("Exchange hashpartitioning") == 1),
+            ("the DCG/IDCG rollup combines map-side first",
+             "partial_" in plan47),
+            ("no Python anywhere", "Python" not in plan47),
+        ],
+        "operators/evalmetrics.py::ndcg_at_k — judged lists are small "
+        "per query, so the whole metric costs one exchange plus two "
+        "in-partition sorts and a partial-aggregated group-by.",
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the engine's key paths\n\n"
