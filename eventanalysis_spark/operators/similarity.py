@@ -431,6 +431,7 @@ def bitext_margin_pairs(
     mutual: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk, ACL 2019; the
     CCMatrix/LASER alignment recipe): pair each vector of side `a` with
@@ -451,10 +452,14 @@ def bitext_margin_pairs(
     Scale shape: the pair frame is scored once; both per-side rank AND
     neighborhood-average windows share one hash partitioning per side
     (two exchanges total — the avg window declares no ORDER, so it
-    reuses the rank window's partitioning). The brute pair frame is the
-    oracle-exact baseline: at 10^12 rows generate candidates with the
-    LSH/IVF modules (`lsh_bucket_ann`, `ivf_topk`) and feed the
-    candidate pairs through the same margin windows — the mining
+    reuses the rank window's partitioning). The brute cross-join pair
+    frame (candidates=None) is the oracle-exact baseline; at 10^12 rows
+    pass `candidates` — an (a_id, b_id) frame from the LSH/IVF modules
+    (e.g. hyperplane co-bucketing, `ivf_topk` cells) — and ONLY those
+    pairs are scored: the margin neighborhoods then run over each
+    vector's candidate set (the CCMatrix/LASER approximation, where the
+    FAISS k-NN list plays the same role), so recall follows the
+    candidate generator while the margin windows and mutual-best
     semantics are unchanged."""
     from pyspark.sql.window import Window
 
@@ -472,7 +477,16 @@ def bitext_margin_pairs(
     bv = b.select(
         F.col(id_col).alias("b_id"), unit(F.col(vec_col)).alias("__b")
     )
-    pairs = av.crossJoin(bv).select(
+    if candidates is None:
+        raw = av.crossJoin(bv)
+    else:
+        raw = (
+            candidates.select("a_id", "b_id")
+            .distinct()
+            .join(av, "a_id")
+            .join(bv, "b_id")
+        )
+    pairs = raw.select(
         "a_id", "b_id",
         F.round(dot(F.col("__a"), F.col("__b")), 6).alias("cos_sim"),
     )

@@ -391,3 +391,36 @@ def test_bitext_margin_partition_invariance(spark):
                              margin_threshold=1.0).collect()
     assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
     assert len(r1) > 0
+
+
+def test_bitext_margin_candidates_path(spark):
+    """candidates= restricts scoring to the given pairs; with the FULL
+    pair set it reproduces the brute result exactly, and with a pruned
+    set only surviving pairs are considered."""
+    import random
+
+    from eventanalysis_spark.operators.similarity import bitext_margin_pairs
+
+    rng = random.Random(3)
+    a = _emb(spark, [(i, [rng.uniform(-1, 1) for _ in range(8)])
+                     for i in range(20)])
+    b = _emb(spark, [(100 + i, [rng.uniform(-1, 1) for _ in range(8)])
+                     for i in range(20)])
+    brute = bitext_margin_pairs(a, b, k=3, margin_threshold=1.0)
+    full_cands = spark.createDataFrame(
+        [(i, 100 + j) for i in range(20) for j in range(20)],
+        "a_id long, b_id long",
+    )
+    via_cands = bitext_margin_pairs(
+        a, b, k=3, margin_threshold=1.0, candidates=full_cands
+    )
+    assert sorted(map(tuple, brute.collect())) == sorted(
+        map(tuple, via_cands.collect())
+    )
+    # prune to pairs with matching parity: only those can be mined
+    pruned = full_cands.where("(a_id % 2) = (b_id % 2)")
+    got = bitext_margin_pairs(
+        a, b, k=3, margin_threshold=0.0, candidates=pruned
+    ).collect()
+    assert len(got) > 0
+    assert all((r["a_id"] % 2) == (r["b_id"] % 2) for r in got)
