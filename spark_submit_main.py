@@ -51,8 +51,9 @@ Subcommands:
               hashed classifiers); scores parquet + quantile summary
   frontier  — politeness-scheduled crawl frontier: per-host fetch slots
               + mega-host cap, optional link-rank or churn priorities,
-              sitemap URL discovery, crawler-trap template capping, and
-              robots.txt (REP) gating
+              sitemap URL discovery, visited-set exclusion, seed-depth
+              gating, crawler-trap template capping, robots.txt (REP)
+              gating, and Crawl-delay budgets
   churn     — per-host recrawl priorities: two-snapshot churn table,
               or Cho–Garcia-Molina change rates over a multi-crawl
               history (--crawl-col) → the frontier --churn input
@@ -727,6 +728,14 @@ def cmd_frontier(args) -> int:
         urls = urls.join(seen, args.url_col, "left_anti")
     if "host" not in urls.columns:
         urls = urls.withColumn("host", url_parts(F.col(args.url_col))["host"])
+    if args.depths:
+        # depth-cap policy: keep only hosts within --max-host-depth link
+        # hops of the seed set (host_crawl_depth output; unreached hosts
+        # are absent there and therefore dropped here)
+        depths = spark.read.parquet(args.depths).where(
+            F.col("depth") <= args.max_host_depth
+        ).select("host")
+        urls = urls.join(F.broadcast(depths), "host", "left_semi")
     if args.trap_cap is not None or args.traps:
         from eventanalysis_spark.operators.traps import trap_filter
 
@@ -1222,6 +1231,11 @@ def main(argv=None) -> int:
     fr.add_argument("--visited", default=None,
                     help="already-crawled urls parquet → left_anti "
                          "excluded from the plan")
+    fr.add_argument("--depths", default=None,
+                    help="(host, depth) parquet from host_crawl_depth → "
+                         "keep only hosts within --max-host-depth hops "
+                         "of the seeds")
+    fr.add_argument("--max-host-depth", type=int, default=3)
     fr.add_argument("--trap-cap", type=int, default=None,
                     help="cap each exploding URL template (crawler trap) "
                          "to this many URLs before scheduling (default 100 "

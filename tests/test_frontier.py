@@ -322,3 +322,38 @@ def test_churn_verb_multi_crawl_mode(tmp_path, spark, capsys):
     with _pt.raises(SystemExit):
         cli.main(["--master", "local[4]", "churn", "--old", hist,
                   "--out", out])
+
+
+def test_frontier_cli_depth_gate(tmp_path, spark, capsys):
+    """--depths: hosts beyond the BFS depth budget (or unreached) never
+    enter the plan — the depth-cap crawl policy composed end-to-end."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import spark_submit_main as cli
+    from eventanalysis_spark.operators.linkgraph import host_crawl_depth
+
+    edges = spark.createDataFrame(
+        [("seed.example", "near.example", 1),
+         ("near.example", "far.example", 1),
+         ("far.example", "veryfar.example", 1)],
+        "src string, dst string, w long",
+    )
+    seeds = spark.createDataFrame([("seed.example",)], "host string")
+    dp = str(tmp_path / "depths")
+    host_crawl_depth(edges, seeds, max_depth=6).write.parquet(dp)
+
+    urls = [("https://seed.example/a",), ("https://near.example/b",),
+            ("https://far.example/c",), ("https://veryfar.example/d",),
+            ("https://island.example/e",)]  # unreached -> dropped
+    src = str(tmp_path / "urls_depth")
+    spark.createDataFrame(urls, "url string").write.parquet(src)
+    out = str(tmp_path / "sched_depth")
+    capsys.readouterr()
+    assert cli.main([
+        "--master", "local[4]", "frontier", "--source", src, "--out", out,
+        "--depths", dp, "--max-host-depth", "2",
+    ]) == 0
+    kept = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert kept == {"https://seed.example/a", "https://near.example/b",
+                    "https://far.example/c"}
