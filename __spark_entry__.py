@@ -3488,7 +3488,10 @@ def _lr_oracle_sql(buckets: int = 512, lr: float = 0.5, iters: int = 3) -> str:
     for t in range(iters):
         parts.append(f""",
         z{t} AS MATERIALIZED (
-          SELECT f.doc_id, ROUND(sum(f.x * w.weight), 6) AS z
+          SELECT f.doc_id,
+                 floor((sum(CAST(round(f.x * 1e6) AS BIGINT)
+                            * CAST(round(w.weight * 1e6) AS BIGINT))
+                        + 500000) / 1000000.0) / 1e6 AS z
           FROM feat f JOIN w{t} w USING (bucket) GROUP BY f.doc_id
         ),
         r{t} AS MATERIALIZED (
@@ -3496,7 +3499,10 @@ def _lr_oracle_sql(buckets: int = 512, lr: float = 0.5, iters: int = 3) -> str:
           FROM labels l JOIN z{t} z USING (doc_id)
         ),
         g{t} AS MATERIALIZED (
-          SELECT f.bucket, ROUND(sum(f.x * r.r), 6) AS g
+          SELECT f.bucket,
+                 floor((sum(CAST(round(f.x * 1e6) AS BIGINT)
+                            * CAST(round(r.r * 1e6) AS BIGINT))
+                        + 500000) / 1000000.0) / 1e6 AS g
           FROM feat f JOIN r{t} r USING (doc_id) GROUP BY f.bucket
         ),
         w{t + 1} AS MATERIALIZED (
@@ -3507,7 +3513,10 @@ def _lr_oracle_sql(buckets: int = 512, lr: float = 0.5, iters: int = 3) -> str:
         )""")
     parts.append(f""",
         zf AS (
-          SELECT f.doc_id, ROUND(sum(f.x * w.weight), 6) AS z
+          SELECT f.doc_id,
+                 floor((sum(CAST(round(f.x * 1e6) AS BIGINT)
+                            * CAST(round(w.weight * 1e6) AS BIGINT))
+                        + 500000) / 1000000.0) / 1e6 AS z
           FROM feat f JOIN w{iters} w USING (bucket) GROUP BY f.doc_id
         )
         SELECT doc_id,

@@ -37,7 +37,7 @@ unigram_logprob_scores).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from eventanalysis_spark.operators.dedup import _base_hasher, _tokens
@@ -212,6 +212,18 @@ def _lr_features(
     return tf.unionByName(bias)
 
 
+def _int_dot(a: str, b: str) -> "Column":
+    """Engine-portable 6-dp dot product: both 6-dp-grid operands scale
+    to exact integers, the product sum runs in LONG (exact, order-free,
+    |sum| << 2^63 for any realistic doc), and the half-up-to-6-dp edge
+    is integer floor((s + 5e5)/1e6) — no float summation drift, no
+    decimal-midpoint round() divergence between engines."""
+    ai = F.round(F.col(a) * 1e6).cast("long")
+    bi = F.round(F.col(b) * 1e6).cast("long")
+    s = F.sum(ai * bi)
+    return F.floor((s + F.lit(500000)) / F.lit(1000000.0)) / F.lit(1e6)
+
+
 def lr_train(
     docs: DataFrame,
     label_col: str,
@@ -259,7 +271,16 @@ def lr_train(
         z = (
             feat.join(F.broadcast(w), "bucket")
             .groupBy(id_col)
-            .agg(F.round(F.sum(F.col("x") * F.col("weight")), 6).alias("__z"))
+            # EXACT integer dot product (the daily_trend long-moments
+            # rule): 6-dp operands scale to integers, the summed LONG is
+            # order-independent and midpoint-free, so the 6-dp edge is
+            # bit-identical across engines at any SF. Float-product sums
+            # drift ~1e-12 between engines and flip a 6-dp boundary on
+            # ~1 in 10^4 values (observed at sf0.1); per-term 6-dp
+            # rounding is WORSE — grid×grid products land exactly on
+            # decimal midpoints where Spark (BigDecimal HALF_UP) and
+            # DuckDB (float-scaled) round() disagree.
+            .agg(_int_dot("x", "weight").alias("__z"))
         )
         resid = labels.join(z, id_col).select(
             F.col(id_col),
@@ -271,7 +292,7 @@ def lr_train(
         grad = (
             feat.join(resid, id_col)
             .groupBy("bucket")
-            .agg(F.round(F.sum(F.col("x") * F.col("__r")), 6).alias("__g"))
+            .agg(_int_dot("x", "__r").alias("__g"))
         )
         w = (
             w.join(F.broadcast(grad), "bucket", "left")
@@ -303,10 +324,11 @@ def lr_score(
     lr_score = round(σ(round(z, 6)), 6). Broadcast weight probe — the
     corpus never shuffles beyond the per-doc partial aggregate."""
     feat = _lr_features(docs, text_col, id_col, num_buckets, hash_fn)
+    # exact integer dot product — see lr_train's z edge for why
     z = (
         feat.join(F.broadcast(model), "bucket")
         .groupBy(id_col)
-        .agg(F.round(F.sum(F.col("x") * F.col("weight")), 6).alias("__z"))
+        .agg(_int_dot("x", "weight").alias("__z"))
     )
     p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__z"))), 6)
     return z.select(

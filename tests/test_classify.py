@@ -145,6 +145,13 @@ def _r6(v: float) -> float:
     return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
 
 
+def _idot(row, w):
+    """Exact-integer 6-dp dot product — the engine-portable form
+    classify._int_dot uses (long sum, floor((s+5e5)/1e6)/1e6)."""
+    s = sum(round(x * 1e6) * round(w[b] * 1e6) for b, x in row.items())
+    return math.floor((s + 500000) / 1000000.0) / 1e6
+
+
 def _lr_ref_scores(docs, buckets=B, lr=0.5, iters=3):
     """Independent NumPy-free reference of the EXACT lr_train recurrence
     (same hashing, same tf features, same 6-dp rounding at every edge)."""
@@ -163,19 +170,19 @@ def _lr_ref_scores(docs, buckets=B, lr=0.5, iters=3):
     n_docs = float(len(docs))
     w = {b: 0.0 for d in feat.values() for b in d}
     for _ in range(iters):
-        z = {did: _r6(sum(x * w[b] for b, x in row.items()))
-             for did, row in feat.items()}
+        z = {did: _idot(row, w) for did, row in feat.items()}
         r = {did: _r6(labels[did] - 1.0 / (1.0 + math.exp(-z[did])))
              for did in feat}
         g: dict[int, float] = {}
+        gi: dict[int, int] = {}
         for did, row in feat.items():
             for b, x in row.items():
-                g[b] = g.get(b, 0.0) + x * r[did]
-        g = {b: _r6(v) for b, v in g.items()}
+                gi[b] = gi.get(b, 0) + round(x * 1e6) * round(r[did] * 1e6)
+        g = {b: math.floor((v + 500000) / 1000000.0) / 1e6
+             for b, v in gi.items()}
         w = {b: _r6(w[b] + lr * g.get(b, 0.0) / n_docs) for b in w}
     return {
-        did: _r6(1.0 / (1.0 + math.exp(-_r6(
-            sum(x * w[b] for b, x in row.items())))))
+        did: _r6(1.0 / (1.0 + math.exp(-_idot(row, w))))
         for did, row in feat.items()
     }
 
