@@ -1,9 +1,11 @@
 """Deduplication suite for large-scale training-data pipelines.
 
-Exact dedup, MinHash+LSH, SimHash, and n-gram Jaccard — all expressed with
-JVM-side array/higher-order functions (zero Python UDFs: shingling,
-hashing, banding, and verification are Catalyst expressions over Arrow-free
-columnar data).
+Exact dedup, MinHash+LSH, SimHash, and n-gram Jaccard. Shingling, hashing,
+banding, and verification are JVM-side Catalyst expressions; the MinHash
+h_i-minima fold has two value-identical forms — the prunable Catalyst
+fold (`minhash_signatures`) and a vectorized int64 NumPy mapInArrow stage
+(`minhash_signatures_arrow`, guide §4.2) used by the LSH index/candidate
+paths where signatures are always materialized.
 
 Scale shapes:
   - exact: one hash-groupBy on md5/xxhash of the normalized text;
@@ -170,6 +172,103 @@ def minhash_signatures(
         F.col(id_col).alias("doc_id") if id_col != "doc_id" else F.col(id_col),
         sig.alias("sig"),
     )
+
+
+def minhash_signatures_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """`minhash_signatures` with the h_i-minima fold as vectorized int64
+    NumPy in ONE mapInArrow stage — value-identical signatures (pure
+    integer arithmetic: numpy's floored % equals Spark pmod for every
+    int64, and (x%p)·a+b < 2^62 never overflows; pinned by a pytest
+    equality over both forms). Shingling/hashing stay JVM-side; only
+    (id, shingle hashes) cross Arrow.
+
+    Why two forms exist: the Catalyst fold is a prunable expression —
+    plans that never read `sig` skip it entirely — but it costs ~0.45 s
+    of py4j literal construction per build and slows every analyzer/
+    optimizer/codegen pass that embeds its 64-struct tree (measured
+    ~0.55 s per localCheckpoint pin in the incremental-dedup path). The
+    Arrow stage is a barrier node: nothing inlines into it, consumers
+    that always materialize signatures (banding, bucket joins — the LSH
+    index/candidate paths) plan fast and execute the fold ~10× faster.
+    Use THIS form when signatures are always consumed; the Catalyst form
+    when downstream plans may prune them."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    coeffs = _perm_coeffs(num_hashes)
+    a_co = [a for a, _ in coeffs]
+    b_co = [b for _, b in coeffs]
+    p = _P
+    nh = num_hashes
+
+    sh_df = df.select(
+        F.col(id_col).alias("doc_id") if id_col != "doc_id" else F.col(id_col),
+        shingles(F.col(text_col), shingle_k, hash_fn).alias("__sh"),
+    )
+    schema = StructType(
+        [sh_df.schema["doc_id"], StructField("sig", ArrayType(LongType()))]
+    )
+
+    def _sig_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        a_np = np.asarray(a_co, dtype=np.int64)
+        b_np = np.asarray(b_co, dtype=np.int64)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            lst = batch.column(1)
+            if lst.null_count:
+                # rare null-text rows: per-row exact fallback
+                sigs = []
+                for row in lst.to_pylist():
+                    if row is None:
+                        sigs.append(None)
+                    elif not row:
+                        sigs.append([-1] * nh)
+                    else:
+                        xp = np.asarray(row, dtype=np.int64) % p
+                        sigs.append([
+                            int(((xp * a_np[j] + b_np[j]) % p).min())
+                            for j in range(nh)
+                        ])
+                out = pa.array(sigs, type=pa.list_(pa.int64()))
+            else:
+                offs = lst.offsets.to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                vals = lst.values.to_numpy(zero_copy_only=False)[
+                    offs[0]:offs[-1]
+                ]
+                starts = offs[:-1] - offs[0]
+                comp = (offs[1:] - offs[:-1]) > 0
+                sig_m = np.full((n, nh), -1, dtype=np.int64)
+                if comp.any():
+                    # % matches Spark pmod for every int64 (floored mod,
+                    # non-negative); products stay < 2^62
+                    xp = vals % p
+                    st = starts[comp]
+                    for j in range(nh):
+                        sig_m[comp, j] = np.minimum.reduceat(
+                            (xp * a_np[j] + b_np[j]) % p, st
+                        )
+                out = pa.ListArray.from_arrays(
+                    (np.arange(n + 1, dtype=np.int64) * nh).astype(np.int32),
+                    sig_m.ravel(),
+                )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), out], names=["doc_id", "sig"]
+            )
+
+    return sh_df.mapInArrow(_sig_batches, schema)
 
 
 def lsh_candidate_pairs(
@@ -404,7 +503,9 @@ def near_duplicate_pairs(
     rep_docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col)).join(
         groups.select("doc_id", "__th"), "doc_id"
     )
-    sigs = minhash_signatures(rep_docs, text_col, "doc_id", num_hashes, shingle_k)
+    sigs = minhash_signatures_arrow(
+        rep_docs, text_col, "doc_id", num_hashes, shingle_k
+    )
     cands = lsh_candidate_pairs(
         sigs, bands, num_hashes=num_hashes, max_bucket_size=max_bucket_size
     )
@@ -694,11 +795,13 @@ def lsh_index(
         df = df.select(F.col(id_col), F.col(text_col)).join(
             reps, id_col, "left_semi"
         )
-    sigs = minhash_signatures(
+    # Arrow signature stage: a barrier node, so no pin is needed — the
+    # old Catalyst fold had to be localCheckpoint'ed to stop its 64-min
+    # tree inlining into the banding explode, and that pin cost a full
+    # planning+codegen pass at CONSTRUCTION time
+    sigs = minhash_signatures_arrow(
         df, text_col, id_col, num_hashes, shingle_k, hash_fn
-    # same pinning rationale as lsh_candidate_pairs: stop the 64-min
-    # signature tree from inlining into the banding explode
-    ).localCheckpoint(eager=False)
+    )
     r = max(1, num_hashes // bands)
     index = sigs.select(
         "doc_id",
@@ -768,11 +871,17 @@ def incremental_near_duplicates(
       - `max_bucket_size` caps postings per (band, bucket) on BOTH the
         probe side and any index read or built here (smallest doc_ids
         kept; None opts out)."""
+    # Pinned: referenced by semi-fetch + expansion, and AQE does not
+    # reliably reuse the duplicated subtrees (measured: unpinning moved
+    # ~1.7 s from construction into ~1.7 s of re-executed stages). Each
+    # pin costs one planning+codegen pass over a now-small tree — the
+    # round-6 Arrow signature stage is what made these cheap (~0.55 s →
+    # ~0.1 s each, since no 64-literal fold tree is planned).
     th_new, th_old = F.md5(F.col(text_col)), F.md5(F.col(text_col))
     new_groups = (
         new_docs.groupBy(th_new.alias("__th"))
         .agg(F.min(F.col(id_col)).alias("__rep"))
-        .localCheckpoint(eager=False)  # referenced by semi-fetch + expansion
+        .localCheckpoint(eager=False)
     )
     old_groups = (
         old_docs.groupBy(th_old.alias("__th"))
@@ -784,10 +893,6 @@ def incremental_near_duplicates(
     )
     old_members = old_docs.select(
         F.col(id_col).alias("__mid"), F.md5(F.col(text_col)).alias("__th")
-    )
-    # posting id (rep or legacy member) -> group representative
-    old_rep_of = old_members.join(old_groups, "__th").select(
-        F.col("__mid").alias("old_pid"), F.col("__rep").alias("old_id")
     )
     new_rep_docs = new_docs.select(F.col(id_col), F.col(text_col)).join(
         new_groups.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
@@ -823,13 +928,17 @@ def incremental_near_duplicates(
         # history-wide members ⋈ groups shuffle entirely
         mapped = raw_cands.select("new_id", F.col("old_pid").alias("old_id"))
     else:
+        # posting id (rep or legacy member) -> group representative
+        old_rep_of = old_members.join(old_groups, "__th").select(
+            F.col("__mid").alias("old_pid"), F.col("__rep").alias("old_id")
+        )
         mapped = raw_cands.join(old_rep_of, "old_pid").select(
             "new_id", "old_id"
         )
     cands = (
         mapped.distinct()
-        # referenced twice below (candidate fetch + verify join): pin so
-        # the bucket join runs once, not per reference
+        # referenced three times below (candidate fetches + verify join):
+        # pin so the bucket join runs once, not per reference
         .localCheckpoint(eager=False)
     )
     # fetch ONLY candidate rep docs — on BOTH sides — before computing

@@ -73,6 +73,26 @@ def test_lsh_no_python_udf_in_plan(spark, dup_docs):
     assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_minhash_arrow_form_bit_identical(spark, dup_docs):
+    """Round-6 contract: minhash_signatures_arrow (the vectorized NumPy
+    fold the LSH paths run on) must produce EXACTLY the Catalyst fold's
+    signatures — integer arithmetic, so equality is bit-level, across
+    empty docs, short docs, and both base hashes."""
+    from eventanalysis_spark.operators.dedup import minhash_signatures_arrow
+
+    for hash_fn in ("xxhash64", "md5"):
+        cat = {r.doc_id: r.sig for r in minhash_signatures(
+            dup_docs, "text", "doc_id", 32, 3, hash_fn).collect()}
+        arw = {r.doc_id: r.sig for r in minhash_signatures_arrow(
+            dup_docs, "text", "doc_id", 32, 3, hash_fn).collect()}
+        assert cat == arw
+    # the arrow form is exactly one Python map stage fed (id, shingles)
+    plan = minhash_signatures_arrow(
+        dup_docs, "text", "doc_id", 16
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInArrow") == 1 and "BatchEvalPython" not in plan
+
+
 def test_simhash(spark, dup_docs):
     h = dup_docs.select(
         "doc_id", simhash64(F.col("text")).alias("sh")
