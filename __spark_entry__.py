@@ -2737,18 +2737,15 @@ def q_lr_quality_score(spark, sf):
     hashed-tf features (broadcast weights, bucket-bounded gradient
     shuffle), every recurrence edge rounded to 6 dp so the DuckDB twin
     replays training bit-for-bit. Label: lang == 'en', md5 buckets."""
-    from eventanalysis_spark.operators.classify import lr_score, lr_train
+    from eventanalysis_spark.operators.classify import lr_train_score
 
     docs = _t(spark, sf, "documents").withColumn(
         "__is_en", F.col("lang") == "en"
     )
-    model = lr_train(
+    return lr_train_score(
         docs, "__is_en", num_buckets=512, learning_rate=0.5,
         iterations=3, hash_fn="md5",
-    )
-    return lr_score(docs, model, num_buckets=512, hash_fn="md5").orderBy(
-        "doc_id"
-    )
+    ).orderBy("doc_id")
 
 
 def q_frontier_schedule(spark, sf):

@@ -224,6 +224,121 @@ def _int_dot(a: str, b: str) -> "Column":
     return F.floor((s + F.lit(500000)) / F.lit(1000000.0)) / F.lit(1e6)
 
 
+def _round_half_up(v: float, scale: int) -> float:
+    """Driver-side replica of Spark's `round(double, scale)`: shortest
+    decimal repr of the double (java BigDecimal.valueOf == python repr),
+    HALF_UP quantize at `scale`, back to double. Bit-identical to
+    F.round for every finite double."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(v))).quantize(
+            Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _int6(v: float) -> int:
+    """Driver-side replica of `F.round(col * 1e6).cast("long")` on a
+    double: the SAME IEEE multiply, then HALF_UP at scale 0."""
+    return int(_round_half_up(float(v) * 1e6, 0))
+
+
+def _lr_feature_arrays(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str,
+    id_col: str,
+    num_buckets: int,
+    hash_fn: str,
+) -> DataFrame:
+    """Per-doc hashed-tf feature VECTOR (id, __y, __bs, __xi): the same
+    (bucket, x) rows as `_lr_features` — bias (-1, 1.0) included —
+    grouped into aligned arrays, with x pre-scaled to the exact 6-dp
+    integer `_int_dot` uses (xi = round(x·1e6) as long). Built once and
+    pinned by the caller: every gradient round and the final scoring
+    pass are then NARROW projections over this frame instead of
+    re-joining/re-shuffling the exploded (id, bucket, x) stream per
+    iteration (guide §2.4 — remove shuffles outright).
+
+    Build shape: explode_outer keeps token-less docs alive (their only
+    entry is the bias), the label rides the token stream (no labels
+    join), and n_tokens/x come from an IN-ROW fold over the collected
+    (bucket, cnt) list (no lens aggregate + join). Two shuffles total —
+    (id, bucket) counts, then (id) collect — against `_lr_features`'s
+    two aggregates plus two joins. x is the identical round(cnt/n, 6)
+    division per entry, so xi matches the old form bit-for-bit."""
+    toks = docs.select(
+        F.col(id_col),
+        F.col(label_col).cast("double").alias("__y"),
+        F.explode_outer(_tokens(F.col(text_col))).alias("__tok"),
+    ).select(
+        id_col,
+        "__y",
+        F.pmod(
+            _base_hasher(hash_fn)(F.col("__tok")), F.lit(num_buckets)
+        ).alias("bucket"),
+    )
+    cnt = toks.groupBy(id_col, "bucket").agg(
+        F.count(F.col("bucket")).alias("__c"),
+        F.first("__y").alias("__y"),
+    )
+    # final grain is id ALONE (not (id, label)): the cached frame then
+    # reports hash(id) output partitioning, which the per-round window
+    # and the scoring aggregate both reuse — zero exchanges per round
+    # beyond the tiny bucket-keyed gradient shuffle
+    grouped = cnt.groupBy(id_col).agg(
+        F.first("__y").alias("__y"),
+        F.collect_list(
+            F.when(
+                F.col("bucket").isNotNull(),
+                F.struct(F.col("bucket").alias("b"), F.col("__c")),
+            )
+        ).alias("__cs"),
+    )
+    # n = Σ cnt (in-row), xi = round(round(c/n, 6)·1e6) per entry — the
+    # exact _lr_features x edge — then the bias entry (-1, 1e6) appended
+    fs = (
+        "transform(__cs, e -> named_struct('b', e.b, 'xi', "
+        "CAST(ROUND(ROUND(e.__c / CAST(aggregate(__cs, 0L, (acc, t) -> "
+        "acc + t.__c) AS DOUBLE), 6) * 1000000.0, 0) AS BIGINT)))"
+    )
+    return grouped.select(
+        F.col(id_col),
+        "__y",
+        F.expr(
+            f"concat({fs}, array(named_struct('b', CAST(-1 AS BIGINT), "
+            f"'xi', 1000000L)))"
+        ).alias("__fs"),
+    ).select(
+        id_col,
+        "__y",
+        F.col("__fs").getField("b").alias("__bs"),
+        F.col("__fs").getField("xi").alias("__xi"),
+    )
+
+
+def _lr_z_from_s() -> "Column":
+    """z = floor((__s + 5e5)/1e6)/1e6 — the `_int_dot` rounding edge
+    applied to the Arrow-computed LONG sum `__s` (bigint → double cast
+    and float division are the identical op sequence to _int_dot's)."""
+    return F.expr(
+        "CAST(FLOOR((__s + 500000) / 1000000.0) AS DOUBLE) / 1.0E6"
+    )
+
+
+def _lr_weight_ints(
+    w: dict[int, float], num_buckets: int
+) -> list[int]:
+    """Dense literal-array image of the weight dict: index 0 ↔ bias
+    bucket -1, index b+1 ↔ bucket b; unobserved buckets get 0 (their
+    entries are never looked up — no doc carries them)."""
+    arr = [0] * (num_buckets + 1)
+    for b, v in w.items():
+        arr[b + 1] = _int6(v)
+    return arr
+
+
 def lr_train(
     docs: DataFrame,
     label_col: str,
@@ -251,65 +366,198 @@ def lr_train(
     6 dp so the fixed-iteration model is bit-replicable in SQL (same
     convention as host_hits' per-half-step floor; NOTES.md round-5).
 
-    Returns the (bucket, weight) table, bias at bucket -1."""
-    from eventanalysis_spark.plans.pin import Pinner
+    Returns the (bucket, weight) table, bias at bucket -1.
 
-    feat = _lr_features(docs, text_col, id_col, num_buckets, hash_fn)
-    labels = docs.select(
-        F.col(id_col), F.col(label_col).cast("double").alias("__y")
+    Round-6 shape change (same values — pytest pins exact equality to
+    the old join-per-edge form): features are grouped into per-doc
+    arrays ONCE (`_lr_feature_arrays`, pinned), each round computes
+    z/residual IN-ROW with the weight vector inlined as a constant
+    literal (zero joins, zero doc-keyed shuffles), and the only shuffle
+    per round is the bucket-keyed gradient partial-aggregate whose
+    ≤(B+1)-row result is collected and applied driver-side with Spark's
+    exact round() semantics (`_round_half_up`). EXACT integer dot
+    products throughout (the daily_trend long-moments rule): 6-dp
+    operands scale to integers, LONG sums are order-independent and
+    midpoint-free, so every recurrence edge is bit-identical across
+    engines, partitionings, and this plan change. At scale the collect
+    is B+1 rows per round (a model, not data) and the broadcast-side
+    literal is the same B+1 doubles the old broadcast join shipped."""
+    feat_arr = _lr_feature_arrays(
+        docs, label_col, text_col, id_col, num_buckets, hash_fn
+    )
+    w = _lr_gradient_rounds(
+        feat_arr, num_buckets, learning_rate, iterations,
+        id_col=id_col, pin=pin,
+    )
+    return docs.sparkSession.createDataFrame(
+        sorted(w.items()), "bucket long, weight double"
+    )
+
+
+def _lr_entries(feat_arr: DataFrame, id_col: str) -> DataFrame:
+    """Exploded (id, __y, b, xi) entry stream of a feature-array frame —
+    the one pass each gradient round and the scoring aggregate run
+    over. Explode preserves the parent's hash(id) partitioning, so
+    per-doc windows/aggregates over this stream need NO exchange."""
+    return feat_arr.select(
+        F.col(id_col),
+        "__y",
+        F.explode(F.arrays_zip("__bs", "__xi")).alias("__e"),
+    ).select(
+        id_col,
+        "__y",
+        F.col("__e.__bs").alias("__b"),
+        F.col("__e.__xi").alias("__xi"),
+    )
+
+
+def _lr_z_of(s: Column) -> Column:
+    """z = floor((s + 5e5)/1e6)/1e6 — `_int_dot`'s rounding edge applied
+    to an exact LONG product sum (bigint→double cast + float division,
+    the identical op sequence)."""
+    return (
+        F.floor((s + F.lit(500000)) / F.lit(1000000.0)).cast("double")
+        / F.lit(1e6)
+    )
+
+
+def _lr_gradient_rounds(
+    feat_arr: DataFrame,
+    num_buckets: int,
+    learning_rate: float,
+    iterations: int,
+    id_col: str = "doc_id",
+    pin: str | None = "persist",
+) -> dict[int, float]:
+    """Run the fixed gradient rounds over a `_lr_feature_arrays` frame;
+    returns the weight dict (observed buckets only, bias at -1).
+
+    One Spark job per round, all whole-stage-codegen JVM work: explode
+    the cached entry stream, look each entry's weight up in a LITERAL
+    long array (a true Literal — codegen'd element_at, unlike the
+    interpreter-only aggregate/zip_with fold), per-doc LONG sum via a
+    window that REUSES the cache's hash(id) partitioning (no exchange),
+    residual in-row, then the bucket-keyed partial aggregate whose
+    ≤(B+1)-row result is collected and applied driver-side with Spark's
+    exact round() semantics (`_round_half_up`). Every recurrence edge
+    stays on the exact integer grid (LONG sums are order-free), so the
+    plan change is value-identical to the old join-per-edge form —
+    pinned by pytest against the pure-python reference and the DuckDB
+    oracle. At scale the per-round collect is B+1 rows (a model, not
+    data) and the literal weight array is the same B+1 doubles the old
+    broadcast join shipped."""
+    import math as _math
+
+    from pyspark.sql.window import Window
+
+    from pyspark.storagelevel import StorageLevel
+
+    if pin is not None:
+        # plain persist (NOT an RDD-rebase pin): the plan is re-referenced
+        # a fixed ~5 times, never self-referenced, so there is no 2^k
+        # growth — and keeping the logical plan intact preserves the
+        # hash(id) output partitioning, so the per-round window and the
+        # scoring aggregate run with NO exchange (measured faster than
+        # the LogicalRDD-leaf pin whose lost partitioning re-shuffles
+        # the entry stream every round)
+        feat_arr = feat_arr.persist(StorageLevel.MEMORY_AND_DISK)
+    n_docs = feat_arr.count()
+    entries = _lr_entries(feat_arr, id_col)
+    w: dict[int, float] | None = None
+    for _ in range(iterations):
+        if w is None:
+            # round 1: all-zero weights — the integer dot is exactly 0,
+            # so z = floor(0.5)/1e6 = 0.0 with no per-entry work
+            zed = entries.withColumn("__z", F.lit(0.0))
+        else:
+            warr = F.lit(_lr_weight_ints(w, num_buckets))
+            prod = F.col("__xi") * F.element_at(
+                warr, (F.col("__b") + 2).cast("int")
+            )
+            s = F.sum(prod).over(Window.partitionBy(id_col))
+            zed = entries.withColumn("__z", _lr_z_of(s))
+        ri = (
+            F.round(
+                F.round(
+                    F.col("__y")
+                    - F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__z"))),
+                    6,
+                )
+                * 1e6
+            )
+            .cast("long")
+        )
+        grad_rows = (
+            zed.select(F.col("__b"), (F.col("__xi") * ri).alias("__t"))
+            .groupBy("__b")
+            .agg(F.sum("__t").alias("s"))
+            .collect()
+        )
+        if w is None:
+            w = {int(r["__b"]): 0.0 for r in grad_rows}
+        w = {
+            b: _round_half_up(
+                w[b]
+                + (
+                    learning_rate
+                    * (_math.floor((g + 500000) / 1000000.0) / 1e6)
+                )
+                / float(n_docs),
+                6,
+            )
+            for b, g in ((int(r["__b"]), int(r["s"])) for r in grad_rows)
+        }
+    if w is None:  # iterations == 0: zero weights over observed buckets
+        w = {
+            int(r["bucket"]): 0.0
+            for r in feat_arr.select(
+                F.explode("__bs").alias("bucket")
+            ).distinct().collect()
+        }
+    return w
+
+
+def lr_train_score(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+    learning_rate: float = 0.5,
+    iterations: int = 3,
+    hash_fn: str = "xxhash64",
+    pin: str | None = "persist",
+) -> DataFrame:
+    """Train on the labeled corpus and score the same corpus
+    (resubstitution), sharing ONE cached feature pass: the corpus is
+    tokenized/hashed once instead of twice (`lr_train` + `lr_score`
+    each rebuilt `_lr_features`), and scoring aggregates the cached
+    entry stream with the final weights inlined as a literal — the
+    hash(id) partitioning is reused, so scoring adds no exchange.
+    Values are bit-identical to the two-call form (same `_int_dot` z
+    edge, same final rounding)."""
+    from pyspark.storagelevel import StorageLevel
+
+    feat_arr = _lr_feature_arrays(
+        docs, label_col, text_col, id_col, num_buckets, hash_fn
     )
     if pin is not None:
-        p = Pinner(pin)
-        feat = p(feat)
-        labels = p(labels)
-    n_docs = labels.count()
-    w = feat.select("bucket").distinct().select(
-        "bucket", F.lit(0.0).alias("weight")
+        feat_arr = feat_arr.persist(StorageLevel.MEMORY_AND_DISK)
+    w = _lr_gradient_rounds(
+        feat_arr, num_buckets, learning_rate, iterations,
+        id_col=id_col, pin=None,
     )
-    wpin = Pinner(pin) if pin is not None else None
-    for _ in range(iterations):
-        z = (
-            feat.join(F.broadcast(w), "bucket")
-            .groupBy(id_col)
-            # EXACT integer dot product (the daily_trend long-moments
-            # rule): 6-dp operands scale to integers, the summed LONG is
-            # order-independent and midpoint-free, so the 6-dp edge is
-            # bit-identical across engines at any SF. Float-product sums
-            # drift ~1e-12 between engines and flip a 6-dp boundary on
-            # ~1 in 10^4 values (observed at sf0.1); per-term 6-dp
-            # rounding is WORSE — grid×grid products land exactly on
-            # decimal midpoints where Spark (BigDecimal HALF_UP) and
-            # DuckDB (float-scaled) round() disagree.
-            .agg(_int_dot("x", "weight").alias("__z"))
-        )
-        resid = labels.join(z, id_col).select(
-            F.col(id_col),
-            F.round(
-                F.col("__y") - F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__z"))),
-                6,
-            ).alias("__r"),
-        )
-        grad = (
-            feat.join(resid, id_col)
-            .groupBy("bucket")
-            .agg(_int_dot("x", "__r").alias("__g"))
-        )
-        w = (
-            w.join(F.broadcast(grad), "bucket", "left")
-            .select(
-                "bucket",
-                F.round(
-                    F.col("weight")
-                    + F.lit(learning_rate)
-                    * F.coalesce("__g", F.lit(0.0))
-                    / F.lit(float(n_docs)),
-                    6,
-                ).alias("weight"),
-            )
-        )
-        if wpin is not None:
-            w = wpin(w)
-    return w
+    warr = F.lit(_lr_weight_ints(w, num_buckets))
+    prod = F.col("__xi") * F.element_at(
+        warr, (F.col("__b") + 2).cast("int")
+    )
+    z = _lr_z_of(F.sum(prod))
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return (
+        _lr_entries(feat_arr, id_col)
+        .groupBy(id_col)
+        .agg(p.alias("lr_score"), (z > 0).alias("lr_pred"))
+    )
 
 
 def lr_score(
