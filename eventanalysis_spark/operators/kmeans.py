@@ -143,21 +143,35 @@ def kmeans_fit(
         raise ValueError("kmeans_fit: empty input")
     dim = len(cents[0][1])
     for _ in range(iterations):
-        assigned = kmeans_assign(emb, cents, id_col, vec_col, with_dist=False)
-        means = assigned.groupBy("cid").agg(
-            *[
-                F.expr(f"round(avg(__v[{i}]), {int(round_decimals)})").alias(
-                    f"c{i}"
-                )
-                for i in range(dim)
-            ]
+        # assignment through the vectorized Arrow argmin (exact fold/tie
+        # contract — see _np_argmin_cids) instead of the interpreted
+        # k×dim lambda-fold projection; the means aggregate is unchanged
+        assigned = pq_assign_codes_arrow(emb, [cents], id_col, vec_col)
+        # NARROW means: (cid, pos) rows instead of a dim-wide aggregate —
+        # the wide form spends ~0.3 s/iteration compiling a 64-column
+        # codegen aggregate PER ITERATION (each round is a new plan);
+        # the narrow shape reuses one tiny generated class. Same values:
+        # per (cid, pos) group the partial sums accumulate the same rows
+        # in the same partition order, under the same round(·, 6) edge.
+        means = (
+            assigned.select(
+                F.col("code_0").alias("cid"),
+                F.posexplode("__v").alias("pos", "val"),
+            )
+            .groupBy("cid", "pos")
+            .agg(F.expr(f"round(avg(val), {int(round_decimals)})").alias("c"))
         )
-        got = {
-            r["cid"]: [float(r[f"c{i}"]) for i in range(dim)]
-            for r in means.collect()
-        }
+        got: dict[int, dict[int, float]] = {}
+        for r in means.collect():
+            got.setdefault(r["cid"], {})[r["pos"]] = float(r["c"])
         # empty cluster -> keep previous centroid (k never shrinks)
-        cents = [(cid, got.get(cid, prev)) for cid, prev in cents]
+        cents = [
+            (
+                cid,
+                [got[cid][i] for i in range(dim)] if cid in got else prev,
+            )
+            for cid, prev in cents
+        ]
     return cents
 
 
@@ -277,6 +291,128 @@ def prototypicality_prune(
 # for Nearest Neighbor Search", IEEE TPAMI) --------------------------------
 
 
+def _np_argmin_cids(mat, cents, cids):
+    """Row-wise argmin-cid over per-centroid scores −2·v·c + ‖c‖² with
+    the EXACT `_assign_best_sql` semantics: the dot accumulates
+    column-by-column (each row's scalar op sequence is identical to the
+    Catalyst left fold), ‖c‖² is the same driver-side `_fold_dot`
+    value, and ties break to the SMALLEST cid (the least(struct)
+    comparison). Returns an int64 cid per row."""
+    import numpy as np
+
+    n = mat.shape[0]
+    k = len(cids)
+    scores = np.empty((n, k), dtype=np.float64)
+    for idx in range(k):
+        c = cents[idx]
+        acc = np.zeros(n, dtype=np.float64)
+        for j in range(mat.shape[1]):
+            # multiply-then-add per scalar, ascending j — the same op
+            # sequence as the zip_with/aggregate fold
+            acc += mat[:, j] * c[j]
+        cc = 0.0
+        for x in c:
+            cc += float(x) * float(x)
+        scores[:, idx] = (-2.0) * acc + cc
+    best = scores.min(axis=1)
+    cid_arr = np.asarray(cids, dtype=np.int64)
+    # among score-ties, the smallest cid (non-ties -> int64 max)
+    tie_cids = np.where(
+        scores == best[:, None], cid_arr[None, :], np.iinfo(np.int64).max
+    )
+    return tie_cids.min(axis=1)
+
+
+def pq_assign_codes_arrow(
+    emb: DataFrame,
+    codebooks: list[Centroids],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse: list[tuple] | None = None,
+    probes: list[int] | None = None,
+) -> DataFrame:
+    """(id, __v double-array, code_0..code_{m-1}) — the `pq_encode`
+    argmin per subspace, run as ONE vectorized Arrow stage instead of
+    m×k_sub interpreted Catalyst lambda folds (guide §4.2: higher-order
+    functions never enter codegen, so the old plan paid ~k·dim
+    interpreted lambda steps per row). With `coarse`/`probes`, the IVF
+    cell argmin + nprobe filter run in the SAME stage before encoding —
+    the whole IVFADC scan is one Python crossing. Value-identical to
+    `ivf_assign` + `pq_encode` by the `_np_argmin_cids` fold/tie
+    contract — pinned by pytest and the pq/ivfpq oracles."""
+    import numpy as np
+
+    sub = len(codebooks[0][0][1])
+    books = [
+        (
+            [int(cid) for cid, _ in cb],
+            [np.asarray(c, dtype=np.float64) for _, c in cb],
+        )
+        for cb in codebooks
+    ]
+    coarse_spec = None
+    if coarse is not None:
+        coarse_spec = (
+            [int(cid) for cid, _ in coarse],
+            [np.asarray(c, dtype=np.float64) for _, c in coarse],
+            np.asarray(sorted(int(p) for p in (probes or [])), dtype=np.int64),
+        )
+
+    def encode(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            col = batch.column(1)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vals = col.flatten().to_numpy(zero_copy_only=False)
+            # float32 -> float64 widening is exact (= _as_double)
+            mat = np.asarray(vals, dtype=np.float64).reshape(
+                batch.num_rows, -1
+            )
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            if coarse_spec is not None:
+                ccids, ccents, pset = coarse_spec
+                cell = _np_argmin_cids(mat, ccents, ccids)
+                keep = np.isin(cell, pset)
+                if not keep.any():
+                    continue
+                mat = mat[keep]
+                ids = ids[keep]
+            n = mat.shape[0]
+            flat = np.ascontiguousarray(mat).reshape(-1)
+            offsets = np.arange(
+                0, (n + 1) * mat.shape[1], mat.shape[1], dtype=np.int32
+            )
+            vec_arr = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(flat, type=pa.float64())
+            )
+            arrays = [pa.array(ids, type=pa.int64()), vec_arr]
+            names = [id_col, "__v"]
+            for j, (cids, cents) in enumerate(books):
+                arrays.append(
+                    pa.array(
+                        _np_argmin_cids(
+                            mat[:, j * sub : (j + 1) * sub], cents, cids
+                        ),
+                        type=pa.int64(),
+                    )
+                )
+                names.append(f"code_{j}")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    m = len(codebooks)
+    codes_schema = ", ".join(f"code_{j} bigint" for j in range(m))
+    return emb.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(vec_col).alias("__in"),
+    ).mapInArrow(
+        encode, f"{id_col} bigint, __v array<double>, {codes_schema}"
+    )
+
+
 def _fold_dot(a: list[float], b: list[float]) -> float:
     # sequential left fold from 0.0 — the same add order as the Spark
     # F.aggregate fold and DuckDB's list_dot_product, so driver-side
@@ -296,44 +432,95 @@ def pq_fit(
     vec_col: str = "embedding",
     dim: int | None = None,
     round_decimals: int = 6,
+    seeds: list[tuple[int, list[float]]] | None = None,
 ) -> list[Centroids]:
     """Train an m-subspace product quantizer: split the vector into m
-    contiguous sub-vectors and run the deterministic `kmeans_fit` on
-    each slice independently. Returns m codebooks of k_sub sub-centroids
-    each — m·k_sub·(dim/m) floats total, a driver/broadcast-sized
-    artifact that encodes every vector into m small codes (m·log2(k_sub)
-    bits), the memory-bound regime ANN at 10^12 vectors lives in.
+    contiguous sub-vectors and run the deterministic Lloyd fit on each
+    slice. Returns m codebooks of k_sub sub-centroids each —
+    m·k_sub·(dim/m) floats total, a driver/broadcast-sized artifact
+    that encodes every vector into m small codes (m·log2(k_sub) bits),
+    the memory-bound regime ANN at 10^12 vectors lives in.
 
     Seeding is the same hash-ranked id sample for every subspace (ids
     don't depend on the slice), and the per-iteration 6-dp centroid
     round pins all m fits across partition counts and engines — the
     whole quantizer is SQL-replicable, which is what the `pq_topk`
     oracle certifies. Training is a driver-coordinated job like
-    `kmeans_fit` (fit once, reuse the artifact); each of the m fits is
-    one corpus scan per iteration over a dim/m-wide projection."""
+    `kmeans_fit` (fit once, reuse the artifact).
+
+    All m sub-fits share ONE Spark job per step instead of m
+    independent `kmeans_fit` loops (guide §1.2 — the bench counts
+    construction): seeding is a single collect of the top-k_sub
+    md5-ranked FULL vectors sliced driver-side (the ranking does not
+    depend on the slice, so the per-subspace seed sets are identical by
+    construction), and each Lloyd iteration runs all m argmin
+    assignments in one projection, explodes to (subspace, cid, slice),
+    and updates every codebook from one grouped aggregate. Values are
+    unchanged: same seed order, same `_assign_best_sql` argmin, same
+    round(avg(), 6) update per (subspace, cid) group — pinned by the
+    fused-vs-per-subspace equality pytest and the pq/ivfpq oracles.
+    `seeds` (optional) reuses an already-collected md5-ranked
+    (cid, full-double-vector) prefix — `ivfpq_topk` shares its coarse
+    sample so the seed scan runs once for both quantizers."""
     if dim is None:
-        dim = len(emb.select(vec_col).head()[0])
+        dim = (
+            len(seeds[0][1]) if seeds
+            else len(emb.select(vec_col).head()[0])
+        )
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     sub = dim // m
-    books: list[Centroids] = []
-    for j in range(m):
-        sliced = emb.select(
-            F.col(id_col),
-            F.expr(
-                f"slice(CAST(`{vec_col}` AS ARRAY<DOUBLE>), {j * sub + 1}, {sub})"
-            ).alias("__sub"),
-        )
-        books.append(
-            kmeans_fit(
-                sliced,
-                k=k_sub,
-                iterations=iterations,
-                id_col=id_col,
-                vec_col="__sub",
-                round_decimals=round_decimals,
+    if seeds is None:
+        seeds = [
+            (r["cid"], [float(x) for x in r["__c"]])
+            for r in ivf_centroids(emb, k_sub, id_col, vec_col).collect()
+        ]
+    else:
+        seeds = [(cid, [float(x) for x in v]) for cid, v in seeds[:k_sub]]
+    if not seeds:
+        raise ValueError("pq_fit: empty input")
+    books: list[Centroids] = [
+        [(cid, v[j * sub : (j + 1) * sub]) for cid, v in seeds]
+        for j in range(m)
+    ]
+    for _ in range(iterations):
+        # all m argmin assignments in one vectorized Arrow pass, then
+        # one JVM explode to (subspace, cid, slice) for the fused means
+        enc = pq_assign_codes_arrow(emb, books, id_col, vec_col)
+        branches = [
+            F.struct(
+                F.lit(j).alias("j"),
+                F.col(f"code_{j}").alias("cid"),
+                F.expr(f"slice(__v, {j * sub + 1}, {sub})").alias("__v"),
             )
+            for j in range(m)
+        ]
+        assigned = enc.select(
+            F.explode(F.array(*branches)).alias("e")
+        ).select("e.j", "e.cid", "e.__v")
+        # narrow (j, cid, pos) means — see kmeans_fit for why
+        means = (
+            assigned.select(
+                "j", "cid", F.posexplode("__v").alias("pos", "val")
+            )
+            .groupBy("j", "cid", "pos")
+            .agg(F.expr(f"round(avg(val), {int(round_decimals)})").alias("c"))
         )
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means.collect():
+            got.setdefault((r["j"], r["cid"]), {})[r["pos"]] = float(r["c"])
+        books = [
+            [
+                (
+                    cid,
+                    [got[(j, cid)][i] for i in range(sub)]
+                    if (j, cid) in got
+                    else prev,
+                )
+                for cid, prev in cb
+            ]
+            for j, cb in enumerate(books)
+        ]
     return books
 
 
@@ -370,6 +557,8 @@ def pq_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coarse: list[tuple] | None = None,
+    probes: list[int] | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k: the query stays exact, every
     corpus vector is represented by its PQ code, and the approximate
@@ -390,7 +579,9 @@ def pq_topk(
     if not codebooks:
         raise ValueError("pq_topk: empty codebooks")
     sub = len(codebooks[0][0][1])
-    enc = pq_encode(emb, codebooks, id_col, vec_col)
+    enc = pq_assign_codes_arrow(
+        emb, codebooks, id_col, vec_col, coarse=coarse, probes=probes
+    )
     terms = []
     for j, cb in enumerate(codebooks):
         qs = [float(x) for x in query[j * sub : (j + 1) * sub]]
@@ -464,17 +655,25 @@ def ivfpq_topk(
     Output: (id, approx_dist) — ADC squared-L2, 6-dp, ordered by
     (approx_dist, id), top k over the probed cells only.
     """
-    from .similarity import ivf_assign, ivf_centroids
+    from .similarity import ivf_centroids
 
+    pq_seeds = None
     if coarse is None:
-        cents = ivf_centroids(emb, n_centroids, id_col, vec_col)
-        # the ONE collect is the coarse index build (driver artifact),
-        # same as ivf_topk — production reuses it across queries
-        coarse = [(r["cid"], list(r["__c"])) for r in cents.collect()]
+        # ONE ranked collect serves BOTH quantizers: the coarse codebook
+        # is the top-n_centroids of the md5-ranked sample and the PQ
+        # sub-fit seeds are the top-k_sub of the SAME total order
+        # (md5(id), id — unique), so the k_sub-prefix is exactly what
+        # ivf_centroids(…, k_sub) would have collected again
+        want = max(int(n_centroids), int(k_sub))
+        cents = ivf_centroids(emb, want, id_col, vec_col)
+        ranked_rows = [(r["cid"], list(r["__c"])) for r in cents.collect()]
+        coarse = ranked_rows[: int(n_centroids)]
+        if codebooks is None:
+            pq_seeds = ranked_rows[: int(k_sub)]
     if codebooks is None:
         codebooks = pq_fit(
             emb, m=m, k_sub=k_sub, iterations=iterations,
-            id_col=id_col, vec_col=vec_col, dim=dim,
+            id_col=id_col, vec_col=vec_col, dim=dim, seeds=pq_seeds,
         )
 
     q = [float(x) for x in query]
@@ -487,6 +686,10 @@ def ivfpq_topk(
     )
     probe_cids = [cid for _, cid in ranked[:nprobe]]
 
-    assigned = ivf_assign(emb, coarse, id_col, vec_col)
-    pruned = assigned.where(F.col("cid").isin(probe_cids))
-    return pq_topk(pruned, codebooks, q, k=k, id_col=id_col, vec_col="__v")
+    # coarse argmin + nprobe filter + PQ encode run in ONE Arrow stage
+    # inside pq_topk (no separate interpreted ivf_assign projection)
+    return pq_topk(
+        emb, codebooks, q, k=k, id_col=id_col, vec_col=vec_col,
+        coarse=[(int(cid), [float(x) for x in c]) for cid, c in coarse],
+        probes=probe_cids,
+    )

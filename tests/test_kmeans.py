@@ -424,3 +424,27 @@ def test_bitext_margin_candidates_path(spark):
     ).collect()
     assert len(got) > 0
     assert all((r["a_id"] % 2) == (r["b_id"] % 2) for r in got)
+
+
+def test_pq_fit_fused_equals_per_subspace_kmeans(spark, emb):
+    """The round-6 fused pq_fit (one seed collect + one assign/means job
+    per iteration across all subspaces) must reproduce the per-subspace
+    kmeans_fit codebooks EXACTLY — same seeds, same argmin, same
+    round(avg, 6) updates per (subspace, cid) group."""
+    from pyspark.sql import functions as F
+
+    from eventanalysis_spark.operators.kmeans import kmeans_fit, pq_fit
+
+    m, sub = 2, DIM // 2
+    fused = pq_fit(emb, m=m, k_sub=4, iterations=2, dim=DIM)
+    for j in range(m):
+        sliced = emb.select(
+            F.col("vec_id"),
+            F.expr(
+                f"slice(CAST(`embedding` AS ARRAY<DOUBLE>), {j * sub + 1}, {sub})"
+            ).alias("__sub"),
+        )
+        ref = kmeans_fit(
+            sliced, k=4, iterations=2, id_col="vec_id", vec_col="__sub"
+        )
+        assert fused[j] == ref, f"subspace {j}"
