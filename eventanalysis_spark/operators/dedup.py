@@ -877,22 +877,24 @@ def incremental_near_duplicates(
     # pin costs one planning+codegen pass over a now-small tree — the
     # round-6 Arrow signature stage is what made these cheap (~0.55 s →
     # ~0.1 s each, since no 64-literal fold tree is planned).
-    th_new, th_old = F.md5(F.col(text_col)), F.md5(F.col(text_col))
+    # The groups frames DERIVE from the pinned members (one md5 text
+    # scan per crawl side, not two): members is the (id, text_hash)
+    # projection both the group aggregate and the expansion join read.
+    new_members = new_docs.select(
+        F.col(id_col).alias("__mid"), F.md5(F.col(text_col)).alias("__th")
+    ).localCheckpoint(eager=False)
+    old_members = old_docs.select(
+        F.col(id_col).alias("__mid"), F.md5(F.col(text_col)).alias("__th")
+    ).localCheckpoint(eager=False)
     new_groups = (
-        new_docs.groupBy(th_new.alias("__th"))
-        .agg(F.min(F.col(id_col)).alias("__rep"))
+        new_members.groupBy("__th")
+        .agg(F.min(F.col("__mid")).alias("__rep"))
         .localCheckpoint(eager=False)
     )
     old_groups = (
-        old_docs.groupBy(th_old.alias("__th"))
-        .agg(F.min(F.col(id_col)).alias("__rep"))
+        old_members.groupBy("__th")
+        .agg(F.min(F.col("__mid")).alias("__rep"))
         .localCheckpoint(eager=False)
-    )
-    new_members = new_docs.select(
-        F.col(id_col).alias("__mid"), F.md5(F.col(text_col)).alias("__th")
-    )
-    old_members = old_docs.select(
-        F.col(id_col).alias("__mid"), F.md5(F.col(text_col)).alias("__th")
     )
     new_rep_docs = new_docs.select(F.col(id_col), F.col(text_col)).join(
         new_groups.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
@@ -910,6 +912,9 @@ def incremental_near_duplicates(
         collapse_exact=False,  # already rep-only
         max_bucket_size=max_bucket_size,
     )
+    # NOT distinct here: `cands` below is the one dedup exchange — a
+    # second distinct at posting grain would add a full extra shuffle
+    # stage for the same result
     raw_cands = (
         new_index.alias("n")
         .join(
@@ -920,7 +925,6 @@ def incremental_near_duplicates(
         .select(
             F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_pid")
         )
-        .distinct()
     )
     if index_is_collapsed or old_index_built_here:
         # posting ids ARE the min-id reps (same collapse rule as
@@ -928,11 +932,15 @@ def incremental_near_duplicates(
         # history-wide members ⋈ groups shuffle entirely
         mapped = raw_cands.select("new_id", F.col("old_pid").alias("old_id"))
     else:
-        # posting id (rep or legacy member) -> group representative
+        # posting id (rep or legacy member) -> group representative.
+        # Dedup the posting-grain pairs BEFORE the history-wide mapping
+        # join (on this branch the extra exchange pays for itself: band
+        # collisions would otherwise multiply the join probe up to
+        # `bands`-fold).
         old_rep_of = old_members.join(old_groups, "__th").select(
             F.col("__mid").alias("old_pid"), F.col("__rep").alias("old_id")
         )
-        mapped = raw_cands.join(old_rep_of, "old_pid").select(
+        mapped = raw_cands.distinct().join(old_rep_of, "old_pid").select(
             "new_id", "old_id"
         )
     cands = (
@@ -945,11 +953,13 @@ def incremental_near_duplicates(
     # their shingles: the verify join touches candidates alone, and
     # candidates are bucket-collisions (<< the crawl), so an unfiltered
     # new side would re-run the whole shingle pass the signatures paid
+    # no .distinct() on the key frames: left_semi ignores right-side
+    # duplicates, and each distinct would be one more exchange stage
     old_c = old_docs.join(
-        cands.select(F.col("old_id").alias(id_col)).distinct(), id_col, "left_semi"
+        cands.select(F.col("old_id").alias(id_col)), id_col, "left_semi"
     )
     new_c = new_docs.join(
-        cands.select(F.col("new_id").alias(id_col)).distinct(), id_col, "left_semi"
+        cands.select(F.col("new_id").alias(id_col)), id_col, "left_semi"
     )
     sh_new = new_c.select(
         F.col(id_col).alias("new_id"),

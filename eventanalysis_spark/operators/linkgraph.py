@@ -135,6 +135,12 @@ def host_pagerank(
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
     pinner = Pinner(pin, checkpoint_every)
+    # Pin the edge list FIRST: nodes (2 refs via the union), outw and ef
+    # each re-derive from `edges`, so an unpinned edge list re-executes
+    # whatever built it (typically a corpus-scale extract+aggregate) 4x
+    # per action. The (src, dst, w) grain is host-pair-sized — tiny
+    # next to one corpus pass.
+    edges = pinner(edges)
     # node set = src ∪ dst; pinned — it re-enters the plan every
     # iteration as the (1-d) floor left side AND the dangling filter
     nodes = pinner(
@@ -227,6 +233,9 @@ def host_trustrank(
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
     pinner = Pinner(pin, checkpoint_every)
+    # pin the edge list first — same 4-consumer re-execution argument as
+    # host_pagerank (nodes x2, outw, ef)
+    edges = pinner(edges)
     nodes = (
         edges.select(F.col("src").alias("host"))
         .unionByName(edges.select(F.col("dst").alias("host")))

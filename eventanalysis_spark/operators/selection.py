@@ -262,7 +262,10 @@ def score_tiers(
     key = F.round(F.col(score_col), 6)
     t = scored.withColumn("__ord", key if ascending else -key)
     ranked = assign_ids(t, "__rank", ["__ord", id_col], start_after=-1)
-    cnt = scored.agg(F.count(F.lit(1)).alias("__n"))
+    # count over the PINNED ranked frame (assign_ids range-materializes
+    # its input), not over `scored`: a second reference to `scored`
+    # would re-run the caller's whole scoring subtree just to count rows
+    cnt = ranked.agg(F.count(F.lit(1)).alias("__n"))
     out = (
         ranked.crossJoin(F.broadcast(cnt))
         .withColumn(

@@ -67,7 +67,19 @@ def word_adjacency_edges(
     canon = pairs.where(F.col("u") != F.col("v")).select(
         F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
     )
-    e = canon.groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
+    # Pin the canonical pair aggregate: the symmetric union references it
+    # TWICE, and textrank() then references `edges` three more times
+    # (outw, ef, nodes) — unpinned, Catalyst duplicates the subtree and
+    # the corpus-wide explode+aggregate runs up to 6x per action
+    # (measured: the whole textrank_keywords cost was edge-build passes,
+    # not the rank iterations). Distinct-adjacent-pair-vocabulary-sized
+    # (Zipf-bounded), so the materialization is tiny relative to one
+    # corpus pass.
+    e = (
+        canon.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=False)
+    )
     return e.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "w"
     ).unionByName(e.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
@@ -109,11 +121,16 @@ def textrank(
             .groupBy(F.col("dst").alias("term"))
             .agg(F.sum(F.col("rank") * F.col("frac")).alias("s"))
         )
-        ranks = nodes.join(contrib, "term", "left").select(
+        # No left join back onto `nodes`: the edge list is symmetric (the
+        # function's input contract), so every node with out-edges also
+        # has in-edges and `contrib` covers the node set exactly —
+        # term-for-term identical to `nodes LEFT JOIN contrib` with the
+        # COALESCE(s, 0) floor (s is never null: ranks and fracs are
+        # total). Dropping the join removes one SortMergeJoin + the
+        # nodes-side Exchange+Sort per iteration (plan-audited).
+        ranks = contrib.select(
             "term",
-            (base + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias(
-                "rank"
-            ),
+            (base + F.lit(damping) * F.col("s")).alias("rank"),
         )
     return ranks
 

@@ -336,7 +336,11 @@ def unigram_logprob_scores(
     Output: (id, n_tokens, avg_neg_logprob) — avg_neg_logprob null for
     empty docs."""
     if counts is None:
+        # pin the self-built model: the totals collect below AND the lp
+        # broadcast both consume it — unpinned, the corpus token pass
+        # runs twice per scoring job. Vocab-sized materialization.
         counts = corpus_token_counts(docs, text_col, parallelism)
+        counts = counts.localCheckpoint(eager=False)
     totals = counts.agg(
         F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("v")
     ).collect()[0]
@@ -579,7 +583,11 @@ def bigram_logprob_scores(
     Output: (id, n_bigrams, avg_neg_logprob) — null score for docs with
     fewer than two tokens."""
     if counts is None:
+        # pin the self-built model: consumed by the vocab collect, the
+        # bigram broadcast AND the ctx broadcast — 3 corpus pair passes
+        # without the pin. Bigram-vocab-sized materialization.
         counts = corpus_bigram_counts(docs, text_col, parallelism)
+        counts = counts.localCheckpoint(eager=False)
     totals = counts.agg(
         F.count_distinct("w2").alias("v")
     ).collect()[0]
@@ -647,7 +655,10 @@ def kneser_ney_bigram_scores(
 
     Output: (id, n_bigrams, avg_neg_logprob) — null score below 2 tokens."""
     if counts is None:
+        # pin the self-built model: consumed by the T/V collect + the
+        # counts/ctx/pcont broadcasts — 4 corpus pair passes without it.
         counts = corpus_bigram_counts(docs, text_col, parallelism)
+        counts = counts.localCheckpoint(eager=False)
     tot = counts.agg(
         F.count(F.lit(1)).alias("t"), F.count_distinct("w2").alias("v")
     ).collect()[0]

@@ -144,7 +144,15 @@ def winnow_overlap_pairs(
     count(distinct fp) in and out. Pair emission joins the surviving
     postings with id_a < id_b; `n_common` counts distinct shared fps.
     """
-    posts = fps.select(F.col(id_col).alias("__id"), "fp").distinct()
+    # Pin the postings: `small` and both pair-join sides consume them —
+    # unpinned, the md5-per-k-gram fingerprint extraction over every doc
+    # re-runs 3x per action. Selected-fingerprint-sized (~n_chars/w per
+    # doc), tiny next to one extraction pass.
+    posts = (
+        fps.select(F.col(id_col).alias("__id"), "fp")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     small = (
         posts.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("__df"))
@@ -197,7 +205,12 @@ def winnow_shared_passages(
     window's exchange for the groupBy."""
     if max_gap is None:
         max_gap = w + k - 1
-    posts = fps.select(F.col(id_col).alias("__id"), "pos", "fp")
+    # Pin the positional postings — same 3-consumer argument as
+    # winnow_overlap_pairs (the fp-df cap + both pair-join sides),
+    # without it the fingerprint extraction runs 3x per action.
+    posts = fps.select(
+        F.col(id_col).alias("__id"), "pos", "fp"
+    ).localCheckpoint(eager=False)
     small = (
         posts.select("fp", "__id").distinct()
         .groupBy("fp")
