@@ -199,10 +199,15 @@ def semdedup(
     cents = centroids or kmeans_fit(emb, k, iterations, id_col, vec_col)
     # norms are precomputed ONCE per row (n lambda folds), not once per
     # candidate pair (Σ|c|² folds) — same value as the per-pair form
-    # (identical fold + multiplication order), 3× less lambda work
+    # (identical fold + multiplication order), 3× less lambda work.
+    # Pinned: three consumers below (both pair-join sides + the final
+    # keep join) would otherwise each re-run the k×dim assign projection
+    # over the corpus.
     a = kmeans_assign(emb, cents, id_col, vec_col, with_dist=False).select(
         F.col(id_col).alias("__id"), "cid", "__v"
-    ).withColumn("__nrm", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+    ).withColumn(
+        "__nrm", F.sqrt(dot(F.col("__v"), F.col("__v")))
+    ).localCheckpoint(eager=False)
     left = a.select(
         F.col("__id").alias("__il"), F.col("cid").alias("__cl"),
         F.col("__v").alias("__vl"), F.col("__nrm").alias("__nl"),
@@ -261,6 +266,9 @@ def prototypicality_prune(
         F.col(id_col), "cid", F.round("__d", 6).alias("dist_sq")
     )
     if method == "quantile":
+        # two consumers (threshold agg + keep join) — pin so the assign
+        # projection runs once
+        a = a.localCheckpoint(eager=False)
         thr = a.groupBy("cid").agg(
             F.expr(
                 f"approx_percentile(dist_sq, {1.0 - float(keep_fraction)}, 10000)"

@@ -468,42 +468,67 @@ def bm25_topk(
     idf = ln((N − df + 0.5)/(df + 0.5) + 1)  (the Lucene non-negative
     form). ROUND(,6) + id tie-break for cross-engine rank determinism.
 
-    Scale shape (all Catalyst): doc lengths and per-(doc, queryterm) tf
-    come from ONE token pass — tf rows are FILTERED to the query terms
-    BEFORE the aggregate (the posting stream is |matching docs| ×
-    |query|, never the corpus vocabulary); df and N/avglen are
-    dimension-sized aggregates broadcast back; final ranking is
-    TakeOrdered top-k, no global sort."""
+    Scale shape (all Catalyst): ONE token pass total — a per-doc
+    aggregate computes the doc length AND a conditional tf count per
+    query term in the same hash aggregate (the query is literal-sized,
+    so per-term columns beat a (doc, term) posting shuffle), pinned at
+    the narrow (id, len, tf…) grain; df for every term and N/avglen
+    then come from a single 1-row rollup of that frame, broadcast back,
+    and the score is an in-row Σ over the term columns. The previous
+    four-consumer form (lens, tf, df, stats) re-ran the corpus token
+    explode per consumer. Final ranking is TakeOrdered top-k, no global
+    sort."""
     from eventanalysis_spark.operators.dedup import _tokens
 
-    terms = [t.lower() for t in query_terms]
-    toks = docs.select(
-        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("__t")
+    # dedup (order-preserving): the old posting-stream form scored a
+    # repeated query term once (distinct (doc, term) grain) — the
+    # per-term-column form must too
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
+    tf_cols = [f"__tf{i}" for i in range(len(terms))]
+    per_doc = (
+        docs.select(
+            F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("__t")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__len"),
+            *[
+                F.count(F.when(F.col("__t") == t, 1)).alias(c)
+                for t, c in zip(terms, tf_cols)
+            ],
+        )
+        .localCheckpoint(eager=False)
     )
-    lens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__len"))
-    tf = (
-        toks.where(F.col("__t").isin(terms))
-        .groupBy(id_col, "__t")
-        .agg(F.count(F.lit(1)).alias("__tf"))
-    )
-    df_ = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
-    stats = lens.agg(
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("__n"),
         F.avg("__len").alias("__avglen"),
+        *[
+            F.count(F.when(F.col(c) > 0, 1)).alias(f"__df{i}")
+            for i, c in enumerate(tf_cols)
+        ],
     )
-    idf = F.log(
-        (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0
-    )
-    norm = F.col("__tf") * (k1 + 1) / (
-        F.col("__tf")
-        + k1 * (1.0 - b + b * F.col("__len") / F.col("__avglen"))
-    )
+
+    def _term_score(i: int):
+        tf, df_ = F.col(tf_cols[i]), F.col(f"__df{i}")
+        idf = F.log((F.col("__n") - df_ + 0.5) / (df_ + 0.5) + 1.0)
+        norm = tf * (k1 + 1) / (
+            tf + k1 * (1.0 - b + b * F.col("__len") / F.col("__avglen"))
+        )
+        # absent terms contribute exactly 0, matching the old inner-join
+        # posting stream (which simply had no row for them)
+        return F.when(tf > 0, idf * norm).otherwise(F.lit(0.0))
+
+    total = _term_score(0)
+    for i in range(1, len(terms)):
+        total = total + _term_score(i)
+    match_any = None
+    for c in tf_cols:
+        cond = F.col(c) > 0
+        match_any = cond if match_any is None else (match_any | cond)
     scored = (
-        tf.join(F.broadcast(df_), "__t")
-        .join(lens, id_col)
+        per_doc.where(match_any)
         .crossJoin(F.broadcast(stats))
-        .groupBy(id_col)
-        .agg(F.round(F.sum(idf * norm), 6).alias("bm25"))
+        .select(F.col(id_col), F.round(total, 6).alias("bm25"))
     )
     return (
         scored.orderBy(F.col("bm25").desc(), F.col(id_col))

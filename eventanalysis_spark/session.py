@@ -52,6 +52,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # generated-class cache (default 100 entries): a driver running
+        # many distinct plans (the 50+ registry queries, or any real
+        # multi-tenant job server) evicts and re-compiles codegen units
+        # every pass; entries are a few KB of bytecode each, so 10k is
+        # still tiny next to the driver heap at ANY cluster size
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         # v2 committer: task-side file moves — v1's serial driver-side
         # rename is a real bottleneck for partitioned fan-out writes
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
