@@ -184,7 +184,15 @@ def cdc_shared_pairs(
     appearing in more than `max_postings` blobs (an empty-page template,
     a codec header) is dropped BEFORE the pair join, bounding fanout.
     Ordered, doc_a < doc_b."""
-    per = chunks.select("doc_id", "chunk_hash", "length").distinct()
+    # Pin the postings: the df cap + both pair-join sides consume them —
+    # unpinned, the Arrow CDC chunking pass over every blob re-runs 3x
+    # per action (the winnow-postings rule). Chunk-posting-sized, the
+    # blob column is already gone.
+    per = (
+        chunks.select("doc_id", "chunk_hash", "length")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     df_counts = per.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("__n"))
     eligible = per.join(
         df_counts.where(F.col("__n") <= max_postings).select("chunk_hash"),

@@ -606,7 +606,15 @@ def simhash_near_pairs(
     representative BEFORE blocking (identical docs share every block key —
     the same mega-bucket hazard as MinHash LSH) and re-emits each exact-dup
     group as (rep, member, hamming=0) star pairs: O(n) output per group
-    instead of O(n²), same connected components."""
+    instead of O(n²), same connected components.
+
+    Behavior change vs the pre-round-5 standalone form (this now routes
+    through hamming64_near_pairs): max_hamming > 3 raises ValueError
+    (the 4-block pigeonhole cannot guarantee recall there) where the old
+    code silently returned reduced-recall results, and a default
+    max_bucket_size=4096 posting cap + localCheckpoint pin apply to the
+    block join — on degenerate constant-text corpora the cap can drop
+    distinct-text candidates (correct pairs only, completeness capped)."""
     if collapse_exact:
         th = F.md5(F.col(text_col)).alias("__th")
         groups = df.groupBy(th).agg(F.min(F.col(id_col)).alias("doc_id"))

@@ -432,6 +432,9 @@ def host_communities(
     unlike the pagerank loop — no per-iteration pinning is needed."""
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
+    # pin the edge list first: the symmetric union references it twice,
+    # re-running whatever built it (e.g. corpus-scale href extraction)
+    edges = edges.localCheckpoint(eager=False)
     both = edges.select("src", "dst", "w").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )

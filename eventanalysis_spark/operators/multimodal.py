@@ -770,7 +770,14 @@ def video_near_dups(
     requiring `min_frames` aligned matches (default: all k). Output:
     (media_a, media_b, n_frames_matched, max_hamming_matched). One
     decode pass; the join moves (media_id, frame_idx, vhash) postings
-    only."""
+    only.
+
+    Short-clip floor (documented limitation): video_vhash samples at
+    most one hash per distinct frame, so a clip whose decoded frame
+    count is below k yields fewer than k postings and can never reach
+    n_frames_matched >= k — with the default min_frames=None (= k),
+    identical sub-k-frame clips are not reported. Pass an explicit
+    min_frames <= the shortest clip's frame count to dedup such clips."""
     from eventanalysis_spark.operators.dedup import hamming64_near_pairs
 
     need = k if min_frames is None else min_frames

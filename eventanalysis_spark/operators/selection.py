@@ -312,7 +312,11 @@ def score_tiers_by_group(
 
     key = F.round(F.col(score_col), 6)
     ordk = key if ascending else -key
-    t = scored.withColumn("__k", ordk)
+    # pinned: consumed by the histogram AND the tier re-attach join —
+    # unpinned, the caller's scoring subtree runs twice. Callers pass a
+    # narrow (id, score, group) frame (module docstring), so the
+    # materialization is a slim projection of the corpus.
+    t = scored.withColumn("__k", ordk).localCheckpoint(eager=False)
     hist = t.groupBy(group_col, "__k").agg(F.count(F.lit(1)).alias("__c"))
     w_cum = (
         Window.partitionBy(group_col)

@@ -759,6 +759,10 @@ def cmd_frontier(args) -> int:
 
         rules = robots_rules(spark.read.parquet(args.robots))
         urls = robots_filter(urls, rules, url_col=args.url_col)
+        if args.slot_seconds is not None and args.slot_seconds <= 0:
+            # a zero/negative quantum would yield a 0.0 Crawl-delay
+            # budget and divide-by-zero slot arithmetic downstream
+            raise SystemExit("frontier: --slot-seconds must be > 0")
         if args.slot_seconds is not None:
             # Crawl-delay d + slot quantum s -> at most s/d fetches per
             # slot, never exceeding the global politeness budget
