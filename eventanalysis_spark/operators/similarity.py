@@ -462,7 +462,11 @@ def _brute_pair_cosines_arrow(
     b_pdf = b.select(
         F.col(id_col).alias("b_id"), _as_double(F.col(vec_col)).alias("__b")
     ).toPandas()
-    b_ids = b_pdf["b_id"].to_numpy(dtype=np.int64)
+    # ids stay in their ORIGINAL type (long, string, ...): the id column
+    # is opaque to the scoring kernel — it is only repeated/tiled via
+    # Arrow `take`, never arithmetic — so any Spark id type round-trips
+    # exactly (a long cast here would NULL string ids silently)
+    b_ids = list(b_pdf["b_id"])
     if len(b_ids):
         b_mat = _np_unit_rows(
             np.stack([np.asarray(v, dtype=np.float64) for v in b_pdf["__b"]])
@@ -470,12 +474,15 @@ def _brute_pair_cosines_arrow(
     else:
         b_mat = np.zeros((0, 0), dtype=np.float64)
     bc = spark.sparkContext.broadcast((b_ids, b_mat))
+    a_id_t = a.select(F.col(id_col).alias("a_id")).schema["a_id"].dataType
+    b_id_t = b.select(F.col(id_col).alias("b_id")).schema["b_id"].dataType
 
     def score(batches):
         import pyarrow as pa
 
         ids_b, mat_b = bc.value
         n = len(ids_b)
+        b_pa = pa.array(ids_b)
         for batch in batches:
             m_rows = batch.num_rows
             if m_rows == 0 or n == 0:
@@ -487,7 +494,9 @@ def _brute_pair_cosines_arrow(
             mat_a = _np_unit_rows(
                 np.asarray(vals, dtype=np.float64).reshape(m_rows, -1)
             )
-            a_ids = batch.column(0).to_numpy(zero_copy_only=False)
+            a_pa = batch.column(0)
+            if isinstance(a_pa, pa.ChunkedArray):
+                a_pa = a_pa.combine_chunks()
             # chunk A so the m×n pair block stays ~32 MB
             step = max(1, 4_000_000 // n)
             for lo in range(0, m_rows, step):
@@ -498,24 +507,35 @@ def _brute_pair_cosines_arrow(
                     # multiply-then-add per scalar, ascending j — the
                     # same op sequence as the zip_with/aggregate fold
                     acc += np.outer(ua[:, j], mat_b[:, j])
+                rep = np.repeat(np.arange(lo, hi, dtype=np.int64), n)
+                til = np.tile(np.arange(n, dtype=np.int64), hi - lo)
                 yield pa.RecordBatch.from_arrays(
                     [
-                        pa.array(np.repeat(a_ids[lo:hi], n), type=pa.int64()),
-                        pa.array(np.tile(ids_b, hi - lo), type=pa.int64()),
+                        a_pa.take(pa.array(rep)),
+                        b_pa.take(pa.array(til)),
                         pa.array(acc.ravel(), type=pa.float64()),
                     ],
                     names=["a_id", "b_id", "__cos"],
                 )
 
     src = a.select(
-        F.col(id_col).cast("long").alias("a_id"),
+        F.col(id_col).alias("a_id"),
         _as_double(F.col(vec_col)).alias("__v"),
     )
     # the A side usually arrives as a handful of scan partitions (one
     # small parquet file); spread it so the Arrow stage uses the cluster
     par = spark.sparkContext.defaultParallelism
     src = src.repartition(par, "a_id")
-    return src.mapInArrow(score, "a_id long, b_id long, __cos double")
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("a_id", a_id_t),
+            StructField("b_id", b_id_t),
+            StructField("__cos", DoubleType()),
+        ]
+    )
+    return src.mapInArrow(score, out_schema)
 
 
 def bitext_margin_pairs(

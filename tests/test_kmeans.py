@@ -448,3 +448,38 @@ def test_pq_fit_fused_equals_per_subspace_kmeans(spark, emb):
             sliced, k=4, iterations=2, id_col="vec_id", vec_col="__sub"
         )
         assert fused[j] == ref, f"subspace {j}"
+
+
+def test_bitext_brute_arrow_preserves_string_ids(spark):
+    """The Arrow brute-pair kernel must be id-type-agnostic: ids are
+    repeated/tiled via Arrow take, never cast — a long cast would NULL
+    string ids silently (regression: the explain-audit's url-keyed
+    bitext section crashed on int64 coercion)."""
+    from pyspark.sql import functions as F
+
+    from eventanalysis_spark.operators.similarity import bitext_margin_pairs
+
+    a = spark.createDataFrame(
+        [("u/a0", [1.0, 0.2, 0.0]), ("u/a1", [0.0, 1.0, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    b = spark.createDataFrame(
+        [("u/b0", [0.7, 0.7, 0.1]), ("u/b1", [0.0, 1.0, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    rows = bitext_margin_pairs(
+        a, b, k=1, margin_threshold=0.0, mutual=True
+    ).collect()
+    assert {r["a_id"]: r["b_id"] for r in rows} == {
+        "u/a0": "u/b0", "u/a1": "u/b1"
+    }
+    # brute (Arrow) path equals the candidates (Catalyst) path on the
+    # same full pair set — same cosines, same margins, string ids intact
+    full = (
+        a.select(F.col("vec_id").alias("a_id"))
+        .crossJoin(b.select(F.col("vec_id").alias("b_id")))
+    )
+    via_cands = bitext_margin_pairs(
+        a, b, k=1, margin_threshold=0.0, mutual=True, candidates=full
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, via_cands))

@@ -1384,23 +1384,30 @@ def main() -> None:
         "share one hash partitioning each",
         q46,
         [
-            ("exactly TWO hash exchanges (one per side) — the avg window "
-             "declares no ORDER so it reuses the rank window's "
-             "partitioning instead of adding a third/fourth",
-             plan46.count("Exchange hashpartitioning") == 2),
-            ("the pair frame is a broadcast nested-loop cross join (the "
-             "documented brute exact baseline; LSH/IVF candidates "
-             "compose for scale)",
-             "BroadcastNestedLoopJoin" in plan46),
-            ("vectors normalized ONCE per side: no sqrt inside the "
-             "pair-scoring projection (dot only)",
-             "SQRT" not in plan46.split("BroadcastNestedLoopJoin")[0]),
-            ("no Python anywhere", "Python" not in plan46),
+            ("exactly TWO window hash exchanges (one per side) over the "
+             "pair frame — the avg window declares no ORDER so it reuses "
+             "the rank window's partitioning instead of adding a "
+             "third/fourth (the a_id spread repartition ahead of the "
+             "Arrow stage is the only other exchange)",
+             plan46.count("Exchange hashpartitioning") == 3),
+            ("brute pair scoring is ONE vectorized Arrow stage (B side "
+             "broadcast; normalize+dot in NumPy with the exact fold "
+             "order) — no BroadcastNestedLoopJoin, no per-pair "
+             "interpreted lambda folds",
+             "MapInArrow" in plan46
+             and "BroadcastNestedLoopJoin" not in plan46),
+            ("no sqrt/aggregate HOF in any JVM projection: the only "
+             "per-pair JVM work is the 6-dp round above the Arrow stage",
+             "SQRT" not in plan46 and "aggregate(" not in plan46),
+            ("exactly one Python crossing (the pair kernel)",
+             plan46.count("MapInArrow") == 1),
         ],
         "operators/similarity.py::bitext_margin_pairs — ratio-margin "
-        "mutual-best alignment (Artetxe & Schwenk 2019): pre-normalizing "
-        "each side turns every pair score into a bare dot product "
-        "(measured 15.8 -> 6.1 s at sf0.1).",
+        "mutual-best alignment (Artetxe & Schwenk 2019): the |A|x|B| "
+        "interpreted Catalyst folds were the whole baseline cost "
+        "(6.9 s at sf0.1), replaced round 6 by one mapInArrow kernel "
+        "with bit-identical doubles (6.9 -> ~0.9 s; candidates= LSH/IVF "
+        "pair frames compose for scale unchanged).",
     )
 
     # 47. nDCG: both rank windows share the query-keyed partitioning
