@@ -461,7 +461,12 @@ def _lr_gradient_rounds(
         # the LogicalRDD-leaf pin whose lost partitioning re-shuffles
         # the entry stream every round)
         feat_arr = feat_arr.persist(StorageLevel.MEMORY_AND_DISK)
-    n_docs = feat_arr.count()
+    # n_docs rides round 1's gradient collect instead of a separate
+    # count() job: every doc carries exactly one bias entry (b = -1,
+    # appended unconditionally, even for token-less docs), so the bias
+    # bucket's entry count IS the doc count — one fewer job barrier,
+    # and round 1's job is what materializes the cache.
+    n_docs: int | None = None
     entries = _lr_entries(feat_arr, id_col)
     w: dict[int, float] | None = None
     for _ in range(iterations):
@@ -490,11 +495,15 @@ def _lr_gradient_rounds(
         grad_rows = (
             zed.select(F.col("__b"), (F.col("__xi") * ri).alias("__t"))
             .groupBy("__b")
-            .agg(F.sum("__t").alias("s"))
+            .agg(F.sum("__t").alias("s"), F.count(F.lit(1)).alias("c"))
             .collect()
         )
         if w is None:
             w = {int(r["__b"]): 0.0 for r in grad_rows}
+        if n_docs is None:
+            n_docs = next(
+                int(r["c"]) for r in grad_rows if int(r["__b"]) == -1
+            )
         w = {
             b: _round_half_up(
                 w[b]

@@ -135,19 +135,12 @@ def host_pagerank(
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
     pinner = Pinner(pin, checkpoint_every)
-    # Pin the edge list FIRST: nodes (2 refs via the union), outw and ef
-    # each re-derive from `edges`, so an unpinned edge list re-executes
-    # whatever built it (typically a corpus-scale extract+aggregate) 4x
-    # per action. The (src, dst, w) grain is host-pair-sized — tiny
-    # next to one corpus pass.
+    # Pin the edge list FIRST: the node/dangling union (2 refs), outw
+    # and ef each re-derive from `edges`, so an unpinned edge list
+    # re-executes whatever built it (typically a corpus-scale
+    # extract+aggregate) 4x per action. The (src, dst, w) grain is
+    # host-pair-sized — tiny next to one corpus pass.
     edges = pinner(edges)
-    # node set = src ∪ dst; pinned — it re-enters the plan every
-    # iteration as the (1-d) floor left side AND the dangling filter
-    nodes = pinner(
-        edges.select(F.col("src").alias("host"))
-        .unionByName(edges.select(F.col("dst").alias("host")))
-        .distinct()
-    )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     ef = pinner(
         edges.join(outw, "src")
@@ -155,11 +148,19 @@ def host_pagerank(
             "src", "dst", (F.col("w").cast("double") / F.col("ow")).alias("frac")
         )
     )
-    # dangling detection once: nodes with no out-edges
-    node_out = nodes.join(
-        outw.withColumnRenamed("src", "host"), "host", "left"
-    ).select("host", F.col("ow").isNotNull().alias("has_out"))
-    node_out = pinner(node_out)
+    # node set (src ∪ dst) + dangling flag in ONE union-aggregate:
+    # has_out = "appears as a src" = max over the flagged union — the
+    # same rows as the former distinct-nodes ⋈ outw LEFT JOIN, minus
+    # one pin and one join. Pinned: it re-enters the plan every
+    # iteration as the (1-d) floor left side AND the dangling filter.
+    node_out = pinner(
+        edges.select(F.col("src").alias("host"), F.lit(True).alias("has_out"))
+        .unionByName(
+            edges.select(F.col("dst").alias("host"), F.lit(False).alias("has_out"))
+        )
+        .groupBy("host")
+        .agg(F.max("has_out").alias("has_out"))
+    )
 
     n_nodes = F.lit(1.0) * F.count(F.lit(1))  # used inside the agg below
     ranks = node_out.select("host", "has_out").withColumn("rank", F.lit(1.0))

@@ -110,9 +110,10 @@ def textrank(
     # = computed by the first action, shared by every iteration.
     ).localCheckpoint(eager=False)
     # node set = out-strength keys (the edge list is symmetric, so every
-    # node has out-edges); vocab-sized, pinned for the same reason — it
-    # re-enters the plan once per iteration as the (1-d)-floor left side
-    nodes = outw.select(F.col("src").alias("term")).localCheckpoint(eager=False)
+    # node has out-edges); single consumer now (rank_0 only — the
+    # per-iteration (1-d)-floor left join is gone), so no pin: it is a
+    # cheap aggregate over the pinned edge list
+    nodes = outw.select(F.col("src").alias("term"))
     ranks = nodes.withColumn("rank", F.lit(1.0))
     base = F.lit(1.0 - damping)
     for _ in range(iterations):
