@@ -2125,7 +2125,6 @@ def q_dedup_incremental(spark, sf):
     cross Jaccard."""
     from eventanalysis_spark.operators.dedup import (
         incremental_near_duplicates,
-        lsh_index,
     )
 
     # the 64-hash shingle/minhash fold is the dominant map cost: spread
@@ -2133,17 +2132,16 @@ def q_dedup_incremental(spark, sf):
     docs = _ts(spark, sf, "documents")
     old = docs.where(F.col("doc_id") < 250)
     new = docs.where(F.col("doc_id") >= 250)
-    idx = lsh_index(
-        old, text_col="text", id_col="doc_id", num_hashes=64, bands=32,
-        shingle_k=3,
-    )
     return (
+        # old_index=None = ad-hoc mode: the operator builds the history
+        # index in-query from ONE fused signature pass over both sides
+        # (row-identical postings to the explicit
+        # lsh_index(collapse_exact=True) build this entry previously
+        # timed — equality pinned in pytest; the warehouse prebuilt-index
+        # path stays tested separately and never re-signatures history)
         incremental_near_duplicates(
-            new, old, old_index=idx, text_col="text", id_col="doc_id",
+            new, old, old_index=None, text_col="text", id_col="doc_id",
             num_hashes=64, bands=32, shingle_k=3, threshold=0.5,
-            # idx above is one-shot collapse_exact over exactly `old` —
-            # posting ids are already min-id reps, mapping join skippable
-            index_is_collapsed=True,
         )
         .select("new_id", "old_id", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("new_id", "old_id")

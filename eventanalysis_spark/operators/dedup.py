@@ -909,17 +909,76 @@ def incremental_near_duplicates(
     )
     old_index_built_here = old_index is None
     if old_index is None:
-        old_index = lsh_index(
-            old_docs, text_col, id_col, num_hashes, bands, shingle_k,
-            max_bucket_size=max_bucket_size,
+        # Ad-hoc mode: BOTH indexes from ONE fused signature pass. The
+        # old side's exact-collapse reuses the pinned `old_groups`
+        # (identical min-id rule to lsh_index's own collapse), the two
+        # rep frames union under a side flag packed into a struct key
+        # (type-agnostic: the key is opaque to the Arrow kernel), and
+        # banding + the per-(side, band, bucket) posting cap run once
+        # over the union — per-side groups are exactly the separate
+        # windows' groups, so the capped postings are row-identical to
+        # two independent lsh_index builds. One Arrow stage + one cap
+        # window instead of two of each (measured ~0.23 s at sf0.1;
+        # fewer stage barriers at any scale). Warehouse mode (old_index
+        # passed) is unchanged — history is never re-signatured there.
+        old_rep_docs = old_docs.select(F.col(id_col), F.col(text_col)).join(
+            old_groups.select(F.col("__rep").alias(id_col)), id_col,
+            "left_semi",
         )
+        fused = (
+            old_rep_docs.withColumn("__side", F.lit(0))
+            .unionByName(new_rep_docs.withColumn("__side", F.lit(1)))
+            .select(
+                F.struct(
+                    F.col("__side"), F.col(id_col).alias("__id")
+                ).alias("__sid"),
+                F.col(text_col),
+            )
+        )
+        sigs = minhash_signatures_arrow(
+            fused, text_col, "__sid", num_hashes, shingle_k
+        )
+        r = max(1, num_hashes // bands)
+        banded = sigs.select(
+            F.col("doc_id.__side").alias("__side"),
+            F.col("doc_id.__id").alias("doc_id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda bidx: F.struct(
+                        bidx.alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", F.transform(
+                                F.slice("sig", bidx * r + 1, r),
+                                lambda v: v.cast("string"),
+                            ))
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select(
+            "__side", F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"), "doc_id",
+        )
+        if max_bucket_size is not None:
+            wcap = Window.partitionBy("__side", "band", "bucket").orderBy(
+                "doc_id"
+            )
+            banded = (
+                banded.withColumn("__rn", F.row_number().over(wcap))
+                .where(F.col("__rn") <= max_bucket_size)
+                .drop("__rn")
+            )
+        banded = banded.localCheckpoint(eager=False)
+        old_index = banded.where(F.col("__side") == 0).drop("__side")
+        new_index = banded.where(F.col("__side") == 1).drop("__side")
     else:
         old_index = _cap_postings(old_index, max_bucket_size)
-    new_index = lsh_index(
-        new_rep_docs, text_col, id_col, num_hashes, bands, shingle_k,
-        collapse_exact=False,  # already rep-only
-        max_bucket_size=max_bucket_size,
-    )
+        new_index = lsh_index(
+            new_rep_docs, text_col, id_col, num_hashes, bands, shingle_k,
+            collapse_exact=False,  # already rep-only
+            max_bucket_size=max_bucket_size,
+        )
     # NOT distinct here: `cands` below is the one dedup exchange — a
     # second distinct at posting grain would add a full extra shuffle
     # stage for the same result

@@ -637,3 +637,55 @@ def test_incremental_dedup_collapsed_flag_identity(spark):
     assert {(n, o) for n, o, _ in fast} == {
         (n, o) for n in (100, 101) for o in range(4)
     }
+
+
+def test_incremental_fused_adhoc_equals_prebuilt_index(spark):
+    """The round-6 fused ad-hoc build (old_index=None: one signature
+    pass + one cap window over both sides under a struct side key) must
+    emit EXACTLY the rows of the explicit lsh_index(collapse_exact=True)
+    prebuilt path — same postings, same candidates, same verified pairs.
+    Also exercises exact-dup groups on both sides (expansion) and a
+    string id column (the struct key must be id-type-agnostic)."""
+    from pyspark.sql import functions as F
+
+    from eventanalysis_spark.operators.dedup import (
+        incremental_near_duplicates,
+        lsh_index,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    old_rows = (
+        [(f"o{i}", base + f"old tail {i}") for i in range(8)]
+        + [("o8dup", base + "old tail 3"), ("o9dup", base + "old tail 3")]
+        + [(f"h{i}", f"history only document {i} with its own words " * 3)
+           for i in range(6)]
+    )
+    new_rows = [
+        ("n0", base + "old tail 3"),
+        ("n0dup", base + "old tail 3"),
+        ("n1", "fresh unseen content " * 5),
+    ]
+    old = spark.createDataFrame(old_rows, "doc_id string, text string")
+    new = spark.createDataFrame(new_rows, "doc_id string, text string")
+
+    idx = lsh_index(old, id_col="doc_id", num_hashes=32, bands=16)
+    via_prebuilt = sorted(
+        map(tuple, incremental_near_duplicates(
+            new, old, old_index=idx, id_col="doc_id",
+            num_hashes=32, bands=16, threshold=0.5,
+            index_is_collapsed=True,
+        ).select("new_id", "old_id", F.round("jaccard", 6)).collect())
+    )
+    via_fused = sorted(
+        map(tuple, incremental_near_duplicates(
+            new, old, old_index=None, id_col="doc_id",
+            num_hashes=32, bands=16, threshold=0.5,
+        ).select("new_id", "old_id", F.round("jaccard", 6)).collect())
+    )
+    assert via_fused == via_prebuilt
+    # the exact-dup expansion really fired: every (new dup, old dup)
+    # combination of the base-family group is present
+    pairs = {(a, b) for a, b, _ in via_fused}
+    for nn in ("n0", "n0dup"):
+        for oo in ("o3", "o8dup", "o9dup"):
+            assert (nn, oo) in pairs
