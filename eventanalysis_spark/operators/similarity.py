@@ -442,14 +442,33 @@ def _brute_pair_cosines_arrow(
     b: DataFrame,
     id_col: str,
     vec_col: str,
+    topk_prune: int | None = None,
 ) -> DataFrame:
-    """(a_id, b_id, __cos) for EVERY pair — the all-pairs cosine frame of
-    the brute bitext baseline, computed in one mapInArrow stage instead
-    of |A|·|B| interpreted Catalyst folds (guide §4.2: batches to
-    vectorized native code). __cos is bit-identical to
-    round-free dot(unit(a), unit(b)): float32→float64 widening is exact,
-    and the pair dot accumulates column-by-column so every scalar sees
-    the same multiply-then-add sequence as the sequential lambda fold.
+    """(a_id, b_id, __cos) pair-cosine frame of the brute bitext
+    baseline, computed in one mapInArrow stage instead of |A|·|B|
+    interpreted Catalyst folds (guide §4.2: batches to vectorized
+    native code). __cos is bit-identical to round-free
+    dot(unit(a), unit(b)): float32→float64 widening is exact, and the
+    pair dot accumulates column-by-column so every scalar sees the same
+    multiply-then-add sequence as the sequential lambda fold.
+
+    `topk_prune=K` emits, per pair block, only pairs that can reach
+    either side's top-K under the DOWNSTREAM rounded ordering
+    (round(cos, 6) DESC, id ASC) — the only rows bitext's rank /
+    neighborhood-average windows ever read. Containment proof: if a
+    pair p is in a side's rounded top-K, fewer than K pairs strictly
+    beat it by rounded value; any pair q with raw(q) > raw(p) + 1e-6
+    has round6(q) > round6(p), so p's raw cosine is within 1e-6 of the
+    K-th largest raw cosine — the emitted set {raw >= kth_raw − 2e-6}
+    (slack doubled for the two half-ulp rounding shifts) is a superset
+    of the rounded top-K per row AND per column of every block, and a
+    per-block superset union is a superset of the global per-side
+    top-K. NaN cosines (zero-norm vectors) are always kept: Spark
+    orders NaN above every double, so they can occupy top ranks.
+    Extras cannot displace true top-K rows in a subset ranking, so the
+    downstream windows produce bit-identical results (pinned by the
+    pruned==exhaustive pytest). Emitted volume drops from |A|·|B| to
+    ~K·(|A| + T·|B|).
 
     The B side rides a broadcast variable (ids + row matrix): the brute
     form is quadratic by definition, so B must be the bounded side —
@@ -507,13 +526,33 @@ def _brute_pair_cosines_arrow(
                     # multiply-then-add per scalar, ascending j — the
                     # same op sequence as the zip_with/aggregate fold
                     acc += np.outer(ua[:, j], mat_b[:, j])
-                rep = np.repeat(np.arange(lo, hi, dtype=np.int64), n)
-                til = np.tile(np.arange(n, dtype=np.int64), hi - lo)
+                if topk_prune is not None:
+                    K, slack = int(topk_prune), 2e-6
+                    mc = hi - lo
+                    keep = np.isnan(acc)  # NaN ranks TOP in Spark sorts
+                    if n <= K:
+                        keep[:] = True
+                    else:
+                        kth_a = np.partition(acc, n - K, axis=1)[:, n - K]
+                        keep |= acc >= (kth_a - slack)[:, None]
+                    if mc <= K:
+                        keep[:] = True
+                    else:
+                        kth_b = np.partition(acc, mc - K, axis=0)[mc - K, :]
+                        keep |= acc >= (kth_b - slack)[None, :]
+                    ai, bi = np.nonzero(keep)
+                    rep = (ai + lo).astype(np.int64)
+                    til = bi.astype(np.int64)
+                    vals = acc[ai, bi]
+                else:
+                    rep = np.repeat(np.arange(lo, hi, dtype=np.int64), n)
+                    til = np.tile(np.arange(n, dtype=np.int64), hi - lo)
+                    vals = acc.ravel()
                 yield pa.RecordBatch.from_arrays(
                     [
                         a_pa.take(pa.array(rep)),
                         b_pa.take(pa.array(til)),
-                        pa.array(acc.ravel(), type=pa.float64()),
+                        pa.array(vals, type=pa.float64()),
                     ],
                     names=["a_id", "b_id", "__cos"],
                 )
@@ -593,7 +632,15 @@ def bitext_margin_pairs(
         # sf1.0), so the normalize+dot runs in NumPy with the exact fold
         # order replicated — bit-identical doubles, proven by the
         # candidates-path equality test. Rounding stays in Spark.
-        pairs = _brute_pair_cosines_arrow(a, b, id_col, vec_col).select(
+        # topk_prune: the rank/neighborhood windows below only ever
+        # read each side's rounded top-k rows, so the kernel emits the
+        # provable superset of those (see _brute_pair_cosines_arrow)
+        # instead of the full quadratic frame — output bit-identical
+        # (pruned==exhaustive pytest), window input drops from
+        # |A|·|B| to ~k·(|A|+|B|) rows.
+        pairs = _brute_pair_cosines_arrow(
+            a, b, id_col, vec_col, topk_prune=max(int(k), 1)
+        ).select(
             "a_id", "b_id", F.round(F.col("__cos"), 6).alias("cos_sim")
         )
     else:

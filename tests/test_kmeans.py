@@ -483,3 +483,86 @@ def test_bitext_brute_arrow_preserves_string_ids(spark):
         a, b, k=1, margin_threshold=0.0, mutual=True, candidates=full
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, via_cands))
+
+
+def test_bitext_brute_prune_equals_exhaustive(spark):
+    """topk_prune must be output-invisible: the pruned brute kernel
+    feeds the margin windows a provable superset of each side's rounded
+    top-k rows, so results equal the exhaustive candidates path —
+    stressed with exact cosine ties (duplicate vectors) and k larger
+    than a side. (Zero-norm vectors are covered by the containment test
+    below: the Catalyst candidates path cannot score them at all under
+    ANSI division, so no cross-path equality is definable there.)"""
+    from pyspark.sql import functions as F
+
+    from eventanalysis_spark.operators.similarity import bitext_margin_pairs
+
+    a_rows = (
+        [(i, [1.0, float(i % 3), 0.5]) for i in range(8)]
+        + [(8, [1.0, 0.0, 0.5]), (9, [1.0, 0.0, 0.5])]
+    )
+    b_rows = (
+        [(100 + i, [1.0, float(i % 4), 0.25]) for i in range(12)]
+        + [(112, [1.0, 0.0, 0.25]), (113, [1.0, 0.0, 0.25])]
+    )
+    a = spark.createDataFrame(a_rows, "vec_id long, embedding array<double>")
+    b = spark.createDataFrame(b_rows, "vec_id long, embedding array<double>")
+    full = (
+        a.select(F.col("vec_id").alias("a_id"))
+        .crossJoin(b.select(F.col("vec_id").alias("b_id")))
+    )
+    for k in (1, 2, 4, 50):  # 50 > |B|: prune must keep everything
+        for mutual in (True, False):
+            got = sorted(map(tuple, bitext_margin_pairs(
+                a, b, k=k, margin_threshold=0.0, mutual=mutual
+            ).collect()))
+            ref = sorted(map(tuple, bitext_margin_pairs(
+                a, b, k=k, margin_threshold=0.0, mutual=mutual,
+                candidates=full,
+            ).collect()))
+            assert got == ref, (k, mutual)
+
+
+def test_bitext_prune_containment_with_nan(spark):
+    """The pruned kernel's emitted set must contain, per side, every
+    row of the unpruned kernel's rounded top-K under Spark's ordering
+    (round6 DESC, NaN greatest, id ASC) — including NaN cosines from a
+    zero-norm vector, which Spark ranks above every double."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from eventanalysis_spark.operators.similarity import (
+        _brute_pair_cosines_arrow,
+    )
+
+    a_rows = [(i, [1.0, float(i % 3), 0.5]) for i in range(6)] + [
+        (6, [0.0, 0.0, 0.0])  # zero vector -> NaN cosines
+    ]
+    b_rows = [(100 + i, [1.0, float(i % 4), 0.25]) for i in range(9)] + [
+        (109, [0.0, 0.0, 0.0])
+    ]
+    a = spark.createDataFrame(a_rows, "vec_id long, embedding array<double>")
+    b = spark.createDataFrame(b_rows, "vec_id long, embedding array<double>")
+    K = 3
+
+    def key(cos, other):  # Spark ordering: NaN greatest, then id asc
+        big = float("inf") if (cos is not None and math.isnan(cos)) else (
+            round(cos, 6) if cos is not None else -float("inf"))
+        return (-big, other)
+
+    fullr = _brute_pair_cosines_arrow(a, b, "vec_id", "embedding").collect()
+    pruned = {(r["a_id"], r["b_id"]) for r in _brute_pair_cosines_arrow(
+        a, b, "vec_id", "embedding", topk_prune=K).collect()}
+    by_a, by_b = {}, {}
+    for r in fullr:
+        by_a.setdefault(r["a_id"], []).append(r)
+        by_b.setdefault(r["b_id"], []).append(r)
+    for aid, rows in by_a.items():
+        rows.sort(key=lambda r: key(r["__cos"], r["b_id"]))
+        for r in rows[:K]:
+            assert (r["a_id"], r["b_id"]) in pruned, ("a-side", aid, r)
+    for bid, rows in by_b.items():
+        rows.sort(key=lambda r: key(r["__cos"], r["a_id"]))
+        for r in rows[:K]:
+            assert (r["a_id"], r["b_id"]) in pruned, ("b-side", bid, r)
