@@ -393,12 +393,29 @@ class Pipeline:
         n_new_hosts = n_new_langs = 0
         if self.cfg.discovery == "pre":
             host_expr = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host")
-            pairs = batch.select(host_expr, "lang").distinct().collect()
-            n_new_hosts, n_new_langs = self._grow_dims(
-                {p["host"] for p in pairs if p["host"]},
-                {p["lang"] for p in pairs if p["lang"]},
-                batch_id,
-            )
+            if self._dims_spilled:
+                # spilled dims (host set too big for the driver): pre-mode
+                # hosts go through the same bounded table path post mode
+                # uses — the driver never holds a distinct host set at any
+                # corpus size; langs remain a bounded distinct collect
+                # (ISO-code-sized domain, same as the post-mode path).
+                batch_hosts = (
+                    batch.select(host_expr)
+                    .where(F.col("host").isNotNull() & (F.col("host") != ""))
+                    .distinct()
+                )
+                n_new_hosts = self._grow_hosts_table(batch_hosts, batch_id)
+                langs = batch.select("lang").distinct().collect()
+                _, n_new_langs = self._grow_dims(
+                    set(), {r["lang"] for r in langs if r["lang"]}, batch_id
+                )
+            else:
+                pairs = batch.select(host_expr, "lang").distinct().collect()
+                n_new_hosts, n_new_langs = self._grow_dims(
+                    {p["host"] for p in pairs if p["host"]},
+                    {p["lang"] for p in pairs if p["lang"]},
+                    batch_id,
+                )
         timer.lap("discover_dims")
 
         # -- THE wide pass: parse (+fused text features) → enrich → route →

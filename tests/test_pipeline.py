@@ -293,3 +293,35 @@ def test_lineage_spills_to_table_above_inline_max(spark, pages, wh):
     r2 = p.run_batch(pages)
     assert r2 is not None and r2.batch_id == r.batch_id
     assert p.wh.table("lineage").read(spark).count() == n_lineage_rows
+
+
+def test_dim_spill_pre_mode_uses_table_path(spark, pages, wh):
+    """discovery='pre' after the dim spill must route host discovery
+    through the table anti-join path like post mode — no unbounded
+    driver collect of (host, lang) pairs remains reachable from any
+    config — with sequential-id continuity and sink parity vs the
+    default post-mode run."""
+    cfg = PipelineConfig(
+        warehouse=wh, cap=1000, dim_cache_limit=5, discovery="pre"
+    )
+    p = Pipeline(spark, cfg)
+    results = p.run_until_exhausted(pages)
+    assert len(results) == 3
+    assert p._dims_spilled is True and p._host_rows is None
+    hosts = p.wh.table("dim_host").read(spark).collect()
+    assert len(hosts) == 20
+    assert sorted(r.host_id for r in hosts) == list(range(1, 21))
+    assert p.wh.table("dim_lang").read(spark).count() == 10
+    # fresh instance resumes spilled; exhausted source stays exhausted
+    p2 = Pipeline(spark, cfg)
+    assert p2._dims_spilled is True
+    assert p2.run_batch(pages) is None
+    # parity with the default post-mode spilled run
+    q = Pipeline(spark, PipelineConfig(
+        warehouse=wh + "_ref", cap=1000, dim_cache_limit=5
+    ))
+    q.run_until_exhausted(pages)
+    for s in ["content", "commerce", "security", "misc"]:
+        a = {x.url for x in p.sink_table(s).select("url").collect()}
+        b = {x.url for x in q.sink_table(s).select("url").collect()}
+        assert a == b, s
