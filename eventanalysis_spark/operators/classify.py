@@ -275,8 +275,17 @@ def _lr_feature_arrays(
     ).select(
         id_col,
         "__y",
-        F.pmod(
-            _base_hasher(hash_fn)(F.col("__tok")), F.lit(num_buckets)
+        # guard the null token row explode_outer keeps for token-less
+        # docs: md5(NULL) is NULL (bucket null -> dropped by the
+        # collect_list filter below), but xxhash64(NULL) is the SEED
+        # (42) — unguarded, every empty/null-text doc would grow a
+        # phantom feature in bucket pmod(42, B) under the production
+        # hash and train different weights than `_lr_features`
+        F.when(
+            F.col("__tok").isNotNull(),
+            F.pmod(
+                _base_hasher(hash_fn)(F.col("__tok")), F.lit(num_buckets)
+            ),
         ).alias("bucket"),
     )
     cnt = toks.groupBy(id_col, "bucket").agg(
@@ -501,8 +510,11 @@ def _lr_gradient_rounds(
         if w is None:
             w = {int(r["__b"]): 0.0 for r in grad_rows}
         if n_docs is None:
+            # empty/fully-filtered corpus -> no bias row collected; the
+            # update comprehension below is then over zero rows, so the
+            # division never runs and the model stays all-zero weights
             n_docs = next(
-                int(r["c"]) for r in grad_rows if int(r["__b"]) == -1
+                (int(r["c"]) for r in grad_rows if int(r["__b"]) == -1), 0
             )
         w = {
             b: _round_half_up(

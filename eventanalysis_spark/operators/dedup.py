@@ -810,8 +810,25 @@ def lsh_index(
     sigs = minhash_signatures_arrow(
         df, text_col, id_col, num_hashes, shingle_k, hash_fn
     )
+    index = _band_explode(sigs, bands, num_hashes)
+    return _cap_postings(index, max_bucket_size)
+
+
+def _band_explode(
+    sigs: DataFrame,
+    bands: int,
+    num_hashes: int,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(…extra_cols, band, bucket, doc_id) banding of a signature frame.
+    The bucket hash — xxhash64 over the comma-joined signature slice —
+    is INDEX-FORMAT metadata (lsh_index's docstring: it must match
+    between builds), so it lives in exactly one place; both lsh_index
+    and the fused ad-hoc build in incremental_near_duplicates call
+    this."""
     r = max(1, num_hashes // bands)
-    index = sigs.select(
+    return sigs.select(
+        *[F.col(c) for c in extra_cols],
         "doc_id",
         F.explode(
             F.transform(
@@ -827,8 +844,12 @@ def lsh_index(
                 ),
             )
         ).alias("bb"),
-    ).select(F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"), "doc_id")
-    return _cap_postings(index, max_bucket_size)
+    ).select(
+        *extra_cols,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+        "doc_id",
+    )
 
 
 def incremental_near_duplicates(
@@ -937,28 +958,13 @@ def incremental_near_duplicates(
         )
         sigs = minhash_signatures_arrow(
             fused, text_col, "__sid", num_hashes, shingle_k
-        )
-        r = max(1, num_hashes // bands)
-        banded = sigs.select(
+        ).select(
             F.col("doc_id.__side").alias("__side"),
             F.col("doc_id.__id").alias("doc_id"),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda bidx: F.struct(
-                        bidx.alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", F.transform(
-                                F.slice("sig", bidx * r + 1, r),
-                                lambda v: v.cast("string"),
-                            ))
-                        ).alias("bucket"),
-                    ),
-                )
-            ).alias("bb"),
-        ).select(
-            "__side", F.col("bb.band").alias("band"),
-            F.col("bb.bucket").alias("bucket"), "doc_id",
+            "sig",
+        )
+        banded = _band_explode(
+            sigs, bands, num_hashes, extra_cols=("__side",)
         )
         if max_bucket_size is not None:
             wcap = Window.partitionBy("__side", "band", "bucket").orderBy(

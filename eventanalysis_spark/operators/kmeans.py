@@ -366,6 +366,8 @@ def pq_assign_codes_arrow(
             np.asarray(sorted(int(p) for p in (probes or [])), dtype=np.int64),
         )
 
+    m = len(codebooks)
+
     def encode(batches):
         import pyarrow as pa
 
@@ -375,50 +377,104 @@ def pq_assign_codes_arrow(
             col = batch.column(1)
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            vals = col.flatten().to_numpy(zero_copy_only=False)
-            # float32 -> float64 widening is exact (= _as_double)
-            mat = np.asarray(vals, dtype=np.float64).reshape(
-                batch.num_rows, -1
-            )
-            ids = batch.column(0).to_numpy(zero_copy_only=False)
-            if coarse_spec is not None:
-                ccids, ccents, pset = coarse_spec
-                cell = _np_argmin_cids(mat, ccents, ccids)
-                keep = np.isin(cell, pset)
-                if not keep.any():
-                    continue
-                mat = mat[keep]
-                ids = ids[keep]
-            n = mat.shape[0]
-            flat = np.ascontiguousarray(mat).reshape(-1)
-            offsets = np.arange(
-                0, (n + 1) * mat.shape[1], mat.shape[1], dtype=np.int32
-            )
-            vec_arr = pa.ListArray.from_arrays(
-                pa.array(offsets), pa.array(flat, type=pa.float64())
-            )
-            arrays = [pa.array(ids, type=pa.int64()), vec_arr]
-            names = [id_col, "__v"]
-            for j, (cids, cents) in enumerate(books):
-                arrays.append(
-                    pa.array(
-                        _np_argmin_cids(
-                            mat[:, j * sub : (j + 1) * sub], cents, cids
-                        ),
-                        type=pa.int64(),
+            id_pa = batch.column(0)
+            if isinstance(id_pa, pa.ChunkedArray):
+                id_pa = id_pa.combine_chunks()
+            # NULL vector rows: the replaced Catalyst argmin produced
+            # NULL cid/codes for them (and the IVF probe filter then
+            # dropped them) — split them out so reshape() stays aligned,
+            # and re-emit them with null __v/codes when not probing.
+            null_ids = None
+            if col.null_count:
+                valid = col.is_valid().to_numpy(zero_copy_only=False)
+                vidx = pa.array(np.nonzero(valid)[0].astype(np.int64))
+                if coarse_spec is None:
+                    null_ids = id_pa.take(
+                        pa.array(np.nonzero(~valid)[0].astype(np.int64))
                     )
+                id_pa = id_pa.take(vidx)
+                col = col.take(vidx)
+            n_rows = len(col)
+            if n_rows:
+                offs = col.offsets.to_numpy(zero_copy_only=False).astype(
+                    np.int64
                 )
-                names.append(f"code_{j}")
-            yield pa.RecordBatch.from_arrays(arrays, names=names)
+                lens = offs[1:] - offs[:-1]
+                if lens.size and (lens != lens[0]).any():
+                    raise ValueError(
+                        "pq_assign_codes_arrow: embedding rows must share "
+                        "one dimension (got ragged lengths "
+                        f"{int(lens.min())}..{int(lens.max())})"
+                    )
+                # raw child values + offset slice (the minhash-kernel
+                # pattern): correct whether or not `take` compacted the
+                # list offsets to zero-based
+                vals = col.values.to_numpy(zero_copy_only=False)[
+                    offs[0]:offs[-1]
+                ]
+                # float32 -> float64 widening is exact (= _as_double)
+                mat = np.asarray(vals, dtype=np.float64).reshape(n_rows, -1)
+                if coarse_spec is not None:
+                    ccids, ccents, pset = coarse_spec
+                    cell = _np_argmin_cids(mat, ccents, ccids)
+                    keep = np.nonzero(np.isin(cell, pset))[0]
+                    mat = mat[keep]
+                    id_pa = id_pa.take(pa.array(keep.astype(np.int64)))
+                n = mat.shape[0]
+                if n:
+                    flat = np.ascontiguousarray(mat).reshape(-1)
+                    offsets = np.arange(
+                        0, (n + 1) * mat.shape[1], mat.shape[1],
+                        dtype=np.int32,
+                    )
+                    vec_arr = pa.ListArray.from_arrays(
+                        pa.array(offsets), pa.array(flat, type=pa.float64())
+                    )
+                    arrays = [id_pa, vec_arr]
+                    names = [id_col, "__v"]
+                    for j, (cids, cents) in enumerate(books):
+                        arrays.append(
+                            pa.array(
+                                _np_argmin_cids(
+                                    mat[:, j * sub : (j + 1) * sub],
+                                    cents, cids,
+                                ),
+                                type=pa.int64(),
+                            )
+                        )
+                        names.append(f"code_{j}")
+                    yield pa.RecordBatch.from_arrays(arrays, names=names)
+            if null_ids is not None and len(null_ids):
+                k_null = len(null_ids)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        null_ids,
+                        pa.array([None] * k_null,
+                                 type=pa.list_(pa.float64())),
+                        *[
+                            pa.array([None] * k_null, type=pa.int64())
+                            for _ in range(m)
+                        ],
+                    ],
+                    names=[id_col, "__v"] + [f"code_{j}" for j in range(m)],
+                )
 
-    m = len(codebooks)
-    codes_schema = ", ".join(f"code_{j} bigint" for j in range(m))
-    return emb.select(
-        F.col(id_col).cast("long").alias(id_col),
-        F.col(vec_col).alias("__in"),
-    ).mapInArrow(
-        encode, f"{id_col} bigint, __v array<double>, {codes_schema}"
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
     )
+
+    # ids keep their ORIGINAL Spark type (carried opaquely through the
+    # kernel via Arrow take — a long cast here would crash/NULL string
+    # ids, the bug class the bitext kernel fix documented)
+    id_t = emb.select(F.col(id_col).alias("__id")).schema["__id"].dataType
+    out_schema = StructType(
+        [StructField(id_col, id_t), StructField("__v", ArrayType(DoubleType()))]
+        + [StructField(f"code_{j}", LongType()) for j in range(m)]
+    )
+    return emb.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__in"),
+    ).mapInArrow(encode, out_schema)
 
 
 def _fold_dot(a: list[float], b: list[float]) -> float:

@@ -474,11 +474,20 @@ def _brute_pair_cosines_arrow(
     form is quadratic by definition, so B must be the bounded side —
     exactly the regime where the crossJoin baseline was usable at all;
     past that, callers pass `candidates` (LSH/IVF pairs) and never enter
-    this path."""
+    this path. Note: collecting B (a Spark job) happens at
+    plan-CONSTRUCTION time, and the broadcast lives until Spark's
+    ContextCleaner collects the returned frame — callers building many
+    throwaway bitext plans in one long-lived driver should drop
+    references promptly."""
     import numpy as np
 
     spark = a.sparkSession
-    b_pdf = b.select(
+    # NULL-vector rows are dropped on both sides — output-identical to
+    # the retired crossJoin baseline: their NULL cosines ranked below
+    # every real pair (DESC NULLS LAST), were skipped by the avg()
+    # neighborhoods, and NULL margin never passed the threshold filter;
+    # keeping them would only crash the matrix reshape.
+    b_pdf = b.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("b_id"), _as_double(F.col(vec_col)).alias("__b")
     ).toPandas()
     # ids stay in their ORIGINAL type (long, string, ...): the id column
@@ -509,7 +518,19 @@ def _brute_pair_cosines_arrow(
             tbl = batch.column(1)
             if isinstance(tbl, pa.ChunkedArray):
                 tbl = tbl.combine_chunks()
-            vals = tbl.flatten().to_numpy(zero_copy_only=False)
+            offs = tbl.offsets.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            lens = offs[1:] - offs[:-1]
+            if lens.size and (lens != lens[0]).any():
+                raise ValueError(
+                    "bitext pair kernel: embedding rows must share one "
+                    f"dimension (got ragged lengths {int(lens.min())}.."
+                    f"{int(lens.max())})"
+                )
+            vals = tbl.values.to_numpy(zero_copy_only=False)[
+                offs[0]:offs[-1]
+            ]
             mat_a = _np_unit_rows(
                 np.asarray(vals, dtype=np.float64).reshape(m_rows, -1)
             )
@@ -557,7 +578,7 @@ def _brute_pair_cosines_arrow(
                     names=["a_id", "b_id", "__cos"],
                 )
 
-    src = a.select(
+    src = a.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("a_id"),
         _as_double(F.col(vec_col)).alias("__v"),
     )

@@ -90,9 +90,16 @@ def textrank(
     iterations: int = 5,
     damping: float = 0.85,
 ) -> DataFrame:
-    """Weighted PageRank over a symmetric (src, dst, w) edge list for a
+    """Weighted PageRank over a SYMMETRIC (src, dst, w) edge list for a
     fixed iteration count, rank_0 = 1.0 everywhere. Returns (term, rank)
     for every node, rank UNrounded (callers round for reporting).
+
+    Symmetry is a hard input contract (word_adjacency_edges satisfies
+    it by construction): since round 6 the iteration derives the node
+    set from the contribution aggregate — with a DIRECTED edge list, a
+    node that never appears as dst would silently drop out after
+    iteration 1 instead of keeping the (1-d) floor. For directed
+    graphs use linkgraph.host_pagerank, which handles dangling mass.
 
     Per iteration: rank ⋈ pre-normalized edges on src, one sum by dst,
     left-join back onto the node list so isolated-in-degree nodes keep

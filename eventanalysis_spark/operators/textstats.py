@@ -484,6 +484,14 @@ def bm25_topk(
     # repeated query term once (distinct (doc, term) grain) — the
     # per-term-column form must too
     terms = list(dict.fromkeys(t.lower() for t in query_terms))
+    if not terms:
+        # empty query -> empty result (the old posting-stream form's
+        # isin([]) behavior), not an index error on the term columns
+        return (
+            docs.select(
+                F.col(id_col), F.lit(0.0).alias("bm25")
+            ).limit(0)
+        )
     tf_cols = [f"__tf{i}" for i in range(len(terms))]
     per_doc = (
         docs.select(

@@ -215,3 +215,39 @@ def test_lr_matches_reference_and_separates(spark):
     got13 = {r["doc_id"]: r["lr_score"] for r in
              lr_score(docs, model13, num_buckets=B, hash_fn="md5").collect()}
     assert got13 == {d: r["lr_score"] for d, r in got.items()}
+
+
+def test_lr_feature_arrays_tokenless_docs_bias_only(spark):
+    """explode_outer keeps token-less docs alive via a null-token row;
+    that row must NOT hash into a real bucket. md5(NULL) is NULL, but
+    xxhash64(NULL) is the seed (42) — unguarded, every empty/null-text
+    doc grew a phantom feature in bucket pmod(42, B) under the
+    production hash and trained different weights than _lr_features."""
+    from pyspark.sql import functions as F
+
+    from eventanalysis_spark.operators.classify import _lr_feature_arrays
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", True), (2, "", False), (3, None, True),
+         (4, "   ", False)],
+        "doc_id long, text string, lab boolean",
+    )
+    for hash_fn in ("xxhash64", "md5"):
+        rows = {r["doc_id"]: r for r in _lr_feature_arrays(
+            docs, "lab", "text", "doc_id", 64, hash_fn
+        ).collect()}
+        assert set(rows) == {1, 2, 3, 4}
+        for d in (2, 3, 4):  # token-less: the bias entry alone
+            assert rows[d]["__bs"] == [-1], (hash_fn, d, rows[d])
+            assert rows[d]["__xi"] == [1000000]
+        assert -1 in rows[1]["__bs"] and len(rows[1]["__bs"]) == 3
+
+
+def test_lr_train_empty_corpus_returns_empty_model(spark):
+    from eventanalysis_spark.operators.classify import lr_train
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lab boolean"
+    )
+    model = lr_train(docs, "lab", num_buckets=16, iterations=2)
+    assert model.count() == 0

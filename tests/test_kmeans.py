@@ -566,3 +566,58 @@ def test_bitext_prune_containment_with_nan(spark):
         rows.sort(key=lambda r: key(r["__cos"], r["a_id"]))
         for r in rows[:K]:
             assert (r["a_id"], r["b_id"]) in pruned, ("b-side", bid, r)
+
+
+def test_pq_kernel_preserves_string_ids_and_null_vectors(spark):
+    """The PQ/kmeans Arrow kernel must carry ids opaquely (no long
+    cast: string ids crashed under ANSI) and must reproduce the retired
+    Catalyst argmin's NULL handling — a NULL embedding row yields NULL
+    codes (and is dropped by the IVF probe filter), never a reshape
+    crash or silent row misalignment."""
+    from pyspark.sql import functions as F
+
+    from eventanalysis_spark.operators.kmeans import (
+        pq_assign_codes_arrow, pq_encode,
+    )
+
+    cb = [[(0, [0.0, 0.0]), (1, [1.0, 1.0])],
+          [(0, [0.0, 0.0]), (1, [2.0, 2.0])]]
+    emb = spark.createDataFrame(
+        [("u/a", [0.1, 0.2, 1.9, 2.1]), ("u/b", [0.9, 1.1, 0.1, 0.0]),
+         ("u/null", None)],
+        "vec_id string, embedding array<double>",
+    )
+    got = {r["vec_id"]: (r["code_0"], r["code_1"])
+           for r in pq_assign_codes_arrow(emb, cb, "vec_id").collect()}
+    assert set(got) == {"u/a", "u/b", "u/null"}
+    assert got["u/null"] == (None, None)
+    ref = {r["vec_id"]: (r["code_0"], r["code_1"])
+           for r in pq_encode(emb.where(F.col("embedding").isNotNull()),
+                              cb, id_col="vec_id").collect()}
+    for k, v in ref.items():
+        assert got[k] == v, k
+    # coarse mode drops the null row (a NULL cell never matches probes)
+    coarse = [(0, [0.0, 0.0, 0.0, 0.0]), (1, [1.0, 1.0, 1.0, 1.0])]
+    probed = {r["vec_id"] for r in pq_assign_codes_arrow(
+        emb, cb, "vec_id", coarse=coarse, probes=[0, 1]).collect()}
+    assert probed == {"u/a", "u/b"}
+
+
+def test_bitext_null_vectors_dropped_like_baseline(spark):
+    """NULL embedding rows must not crash the pair kernel; they are
+    dropped — identical output to the old crossJoin baseline, where
+    their NULL cosines ranked last and NULL margins never passed the
+    threshold."""
+    from eventanalysis_spark.operators.similarity import bitext_margin_pairs
+
+    a = spark.createDataFrame(
+        [(0, [1.0, 0.2, 0.0]), (1, [0.0, 1.0, 0.0]), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    b = spark.createDataFrame(
+        [(100, [0.7, 0.7, 0.1]), (101, [0.0, 1.0, 0.0]), (102, None)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = bitext_margin_pairs(a, b, k=1, margin_threshold=0.0,
+                               mutual=True).collect()
+    assert {r["a_id"]: r["b_id"] for r in rows} == {0: 100, 1: 101}

@@ -390,3 +390,16 @@ def test_zipf_stats_degenerate_and_k_cap(spark):
         [(1, "a a a a b b c")], "doc_id long, text string"
     )
     assert zipf_stats(df, k=2).collect()[0]["k_fit"] == 2
+
+
+def test_bm25_empty_query_returns_empty(spark):
+    """The per-term-column rewrite must keep the old posting-stream
+    form's empty-query behavior: zero rows, not an IndexError."""
+    from eventanalysis_spark.operators.textstats import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string"
+    )
+    out = bm25_topk(docs, [], k=5)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "bm25"]

@@ -84,8 +84,13 @@ def main() -> None:
         for rep in range(args.reps):
             for name in names:
                 spark.sparkContext.setJobDescription(f"bx:{name}")
-                df = qs[name](spark, args.sf)
+                # construction INSIDE the timed window (same convention
+                # as the frozen bench): several round-6 plans run real
+                # jobs at construction (training collects, lazy-pin
+                # materialization under AQE), so timing the write alone
+                # would under-report exactly those queries
                 t0 = time.perf_counter()
+                df = qs[name](spark, args.sf)
                 df.write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
                 if name not in out or dt < out[name]:
